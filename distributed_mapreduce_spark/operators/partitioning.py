@@ -1,0 +1,60 @@
+"""User-visible partitioning operators (SURVEY.md §2.8).
+
+The reference exposes `partition_type ∈ {hash, range}` on the juice
+command (README.md:45; hash at file_server/fileserver.py:682-698, range
+at 700-732). In Spark, physical placement is `repartition` /
+`repartitionByRange`; the *logical* bucket id (which the reference
+derived from Python's nondeterministic `hash()` — fileserver.py:693) is
+re-expressed with deterministic, engine-portable arithmetic so results
+are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def partition_hash(df: DataFrame, key_col: str, num_partitions: int) -> DataFrame:
+    """Physically hash-partition by key (HashPartitioner semantics).
+
+    This is the co-location primitive: two datasets repartitioned on the
+    same key column with the same count join/aggregate without another
+    exchange.
+    """
+    return df.repartition(num_partitions, F.col(key_col))
+
+
+def partition_range(df: DataFrame, key_col: str, num_partitions: int) -> DataFrame:
+    """Physically range-partition by key (sampled RangePartitioner).
+
+    Reference: sorted-key contiguous cuts at fileserver.py:700-732;
+    Spark samples bounds instead of collecting all keys — the only
+    version that works when keys don't fit on one node.
+    """
+    return df.repartitionByRange(num_partitions, F.col(key_col))
+
+
+def hash_bucket(df: DataFrame, key_col: str, num_buckets: int, bucket_col: str = "bucket") -> DataFrame:
+    """Deterministic logical hash-bucket id: md5(key)[0:8] as uint32 % n.
+
+    Portable across engines (md5 is standardized), unlike Python
+    `hash()` (run-to-run nondeterministic, fileserver.py:693) or Spark's
+    Murmur3 `F.hash` (engine-specific). SQL twin:
+    ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % n``.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+    return df.withColumn(bucket_col, (h % F.lit(num_buckets)).cast("int"))
+
+
+def range_bucket(df: DataFrame, key_col: str, num_buckets: int, bucket_col: str = "bucket") -> DataFrame:
+    """Deterministic logical range-bucket id via NTILE over key order.
+
+    Mirrors the reference's balanced-±1 sorted cuts
+    (fileserver.py:713-732) exactly: sort keys, deal them into n
+    contiguous runs. NTILE is a single window over the key sort — fine
+    for bucket *assignment checks*; physical placement at scale uses
+    :func:`partition_range` (sampled, no global sort).
+    """
+    w = Window.orderBy(F.col(key_col))
+    return df.withColumn(bucket_col, (F.ntile(num_buckets).over(w) - 1).cast("int"))

@@ -1,0 +1,79 @@
+"""Scan operators (SURVEY.md §2.1).
+
+The reference reads whole files line-by-line on a single leader
+(partition_csv at file_server/fileserver.py:265-289 materializes every
+row before splitting). Here every scan is a distributed, splittable
+Spark read: filters and projections declared downstream reach the scan
+(PushedFilters / ReadSchema in `.explain`), which is the difference
+between reading 100 TB and reading the two columns you asked for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """Read a CSV dataset (reference: csv.reader at fileserver.py:265-289;
+    header skip per hadoop/TrafficMapper.java:33-35 → `header=True`).
+
+    Default is all-StringType (the reference's untyped line model,
+    SURVEY.md §1.2): pass `schema` or `infer=True` for typed reads.
+    `infer` costs an extra full pass — never use it on production-scale
+    inputs; provide the schema.
+    """
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def scan_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read files as raw lines → DataFrame[value: string].
+
+    Reference: bufio.Scanner loops (data/sql-juice.go:49-57,
+    data/maple-exe.go:82-93). Serves the grep / whole-line-regex paths.
+    """
+    return spark.read.text(path)
+
+
+def scan_prefix_glob(
+    spark: SparkSession,
+    directory: str,
+    prefix: str,
+    suffix: str = "",
+    fmt: str = "text",
+) -> DataFrame:
+    """Select input files by name prefix (+ optional suffix).
+
+    Reference: filepath.Walk + strings.HasPrefix
+    (data/maple-exe.go:114-126, data/juice-exe.go:45-60). Spark path
+    globs resolve on the driver against the file listing — no data read.
+    """
+    pattern = f"{directory}/{prefix}*{suffix}"
+    if fmt == "text":
+        return spark.read.text(pattern)
+    if fmt == "csv":
+        return spark.read.option("header", False).csv(pattern)
+    if fmt == "parquet":
+        return spark.read.parquet(pattern)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan — the engine's native storage format."""
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the harness tables from a scale-factor directory."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,35 @@
+"""Sink operators (SURVEY.md §2.1).
+
+The reference's terminal step merges every reducer output into ONE csv
+on the leader (`conglomerate`, file_server/fileserver.py:598-635) — a
+deliberate single-node bottleneck we reproduce only as an opt-in parity
+sink. The default sink is a partitioned parquet write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def sink_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Partitioned columnar write — the at-scale default."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def sink_merged_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    """Merge the result into a single CSV file (parity with
+    `conglomerate` + `put`, fileserver.py:598-635).
+
+    `coalesce(1)` narrows to one task WITHOUT a shuffle; upstream
+    stages still run at full parallelism. Only the final write is
+    single-threaded — acceptable for small results, never for raw data.
+    """
+    df.coalesce(1).write.mode(mode).option("header", header).csv(path)
+
+
+def sink_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    """Parallel (multi-file) CSV write."""
+    df.write.mode(mode).option("header", header).csv(path)

@@ -1,0 +1,20 @@
+"""Harness workload: every implemented operator as a named query with a
+DuckDB oracle (SURVEY.md §5 — the reference's own methodology is
+differential testing against an independent engine; Hadoop there, DuckDB
+here).
+
+Importing this package populates the registry in
+:mod:`distributed_mapreduce_spark.workload.registry`.
+"""
+
+from distributed_mapreduce_spark.workload import core  # noqa: F401
+from distributed_mapreduce_spark.workload.registry import ORACLES, QUERIES
+
+# Extension workloads register on import; keep imports at the bottom so
+# core parity queries come first in the registry's iteration order.
+from distributed_mapreduce_spark.workload import dedup  # noqa: F401,E402
+from distributed_mapreduce_spark.workload import similarity  # noqa: F401,E402
+from distributed_mapreduce_spark.workload import text  # noqa: F401,E402
+from distributed_mapreduce_spark.workload import events  # noqa: F401,E402
+
+__all__ = ["QUERIES", "ORACLES"]

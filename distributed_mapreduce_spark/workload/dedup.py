@@ -1,0 +1,254 @@
+"""Deduplication workload over `documents` — exact, MinHash+LSH, and
+SimHash near-dup detection: the first pass of any 100 TB corpus
+pipeline.
+
+Everything is Catalyst higher-order array expressions + md5-derived
+hashes — no Python UDFs, no driver-side loops. The md5-based hash
+family (uint32 from the first 8 hex chars) is engine-portable, so every
+stage has an exact DuckDB oracle.
+
+Scale shape: shingling/minhashing is embarrassingly parallel per row;
+the only shuffles are (a) the LSH band-bucket self-join, whose keys are
+the band signatures (tiny, uniform), and (b) the final pair-verify
+join. That is the standard scalable MinHash-LSH plan: candidate pairs
+only, never the O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+
+#: MinHash parameters: k = bands * rows hash functions.
+MINHASH_BANDS = 4
+MINHASH_ROWS = 2
+#: Jaccard threshold for verified near-dup pairs: inter/union >= 0.7.
+JACCARD_NUM, JACCARD_DEN = 7, 10
+#: Shingle width (words).
+SHINGLE_W = 3
+#: SimHash width in bits.
+SIMHASH_BITS = 32
+
+
+def _hash_u32(col: Column, seed: str) -> Column:
+    """Portable uint32 hash: first 8 hex chars of md5(seed || s)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 8), 16, 10).cast("long")
+
+
+def _sql_hash_u32(expr: str, seed: str) -> str:
+    return f"('0x' || substr(md5('{seed}' || {expr}), 1, 8))::BIGINT"
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(col, " ", -1), lambda x: x != "")
+
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def shingles(col: Column, w: int = SHINGLE_W) -> Column:
+    """Distinct w-word shingles of a text column (empty array if < w
+    tokens)."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - w)
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, w), " "))
+    return F.when(n >= w, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_shingles(w: int = SHINGLE_W) -> str:
+    # DuckDB list slices are 1-based inclusive: toks[i+1 : i+w].
+    return f"""
+    CASE WHEN len({_SQL_TOKS}) >= {w}
+         THEN list_distinct(list_transform(range(0, len({_SQL_TOKS}) - {w - 1}),
+              i -> array_to_string(({_SQL_TOKS})[i + 1 : i + {w}], ' ')))
+         ELSE [] END
+    """
+
+
+def minhash_signature(sh: Column, k: int) -> Column:
+    """Array of k minhash values (portable md5 family; max-long when the
+    shingle set is empty so empty docs never collide into a band)."""
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(sh, lambda s, j=j: _hash_u32(s, f"mh{j}_"))),
+                F.lit(2**62),
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def _sql_minhash(sh_expr: str, k: int) -> str:
+    parts = ", ".join(
+        f"coalesce(list_min(list_transform({sh_expr}, s -> {_sql_hash_u32('s', f'mh{j}_')})), 4611686018427387904)"
+        for j in range(k)
+    )
+    return f"[{parts}]"
+
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS cnt
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint, keep the
+    smallest doc_id as the canonical representative. Grouping on the
+    128-bit hash instead of the text keeps shuffle rows tiny."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs (doc_a < doc_b), deduplicated.
+
+    bands×rows minhash signature; docs sharing all `rows` values inside
+    any band become a candidate pair. Only candidates are ever joined —
+    the scalable alternative to the O(n²) similarity cross join.
+    """
+    k = MINHASH_BANDS * MINHASH_ROWS
+    sig = minhash_signature(shingles(F.col("text")), k)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[sig[b * MINHASH_ROWS + r].alias(f"h{r}") for r in range(MINHASH_ROWS)],
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    exploded = docs.select(F.col("doc_id"), F.explode(bands).alias("bk")).select(
+        "doc_id", "bk.*"
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    on = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in ["band"] + [f"h{r}" for r in range(MINHASH_ROWS)]]
+    pairs = left.join(right, on + [F.col("l.doc_id") < F.col("r.doc_id")], "inner")
+    return pairs.select(
+        F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+    ).distinct()
+
+
+def _sql_minhash_pairs() -> str:
+    k = MINHASH_BANDS * MINHASH_ROWS
+    band_rows = ", ".join(
+        "(" + ", ".join([str(b)] + [f"sig[{b * MINHASH_ROWS + r + 1}]" for r in range(MINHASH_ROWS)]) + ")"
+        for b in range(MINHASH_BANDS)
+    )
+    hcols = ", ".join(f"h{r}" for r in range(MINHASH_ROWS))
+    on = " AND ".join(
+        ["l.band = r.band"] + [f"l.h{r} = r.h{r}" for r in range(MINHASH_ROWS)]
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles()} AS sh FROM documents
+    ), sig AS (
+      SELECT doc_id, sh, {_sql_minhash('sh', k)} AS sig FROM sh
+    ), bands AS (
+      SELECT doc_id, b.* FROM sig,
+      LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, {hcols})) b
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r ON {on} AND l.doc_id < r.doc_id
+    )
+    """
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=_sql_minhash_pairs()
+    + f"""
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+           CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_cnt
+    FROM cand
+    JOIN sh a ON a.doc_id = doc_a
+    JOIN sh b ON b.doc_id = doc_b
+    WHERE len(list_intersect(a.sh, b.sh)) * {JACCARD_DEN}
+          >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {JACCARD_NUM}
+    """,
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified by exact shingle
+    Jaccard >= 0.7 (integer cross-multiplication — no float division).
+
+    Plan: per-row shingle+signature (parallel map) → band explode →
+    self-equi-join on band keys (shuffle on tiny band signatures) →
+    verify join against shingle sets for candidates only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs)
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("inter_cnt"),
+            union.cast("long").alias("union_cnt"),
+        )
+        .filter(F.col("inter_cnt") * JACCARD_DEN >= F.col("union_cnt") * JACCARD_NUM)
+    )
+
+
+def _sql_simhash() -> str:
+    h = _sql_hash_u32("t.tok", "sh_")
+    bit_sum = ", ".join(
+        f"sum(CASE WHEN (({h} >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), t AS (SELECT doc_id, tok FROM tok),
+    bits AS (
+      SELECT doc_id, {bit_sum} FROM t GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("dedup_simhash", oracle=_sql_simhash())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: explode tokens, hash each (portable
+    md5 family), per-bit ±1 vote sum, recombine sign bits. Pure
+    groupBy-aggregate — one shuffle keyed by doc_id; near-dup lookup is
+    then a Hamming-ball probe over the 32-bit key."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    h = _hash_u32(F.col("tok"), "sh_")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(((h.bitwiseAND(F.lit(1 << i))) != 0), 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))

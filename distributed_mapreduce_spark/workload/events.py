@@ -1,0 +1,114 @@
+"""Event-stream workload over `events` — batch form of the streaming
+semantics (tumbling windows, sessionization, JSON props extraction).
+
+These are the oracle-checkable batch twins of the Structured Streaming
+operators in :mod:`distributed_mapreduce_spark.streaming`: a tumbling
+window aggregate over a static frame must equal the final state of the
+same streaming aggregation after all data is ingested (Spark's
+batch/streaming unification guarantee).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "events_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + exact decimal sum.
+    Streaming twin: groupBy(window(ts)) with a watermark — identical
+    result on a closed input."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(30,6)").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '{SESSION_GAP_MIN} minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): lag + running
+    sum of session-start flags, then per-session rollup. Streaming twin:
+    session_window / applyInPandasWithState."""
+    ev = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    # Microsecond-exact gap (cast-to-long would truncate to seconds and
+    # disagree with the oracle's exact interval comparison).
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(is_new).over(running).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           count(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a typed field from the JSON `props` payload and
+    aggregate — semi-structured column handling (exact integer sums)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("k_sum"), F.count(F.lit(1)).alias("cnt")
+    )

@@ -1,0 +1,51 @@
+"""Query/oracle registry backing ``__spark_entry__.py``.
+
+Contract (driver-imposed): each named query is a callable
+``(spark, sf_dir) -> DataFrame``; its oracle is an ANSI-SQL string
+DuckDB runs over the same parquet tables. Column names and values must
+match exactly (the driver hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a workload query; ``oracle=None`` → rows-only check
+    (reserved for genuinely non-SQL-expressible ops)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query id: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a harness table (see /root/repo/TESTDATA.md).
+
+    The `events` parquet stores TIMESTAMP(NANOS), which Spark's vector
+    reader rejects; read nanos as long and truncate to microseconds
+    (exactly what DuckDB does on the oracle side).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(ev.dtypes).get("ts") == "bigint":
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ev
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

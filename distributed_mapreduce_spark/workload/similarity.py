@@ -1,0 +1,179 @@
+"""Similarity search over `embeddings` (array<float> vectors).
+
+Brute-force cosine top-k is the correctness baseline; the IVF-style
+variant restricts search to the query's coarse cell (the `label` column
+stands in for a k-means assignment — same plan shape as a trained
+quantizer: cluster-id equi-join instead of cross join).
+
+Determinism: scores are computed with an explicit left fold in double
+precision (Spark `aggregate` ≡ DuckDB `list_reduce`; identical IEEE
+operation order ⇒ bit-identical doubles in both engines), then reported
+as micro-units `floor(cos * 1e6)` so no float ever reaches the
+comparator.
+
+Scale shape: queries are broadcast (small side), candidates stream
+through a broadcast-nested-loop or cell equi-join; per-row scoring is
+JVM-side codegen over primitive arrays. For 100 TB of vectors the IVF
+cell join is the path: shuffle keyed on cell id, top-k via per-partition
+window, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+
+#: Brute-force query set: vec_id < N_QUERIES.
+N_QUERIES = 8
+TOP_K = 5
+#: Near-dup cosine threshold in micro-units.
+NEAR_DUP_COS_U = 900_000
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic double dot-product: widen to double, left fold."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_u(a: Column, b: Column) -> Column:
+    """floor(cosine * 1e6) as BIGINT — engine-portable score."""
+    return F.floor(dot(a, b) / (norm(a) * norm(b)) * 1_000_000.0).cast("long")
+
+
+def _sql_dot(a: str, b: str) -> str:
+    # list_reduce is a left fold starting at the first element; Spark's
+    # aggregate starts at 0.0 — IEEE 0.0 + x == x, so both folds produce
+    # the identical operation sequence.
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sql_cos_u(a: str, b: str) -> str:
+    return (
+        f"CAST(floor({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+        f" * 1000000.0) AS BIGINT)"
+    )
+
+
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k by (score desc, neighbor id) — a per-partition
+    window, not a global sort."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_u").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+@query(
+    "ann_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cos_u('q.qv', 'e.embedding')} AS cos_u
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_u, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_u DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set over the full
+    vector table — the exact-answer baseline every ANN variant is
+    measured against."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_u(F.col("qv"), F.col("embedding")).alias("cos_u"),
+        )
+    )
+    return topk_per_query(scored, TOP_K).select("query_id", "neighbor_id", "cos_u", "rnk")
+
+
+@query(
+    "ann_ivf",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS cell, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cos_u('q.qv', 'e.embedding')} AS cos_u
+      FROM q JOIN embeddings e ON e.label = q.cell AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_u, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_u DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse cell (`label` as the
+    quantizer assignment). Turns the cross join into a cell equi-join —
+    the shuffle is keyed on cell id and each task scans one cell. This
+    is the 100 TB path: cost scales with cell size, not corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_u(F.col("qv"), F.col("embedding")).alias("cos_u"),
+        )
+    )
+    return topk_per_query(scored, TOP_K).select("query_id", "neighbor_id", "cos_u", "rnk")
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_sql_cos_u('a.embedding', 'b.embedding')} AS cos_u
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cos_u('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS_U}
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by coarse cell so
+    the candidate set is per-cell O(m²) instead of corpus-wide O(n²) —
+    the embedding analogue of LSH banding."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    scored = pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine_u(F.col("a.embedding"), F.col("b.embedding")).alias("cos_u"),
+    )
+    return scored.filter(F.col("cos_u") >= NEAR_DUP_COS_U)

@@ -1,0 +1,168 @@
+"""Text-analysis workload over `documents` — the training-data-pipeline
+operators (language ID, quality scoring, token counting, fingerprinting)
+that a 100 TB corpus pipeline runs before dedup/filtering.
+
+All operators are pure Catalyst expressions (higher-order array
+functions, regex, md5) — no Python UDFs — so they run JVM-side inside
+whole-stage codegen and scale linearly with executors. Ratios are
+reported in exact integer basis points (floor(x*10000/y)) because
+float division then rounding is not portable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+
+#: Stopword list for quality scoring (tiny, deterministic).
+STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+#: Marker words per language for the n-gram/stopword language-ID
+#: heuristic. Deterministic preference order: en, de, es, fr, unknown.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "das", "ist"),
+    "es": ("el", "los", "de", "es"),
+    "fr": ("le", "les", "des", "est"),
+}
+
+
+def _tokens(col: Column) -> Column:
+    """Non-empty whitespace tokens of a text column (JVM-side)."""
+    return F.filter(F.split(col, " ", -1), lambda x: x != "")
+
+
+def _sql_tokens(c: str) -> str:
+    return f"list_filter(string_split({c}, ' '), x -> x <> '')"
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda x: x.isin(*words)))
+
+
+def _sql_count_in(tokens: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tokens}, x -> x IN ({lst})))"
+
+
+def _bp(num: Column, den: Column) -> Column:
+    """Exact integer basis points: floor(num*10000/den); 0 if den=0."""
+    return F.when(den == 0, F.lit(0)).otherwise(
+        F.floor(num.cast("double") * 10000.0 / den.cast("double"))
+    ).cast("long")
+
+
+def _sql_bp(num: str, den: str) -> str:
+    return (
+        f"CAST(CASE WHEN ({den}) = 0 THEN 0 "
+        f"ELSE floor(({num}) * 10000.0 / ({den})) END AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id, CAST(len({_sql_tokens('text')}) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count per document."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"))
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_sql_tokens('text')} AS toks,
+             length(text) AS n_chars_m
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars_m AS BIGINT) AS n_chars_m,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           {_sql_bp(_sql_count_in('toks', STOPWORDS), 'len(toks)')} AS stopword_bp,
+           {_sql_bp("length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))",
+                    'length(text)')} AS punct_bp
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: length, token count, stopword ratio,
+    punctuation ratio (basis points). The standard cheap pre-filters a
+    corpus pipeline applies before model training."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_chars = F.length(F.col("text"))
+    punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_m"),
+        F.size(toks).alias("n_tokens"),
+        _bp(_count_in(toks, STOPWORDS), F.size(toks)).alias("stopword_bp"),
+        _bp(punct, n_chars).alias("punct_bp"),
+    )
+
+
+def _lang_case_sql() -> str:
+    toks = _sql_tokens("text")
+    scores = {k: _sql_count_in(toks, v) for k, v in LANG_MARKERS.items()}
+    en, de, es, fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    return f"""
+    CASE
+      WHEN ({en}) = 0 AND ({de}) = 0 AND ({es}) = 0 AND ({fr}) = 0 THEN 'unknown'
+      WHEN ({en}) >= ({de}) AND ({en}) >= ({es}) AND ({en}) >= ({fr}) THEN 'en'
+      WHEN ({de}) >= ({es}) AND ({de}) >= ({fr}) THEN 'de'
+      WHEN ({es}) >= ({fr}) THEN 'es'
+      ELSE 'fr'
+    END
+    """
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT lang_pred, count(*) AS cnt FROM (
+      SELECT {_lang_case_sql()} AS lang_pred FROM documents
+    ) GROUP BY lang_pred
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with a deterministic argmax
+    preference order (en > de > es > fr), aggregated to a histogram."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    s = {k: _count_in(toks, v) for k, v in LANG_MARKERS.items()}
+    pred = (
+        F.when((s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0) & (s["fr"] == 0), "unknown")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return docs.select(pred.alias("lang_pred")).groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased
+    text — the exact-dedup key at corpus scale (hash once, group on the
+    128-bit key instead of the full text)."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

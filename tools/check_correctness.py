@@ -1,0 +1,99 @@
+"""Local differential harness: run every registered query on Spark and
+its oracle on DuckDB, compare row count, column names, and
+order-insensitive values. Mirrors the driver's CORRECTNESS check so
+mismatches surface before a round ends.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize_cell(v):
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, list):
+        return tuple(normalize_cell(x) for x in v)
+    return v
+
+
+def canonical(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        out.append(tuple(normalize_cell(r[i]) for i in order))
+    out.sort(key=repr)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from distributed_mapreduce_spark.session import get_spark
+    from distributed_mapreduce_spark.workload import ORACLES, QUERIES
+
+    spark = get_spark("check_correctness", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in ORACLES:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows) — no oracle")
+            continue
+        try:
+            res = con.execute(ORACLES[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+            continue
+        sc = canonical([tuple(r) for r in srows], scols)
+        dc = canonical(drows, dcols)
+        if len(sc) != len(dc):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={len(sc)} duckdb={len(dc)}")
+            continue
+        if sc != dc:
+            failures.append(name)
+            bad = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+            continue
+        print(f"PASS {name} ({len(sc)} rows)")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
