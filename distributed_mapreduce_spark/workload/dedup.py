@@ -68,23 +68,37 @@ def _sql_shingles(w: int = SHINGLE_W) -> str:
     """
 
 
+# Universal-hash family over a single md5 base hash: h_j(x) = (a_j*x + b_j) mod P.
+# One md5 per shingle instead of k — the standard minhash trick; the affine
+# family is exact 64-bit integer arithmetic, portable to any SQL engine.
+MH_PRIME = 4294967311  # smallest prime > 2^32
+# Multipliers < 2^31 so a*x stays under 2^63 for x < 2^32 (no int64
+# overflow in either engine).
+MH_A = [1640531527, 1999999973, 668265263, 374761393, 1103515245, 2027808447, 1013904223, 694847539]
+MH_B = [1013904223, 1367130551, 2027808447, 40503, 694847539, 12345, 377, 104395301]
+
+
 def minhash_signature(sh: Column, k: int) -> Column:
-    """Array of k minhash values (portable md5 family; max-long when the
-    shingle set is empty so empty docs never collide into a band)."""
+    """Array of k minhash values from one md5 base hash per shingle
+    (max-long sentinel when the shingle set is empty so empty docs never
+    collide into a band)."""
+    base = F.transform(sh, lambda s: _hash_u32(s, "mh_"))
+
+    def affine(j):
+        return lambda x: (F.lit(MH_A[j]) * x + F.lit(MH_B[j])) % F.lit(MH_PRIME)
+
     return F.array(
         *[
-            F.coalesce(
-                F.array_min(F.transform(sh, lambda s, j=j: _hash_u32(s, f"mh{j}_"))),
-                F.lit(2**62),
-            )
+            F.coalesce(F.array_min(F.transform(base, affine(j))), F.lit(2**62))
             for j in range(k)
         ]
     )
 
 
 def _sql_minhash(sh_expr: str, k: int) -> str:
+    base = f"list_transform({sh_expr}, s -> {_sql_hash_u32('s', 'mh_')})"
     parts = ", ".join(
-        f"coalesce(list_min(list_transform({sh_expr}, s -> {_sql_hash_u32('s', f'mh{j}_')})), 4611686018427387904)"
+        f"coalesce(list_min(list_transform({base}, x -> ({MH_A[j]} * x + {MH_B[j]}) % {MH_PRIME})), 4611686018427387904)"
         for j in range(k)
     )
     return f"[{parts}]"
@@ -111,7 +125,25 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+def shingle_table(docs: DataFrame) -> DataFrame:
+    """Materialized (persisted) per-doc shingle set + base-hash array.
+
+    Persisting is load-bearing twice over: the LSH self-join and the
+    verify join both reuse this relation, and the cache boundary stops
+    Catalyst's projection collapse from re-inlining (= re-computing)
+    the md5 shingle hashing into every downstream reference. At real
+    scale this is the signature table a pipeline would checkpoint.
+    """
+    sh = shingles(F.col("text"))
+    out = docs.select(
+        F.col("doc_id"),
+        sh.alias("sh"),
+        F.transform(sh, lambda s: _hash_u32(s, "mh_")).alias("bh"),
+    )
+    return out.persist()
+
+
+def minhash_candidate_pairs(sh_df: DataFrame) -> DataFrame:
     """LSH band-bucket candidate pairs (doc_a < doc_b), deduplicated.
 
     bands×rows minhash signature; docs sharing all `rows` values inside
@@ -119,7 +151,15 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     the scalable alternative to the O(n²) similarity cross join.
     """
     k = MINHASH_BANDS * MINHASH_ROWS
-    sig = minhash_signature(shingles(F.col("text")), k)
+    base = F.col("bh")
+
+    def affine(j):
+        return lambda x: (F.lit(MH_A[j]) * x + F.lit(MH_B[j])) % F.lit(MH_PRIME)
+
+    sig = [
+        F.coalesce(F.array_min(F.transform(base, affine(j))), F.lit(2**62))
+        for j in range(k)
+    ]
     bands = F.array(
         *[
             F.struct(
@@ -129,7 +169,7 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    exploded = docs.select(F.col("doc_id"), F.explode(bands).alias("bk")).select(
+    exploded = sh_df.select(F.col("doc_id"), F.explode(bands).alias("bk")).select(
         "doc_id", "bk.*"
     )
     left = exploded.alias("l")
@@ -189,8 +229,9 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join against shingle sets for candidates only.
     """
     docs = table(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(docs)
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sh_df = shingle_table(docs)
+    cand = minhash_candidate_pairs(sh_df)
+    sh = sh_df.select("doc_id", "sh")
     a = sh.alias("a")
     b = sh.alias("b")
     joined = (
