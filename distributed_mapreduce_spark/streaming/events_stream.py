@@ -1,0 +1,90 @@
+"""Structured Streaming over the `events` table shape.
+
+Batch/stream unification is the design center: the batch twins in
+:mod:`distributed_mapreduce_spark.workload.events` are the oracles —
+on a closed input, `windowed_counts` over a stream must equal
+`events_tumbling` over the same frame (verified in
+tests/test_streaming.py with an availableNow trigger).
+
+Watermarks bound state: at production rates the window state store
+holds only windows newer than (max event time - watermark), so state
+is O(active windows), not O(stream length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events schema with event-time as TimestampType (micros).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files
+    (new files are discovered per micro-batch — the standard landing-dir
+    ingestion pattern)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(directory)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window per event_type with a late-data
+    watermark: count + sum(value). Streaming twin of the
+    `events_tumbling` batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(30,6)").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based) per user via the built-in
+    session_window — the streaming form of `events_sessionize`'s
+    lag+running-sum construction."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain all available input into an in-memory table (test/dev
+    sink), blocking until complete."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

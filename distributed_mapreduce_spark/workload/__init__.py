@@ -16,5 +16,6 @@ from distributed_mapreduce_spark.workload import dedup  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import similarity  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import text  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import events  # noqa: F401,E402
+from distributed_mapreduce_spark.workload import maplejuice_q  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]

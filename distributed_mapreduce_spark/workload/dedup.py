@@ -271,13 +271,11 @@ def _sql_simhash() -> str:
     """
 
 
-@query("dedup_simhash", oracle=_sql_simhash())
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_table(docs: DataFrame) -> DataFrame:
     """32-bit SimHash per document: explode tokens, hash each (portable
     md5 family), per-bit ±1 vote sum, recombine sign bits. Pure
     groupBy-aggregate — one shuffle keyed by doc_id; near-dup lookup is
     then a Hamming-ball probe over the 32-bit key."""
-    docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     h = _hash_u32(F.col("tok"), "sh_")
     votes = toks.groupBy("doc_id").agg(
@@ -293,3 +291,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+@query("dedup_simhash", oracle=_sql_simhash())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over the harness documents (see :func:`simhash_table`)."""
+    return simhash_table(table(spark, sf_dir, "documents"))

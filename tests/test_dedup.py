@@ -1,0 +1,64 @@
+"""Dedup operators on crafted near-duplicates (the harness documents
+are mostly unique; these tests plant known duplicates)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.dedup import (
+    minhash_candidate_pairs,
+    shingle_table,
+    shingles,
+    simhash_table,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill in the afternoon sun"
+)
+NEAR = BASE.replace("afternoon sun", "evening light")  # small edit
+FAR = "completely different content about spark query engines and shuffles everywhere"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)], ["doc_id", "text"]
+    )
+
+
+def test_shingles_width_and_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "x x x x")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select("doc_id", shingles(F.col("text")).alias("sh")).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []  # fewer tokens than shingle width
+    assert got[3] == ["x x x"]  # distinct shingles
+
+
+def test_minhash_finds_near_and_exact_dups_not_far(spark, docs):
+    sh_df = shingle_table(docs)
+    try:
+        pairs = {
+            (r["doc_a"], r["doc_b"]) for r in minhash_candidate_pairs(sh_df).collect()
+        }
+    finally:
+        sh_df.unpersist()
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near dup collides in some band
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_similar_docs_have_close_hashes(spark, docs):
+    got = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    assert got[1] == got[4]  # identical docs, identical simhash
+    assert hamming(got[1], got[2]) < hamming(got[1], got[3])  # near < far

@@ -1,0 +1,127 @@
+"""Operator behavior on crafted data (trim-compare, whole-line regex,
+physical partitioning, joins, top-k)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.operators.aggregates import (
+    agg_count_per_value,
+    agg_pct_of_total,
+)
+from distributed_mapreduce_spark.operators.filters import (
+    filter_eq_param,
+    filter_min_arity,
+    filter_rlike_line,
+)
+from distributed_mapreduce_spark.operators.joins import join_anti, join_inner, join_semi
+from distributed_mapreduce_spark.operators.partitioning import (
+    hash_bucket,
+    partition_hash,
+    partition_range,
+    range_bucket,
+)
+from distributed_mapreduce_spark.operators.setops import top_k, union_all
+
+
+def test_filter_eq_param_trims_before_compare(spark):
+    df = spark.createDataFrame([(" F ",), ("F",), ("O",), ("  ",)], ["s"])
+    assert filter_eq_param(df, "s", "F").count() == 2
+
+
+def test_filter_rlike_whole_line_adjacency(spark):
+    # 'Video,Radio' must match column ADJACENCY across the joined line
+    # (reference README.md:52-56 semantics).
+    df = spark.createDataFrame(
+        [("Video", "Radio"), ("Radio", "Video"), ("Video", "None")], ["a", "b"]
+    )
+    assert filter_rlike_line(df, "Video,Radio").count() == 1
+    assert filter_rlike_line(df, "Video|Radio").count() == 3
+
+
+def test_filter_min_arity(spark):
+    df = spark.createDataFrame([("a,b,c",), ("a,b",), ("a,b,c,d",)], ["line"])
+    assert filter_min_arity(df, "line", ",", 3).count() == 2
+
+
+def test_agg_count_per_value_counts_duplicates(spark):
+    # duplicated (key,value) lines counted per occurrence
+    # (data/juice-exe.go:29)
+    df = spark.createDataFrame(
+        [("k1", "v"), ("k1", "v"), ("k1", "w"), ("k2", "v")], ["key", "value"]
+    )
+    got = {(r["key"], r["value"]): r["cnt"] for r in agg_count_per_value(df, "key", "value").collect()}
+    assert got == {("k1", "v"): 2, ("k1", "w"): 1, ("k2", "v"): 1}
+
+
+def test_agg_pct_of_total(spark):
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 1, ["g"])
+    got = {r["g"]: (r["cnt"], r["pct"]) for r in agg_pct_of_total(df, "g").collect()}
+    assert got == {"a": (3, "75.00%"), "b": (1, "25.00%")}
+
+
+def test_partition_hash_places_equal_keys_together(spark):
+    df = spark.createDataFrame([(i % 5, i) for i in range(100)], ["key", "v"])
+    parts = (
+        partition_hash(df, "key", 4)
+        .withColumn("pid", F.spark_partition_id())
+        .select("key", "pid")
+        .distinct()
+        .groupBy("key")
+        .count()
+        .collect()
+    )
+    assert partition_hash(df, "key", 4).rdd.getNumPartitions() == 4
+    assert all(r["count"] == 1 for r in parts)  # each key in exactly one partition
+
+
+def test_partition_range_is_contiguous(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["key"])
+    rngs = (
+        partition_range(df, "key", 4)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    # partitions form non-overlapping contiguous key ranges
+    for prev, cur in zip(rngs, rngs[1:]):
+        assert prev["hi"] < cur["lo"]
+
+
+def test_bucket_assignments_are_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], ["key"])
+    a = {(r["key"], r["bucket"]) for r in hash_bucket(df, "key", 8).collect()}
+    b = {(r["key"], r["bucket"]) for r in hash_bucket(df, "key", 8).collect()}
+    assert a == b
+    rb = range_bucket(df, "key", 5).collect()
+    by_bucket: dict[int, list[int]] = {}
+    for r in rb:
+        by_bucket.setdefault(r["bucket"], []).append(r["key"])
+    sizes = {len(v) for v in by_bucket.values()}
+    assert sizes == {10}  # balanced
+    # contiguous: bucket i's max < bucket i+1's min
+    for i in range(4):
+        assert max(by_bucket[i]) < min(by_bucket[i + 1])
+
+
+def test_join_family(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "lv"])
+    right = spark.createDataFrame([(1, "x"), (1, "y"), (3, "z")], ["k", "rv"])
+    assert join_inner(left, right, "k").count() == 3
+    assert {r["k"] for r in join_semi(left, right, "k").collect()} == {1, 3}
+    assert {r["k"] for r in join_anti(left, right, "k").collect()} == {2}
+
+
+def test_top_k(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["v"])
+    got = [r["v"] for r in top_k(df, 3, F.col("v").desc()).collect()]
+    assert got == [99, 98, 97]
+
+
+def test_union_all_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    b = spark.createDataFrame([("y", 2)], ["v", "k"])  # reordered columns
+    got = {(r["k"], r["v"]) for r in union_all(a, b).collect()}
+    assert got == {(1, "x"), (2, "y")}
