@@ -1,0 +1,121 @@
+"""As-of and range joins — operators Spark lacks natively, composed
+from built-ins so they scale (SURVEY.md build plan: custom operators as
+compositions first, Pandas UDFs only if semantics demand).
+
+`asof_join` uses the union+window plan instead of a nested-loop or
+per-key pandas merge: tag both sides, union, and for every left row
+take the last right timestamp at-or-before it via a running
+last_value(ignorenulls) window. One shuffle on the join key, sorted
+once per partition — O(n log n) per key group, no O(n·m) probing, and
+no whole-group materialization in Python.
+
+`range_join_binned` turns an interval predicate into an equi-join on
+time buckets (join each left bucket to right buckets b-1..b), then
+re-applies the exact predicate. Catalyst gets a hash-joinable key, so
+100 TB of events never meets a BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    `right_ts` <= `left_ts` within the same `on` key (NULLs when no
+    prior right row exists).
+
+    Tie rule: a right row at exactly left_ts matches (inclusive), which
+    the union encodes by sorting right rows before left rows at equal
+    timestamps.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c != on],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in value_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{right_ts}{suffix}"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c != on],
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in [*value_cols, right_ts]
+        ],
+    )
+    out_cols = [on] + [c for c in left.columns if c != on]
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *out_cols,
+            *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in [*value_cols, right_ts]],
+        )
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: Column | int,
+    upper: Column | int,
+    bin_seconds: int,
+) -> DataFrame:
+    """Equi-join `on` key with `lower <= left_ts - right_ts <= upper`
+    (seconds), executed as a bucket equi-join + exact filter.
+
+    `bin_seconds` must be >= (upper - lower); each left row probes two
+    buckets, so the work is O(matches + rows), never a cross product.
+    """
+    lsec = F.unix_micros(F.col(left_ts))
+    rsec = F.unix_micros(F.col(right_ts))
+    lb = (lsec / F.lit(bin_seconds * 1_000_000)).cast("long")
+    rb = (rsec / F.lit(bin_seconds * 1_000_000)).cast("long")
+
+    l2 = left.withColumn("_lb", lb)
+    r2 = right.withColumn("_rb", rb)
+    # probe the right bucket and its successor (covers windows spanning
+    # a bucket boundary)
+    r_dup = r2.withColumn("_probe", F.explode(F.array(F.col("_rb"), F.col("_rb") + 1)))
+    joined = l2.join(
+        r_dup,
+        [l2[on] == r_dup[on], l2["_lb"] == r_dup["_probe"]],
+        "inner",
+    )
+    delta_us = F.unix_micros(l2[left_ts]) - F.unix_micros(r_dup[right_ts])
+    lo_us = F.lit(int(lower) * 1_000_000)
+    hi_us = F.lit(int(upper) * 1_000_000)
+    return (
+        joined.filter((delta_us >= lo_us) & (delta_us <= hi_us))
+        .drop("_lb", "_rb", "_probe")
+        .drop(r_dup[on])
+    )
