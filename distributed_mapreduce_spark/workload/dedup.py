@@ -251,6 +251,103 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Inverted-index stop-gram cap: shingles appearing in more documents
+#: than this are too common to generate candidates (skew guard — at
+#: 100 TB a ubiquitous shingle would otherwise emit a quadratic pair
+#: blowout from one reducer key). Pairs whose every shared shingle is
+#: frequent are missed by construction; the oracle applies the same cap
+#: so the check is exact. 0.7-Jaccard near-dups of non-boilerplate text
+#: always share rare shingles in practice.
+NGRAM_MAX_DF = 50
+
+
+def ngram_jaccard_pairs(sh_df: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted index.
+
+    Plan: explode distinct shingles → drop shingles with doc-freq >
+    `max_df` (window over the gram key — one shuffle) → self-join the
+    inverted index on the gram (shuffle keyed by gram, bounded fan-out
+    thanks to the cap) → distinct candidate pairs → exact
+    `array_intersect` verify. Unlike MinHash this has no probabilistic
+    misses for pairs sharing any rare shingle.
+    """
+    from pyspark.sql import Window
+
+    inv = sh_df.select("doc_id", F.explode("sh").alias("gram"))
+    df_w = Window.partitionBy("gram")
+    rare = inv.withColumn("df", F.count(F.lit(1)).over(df_w)).filter(
+        F.col("df") <= max_df
+    )
+    l = rare.alias("l")
+    r = rare.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles()} AS sh FROM documents
+    ), inv AS (
+      SELECT doc_id, unnest(sh) AS gram FROM sh
+    ), rare AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM inv
+      ) WHERE df <= {NGRAM_MAX_DF}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM rare l JOIN rare r ON l.gram = r.gram AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+           CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_cnt
+    FROM cand
+    JOIN sh a ON a.doc_id = doc_a
+    JOIN sh b ON b.doc_id = doc_b
+    WHERE len(list_intersect(a.sh, b.sh)) * {JACCARD_DEN}
+          >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {JACCARD_NUM}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup (>= 0.7), inverted-index candidates.
+
+    The exact counterpart to `dedup_minhash_pairs` — same shingles, same
+    verify predicate, but candidates come from shared rare shingles
+    instead of LSH bands. Reference analog: value-grouping by emitted
+    key (data/maple-exe.go:41, data/juice-exe.go:19-31) generalized to
+    set overlap.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    cand = ngram_jaccard_pairs(sh_df)
+    sh = sh_df.select("doc_id", "sh")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("inter_cnt"),
+            union.cast("long").alias("union_cnt"),
+        )
+        .filter(F.col("inter_cnt") * JACCARD_DEN >= F.col("union_cnt") * JACCARD_NUM)
+    )
+
+
 def _sql_simhash() -> str:
     h = _sql_hash_u32("t.tok", "sh_")
     bit_sum = ", ".join(

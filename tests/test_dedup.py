@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.workload.dedup import (
     minhash_candidate_pairs,
+    ngram_jaccard_pairs,
     shingle_table,
     shingles,
     simhash_table,
@@ -52,6 +53,32 @@ def test_minhash_finds_near_and_exact_dups_not_far(spark, docs):
     assert (1, 4) in pairs  # exact dup always collides
     assert (1, 2) in pairs or (2, 4) in pairs  # near dup collides in some band
     assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_exact_candidates(spark, docs):
+    sh_df = shingle_table(docs)
+    try:
+        pairs = {
+            (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(sh_df).collect()
+        }
+    finally:
+        sh_df.unpersist()
+    # Exact inverted index: every pair sharing a rare shingle, no misses.
+    assert {(1, 2), (1, 4), (2, 4)} <= pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_max_df_drops_stop_grams(spark):
+    # Every doc shares the ubiquitous gram; cap df at 2 → no candidates.
+    df = spark.createDataFrame(
+        [(i, "common stop gram") for i in range(1, 5)], ["doc_id", "text"]
+    )
+    sh_df = shingle_table(df)
+    try:
+        assert ngram_jaccard_pairs(sh_df, max_df=2).count() == 0
+        assert ngram_jaccard_pairs(sh_df, max_df=4).count() == 6
+    finally:
+        sh_df.unpersist()
 
 
 def test_simhash_similar_docs_have_close_hashes(spark, docs):
