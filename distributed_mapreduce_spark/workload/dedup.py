@@ -78,30 +78,33 @@ MH_A = [1640531527, 1999999973, 668265263, 374761393, 1103515245, 2027808447, 10
 MH_B = [1013904223, 1367130551, 2027808447, 40503, 694847539, 12345, 377, 104395301]
 
 
-def minhash_signature(sh: Column, k: int) -> Column:
-    """Array of k minhash values from one md5 base hash per shingle
-    (max-long sentinel when the shingle set is empty so empty docs never
-    collide into a band)."""
-    base = F.transform(sh, lambda s: _hash_u32(s, "mh_"))
+def minhash_signature(bh: Column, k: int) -> Column:
+    """Array of k minhash values over a base-hash array (max-long
+    sentinel when the shingle set is empty, applied identically in the
+    oracle)."""
 
     def affine(j):
         return lambda x: (F.lit(MH_A[j]) * x + F.lit(MH_B[j])) % F.lit(MH_PRIME)
 
     return F.array(
         *[
-            F.coalesce(F.array_min(F.transform(base, affine(j))), F.lit(2**62))
+            F.coalesce(F.array_min(F.transform(bh, affine(j))), F.lit(2**62))
             for j in range(k)
         ]
     )
 
 
-def _sql_minhash(sh_expr: str, k: int) -> str:
-    base = f"list_transform({sh_expr}, s -> {_sql_hash_u32('s', 'mh_')})"
+def _sql_minhash(bh_expr: str, k: int) -> str:
     parts = ", ".join(
-        f"coalesce(list_min(list_transform({base}, x -> ({MH_A[j]} * x + {MH_B[j]}) % {MH_PRIME})), 4611686018427387904)"
+        f"coalesce(list_min(list_transform({bh_expr}, x -> ({MH_A[j]} * x + {MH_B[j]}) % {MH_PRIME})), 4611686018427387904)"
         for j in range(k)
     )
     return f"[{parts}]"
+
+
+def _sql_bh() -> str:
+    """DuckDB twin of :func:`shingle_table`'s `bh` column."""
+    return f"list_distinct(list_transform({_sql_shingles()}, s -> {_sql_hash_u32('s', 'mh_')}))"
 
 
 # ---------------------------------------------------------------------------
@@ -126,19 +129,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle_table(docs: DataFrame) -> DataFrame:
-    """Materialized (persisted) per-doc shingle set + base-hash array.
+    """Materialized (persisted) per-doc hashed-shingle set.
+
+    `bh` is the DISTINCT md5-derived uint32 hash set of the document's
+    shingles — every downstream stage (LSH banding, inverted index,
+    Jaccard verify) runs on these longs; the shingle strings themselves
+    are never stored or shuffled (≈3× smaller cache/exchange rows, and
+    set-intersection on longs beats string comparison).
 
     Persisting is load-bearing twice over: the LSH self-join and the
     verify join both reuse this relation, and the cache boundary stops
     Catalyst's projection collapse from re-inlining (= re-computing)
     the md5 shingle hashing into every downstream reference. At real
     scale this is the signature table a pipeline would checkpoint.
+
+    The input is rebalanced up to the default parallelism first: the
+    hash map is the CPU-bound stage, and a small parquet file (or a
+    skewed upstream) would otherwise pin it to a handful of tasks.
     """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     sh = shingles(F.col("text"))
-    out = docs.select(
+    out = docs.select(F.col("doc_id"), sh.alias("sh")).select(
         F.col("doc_id"),
-        sh.alias("sh"),
-        F.transform(sh, lambda s: _hash_u32(s, "mh_")).alias("bh"),
+        F.array_distinct(F.transform("sh", lambda s: _hash_u32(s, "mh_"))).alias("bh"),
     )
     return out.persist()
 
@@ -192,10 +207,10 @@ def _sql_minhash_pairs() -> str:
         ["l.band = r.band"] + [f"l.h{r} = r.h{r}" for r in range(MINHASH_ROWS)]
     )
     return f"""
-    WITH sh AS (
-      SELECT doc_id, {_sql_shingles()} AS sh FROM documents
+    WITH bh AS (
+      SELECT doc_id, {_sql_bh()} AS bh FROM documents
     ), sig AS (
-      SELECT doc_id, sh, {_sql_minhash('sh', k)} AS sig FROM sh
+      SELECT doc_id, bh, {_sql_minhash('bh', k)} AS sig FROM bh
     ), bands AS (
       SELECT doc_id, b.* FROM sig,
       LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, {hcols})) b
@@ -206,40 +221,33 @@ def _sql_minhash_pairs() -> str:
     """
 
 
-@query(
-    "dedup_minhash_pairs",
-    oracle=_sql_minhash_pairs()
-    + f"""
+#: Shared verify tail: exact Jaccard >= 0.7 over the hashed shingle
+#: sets, integer cross-multiplication (no float division). Both engines
+#: intersect the same md5-derived sets, so the check is exact.
+_SQL_VERIFY_TAIL = f"""
     SELECT doc_a, doc_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
-           CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_cnt
+           CAST(len(list_intersect(a.bh, b.bh)) AS BIGINT) AS inter_cnt,
+           CAST(len(a.bh) + len(b.bh) - len(list_intersect(a.bh, b.bh)) AS BIGINT) AS union_cnt
     FROM cand
-    JOIN sh a ON a.doc_id = doc_a
-    JOIN sh b ON b.doc_id = doc_b
-    WHERE len(list_intersect(a.sh, b.sh)) * {JACCARD_DEN}
-          >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {JACCARD_NUM}
-    """,
-)
-def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs, verified by exact shingle
-    Jaccard >= 0.7 (integer cross-multiplication — no float division).
-
-    Plan: per-row shingle+signature (parallel map) → band explode →
-    self-equi-join on band keys (shuffle on tiny band signatures) →
-    verify join against shingle sets for candidates only.
+    JOIN bh a ON a.doc_id = doc_a
+    JOIN bh b ON b.doc_id = doc_b
+    WHERE len(list_intersect(a.bh, b.bh)) * {JACCARD_DEN}
+          >= (len(a.bh) + len(b.bh) - len(list_intersect(a.bh, b.bh))) * {JACCARD_NUM}
     """
-    docs = table(spark, sf_dir, "documents")
-    sh_df = shingle_table(docs)
-    cand = minhash_candidate_pairs(sh_df)
-    sh = sh_df.select("doc_id", "sh")
+
+
+def _verify_pairs(sh_df: DataFrame, cand: DataFrame) -> DataFrame:
+    """Join candidate pairs back to the hashed shingle sets and keep
+    pairs with exact Jaccard >= 0.7 (Spark twin of _SQL_VERIFY_TAIL)."""
+    sh = sh_df.select("doc_id", "bh")
     a = sh.alias("a")
     b = sh.alias("b")
     joined = (
         cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
         .join(b, F.col("b.doc_id") == F.col("doc_b"))
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    inter = F.size(F.array_intersect(F.col("a.bh"), F.col("b.bh")))
+    union = F.size(F.col("a.bh")) + F.size(F.col("b.bh")) - inter
     return (
         joined.select(
             "doc_a",
@@ -249,6 +257,20 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("inter_cnt") * JACCARD_DEN >= F.col("union_cnt") * JACCARD_NUM)
     )
+
+
+@query("dedup_minhash_pairs", oracle=_sql_minhash_pairs() + _SQL_VERIFY_TAIL)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified by exact hashed-shingle
+    Jaccard >= 0.7.
+
+    Plan: per-row shingle hash set (parallel map, persisted) → band
+    explode → self-equi-join on band keys (shuffle on tiny band
+    signatures) → verify join against hash sets for candidates only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    return _verify_pairs(sh_df, minhash_candidate_pairs(sh_df))
 
 
 #: Inverted-index stop-gram cap: shingles appearing in more documents
@@ -264,16 +286,16 @@ NGRAM_MAX_DF = 50
 def ngram_jaccard_pairs(sh_df: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
-    Plan: explode distinct shingles → drop shingles with doc-freq >
-    `max_df` (window over the gram key — one shuffle) → self-join the
-    inverted index on the gram (shuffle keyed by gram, bounded fan-out
-    thanks to the cap) → distinct candidate pairs → exact
-    `array_intersect` verify. Unlike MinHash this has no probabilistic
-    misses for pairs sharing any rare shingle.
+    Plan: explode the distinct hashed shingles → drop grams with
+    doc-freq > `max_df` (window over the gram key — one shuffle) →
+    self-join the inverted index on the gram (shuffle keyed by a long,
+    bounded fan-out thanks to the cap) → distinct candidate pairs →
+    exact `array_intersect` verify. Unlike MinHash this has no
+    probabilistic misses for pairs sharing any rare shingle.
     """
     from pyspark.sql import Window
 
-    inv = sh_df.select("doc_id", F.explode("sh").alias("gram"))
+    inv = sh_df.select("doc_id", F.explode("bh").alias("gram"))
     df_w = Window.partitionBy("gram")
     rare = inv.withColumn("df", F.count(F.lit(1)).over(df_w)).filter(
         F.col("df") <= max_df
@@ -294,10 +316,10 @@ def ngram_jaccard_pairs(sh_df: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFra
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, {_sql_shingles()} AS sh FROM documents
+    WITH bh AS (
+      SELECT doc_id, {_sql_bh()} AS bh FROM documents
     ), inv AS (
-      SELECT doc_id, unnest(sh) AS gram FROM sh
+      SELECT doc_id, unnest(bh) AS gram FROM bh
     ), rare AS (
       SELECT doc_id, gram FROM (
         SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM inv
@@ -306,46 +328,21 @@ def ngram_jaccard_pairs(sh_df: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFra
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
       FROM rare l JOIN rare r ON l.gram = r.gram AND l.doc_id < r.doc_id
     )
-    SELECT doc_a, doc_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
-           CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_cnt
-    FROM cand
-    JOIN sh a ON a.doc_id = doc_a
-    JOIN sh b ON b.doc_id = doc_b
-    WHERE len(list_intersect(a.sh, b.sh)) * {JACCARD_DEN}
-          >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {JACCARD_NUM}
-    """,
+    """
+    + _SQL_VERIFY_TAIL,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard dedup (>= 0.7), inverted-index candidates.
 
-    The exact counterpart to `dedup_minhash_pairs` — same shingles, same
-    verify predicate, but candidates come from shared rare shingles
-    instead of LSH bands. Reference analog: value-grouping by emitted
-    key (data/maple-exe.go:41, data/juice-exe.go:19-31) generalized to
-    set overlap.
+    The exact counterpart to `dedup_minhash_pairs` — same hashed
+    shingles, same verify predicate, but candidates come from shared
+    rare shingles instead of LSH bands. Reference analog: value-grouping
+    by emitted key (data/maple-exe.go:41, data/juice-exe.go:19-31)
+    generalized to set overlap.
     """
     docs = table(spark, sf_dir, "documents")
     sh_df = shingle_table(docs)
-    cand = ngram_jaccard_pairs(sh_df)
-    sh = sh_df.select("doc_id", "sh")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    joined = (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(b, F.col("b.doc_id") == F.col("doc_b"))
-    )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    return (
-        joined.select(
-            "doc_a",
-            "doc_b",
-            inter.cast("long").alias("inter_cnt"),
-            union.cast("long").alias("union_cnt"),
-        )
-        .filter(F.col("inter_cnt") * JACCARD_DEN >= F.col("union_cnt") * JACCARD_NUM)
-    )
+    return _verify_pairs(sh_df, ngram_jaccard_pairs(sh_df))
 
 
 def _sql_simhash() -> str:
