@@ -391,3 +391,88 @@ def simhash_table(docs: DataFrame) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash over the harness documents (see :func:`simhash_table`)."""
     return simhash_table(table(spark, sf_dir, "documents"))
+
+
+#: SimHash near-dup: pairs within this Hamming distance. With
+#: SIMHASH_BANDS bands over SIMHASH_BITS bits, pigeonhole guarantees any
+#: pair with distance <= SIMHASH_BANDS - 1 shares at least one exact
+#: band — so banding finds ALL such pairs (no probabilistic misses).
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def simhash_pairs(sim_df: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs by banded SimHash: explode each hash into
+    SIMHASH_BANDS byte-bands, self-equi-join on (band, value) — the
+    shuffle key is a tiny int pair, never the O(n²) cross join — then
+    verify Hamming distance via `bit_count(xor)`.
+    """
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * _SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    exploded = sim_df.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", "bk.*"
+    )
+    l = exploded.alias("l")
+    r = exploded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def _sql_simhash_pairs() -> str:
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    band_rows = ", ".join(
+        f"({b}, (simhash >> {b * _SIMHASH_BAND_BITS}) & {mask})"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+    , bands AS (
+      SELECT doc_id, simhash, b.* FROM sim,
+      LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, bv)) b
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= {SIMHASH_HAMMING_MAX}
+    """
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"WITH sim AS ({_sql_simhash()})" + _sql_simhash_pairs(),
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming <= 3) via byte-banding.
+
+    Completes the dedup family: exact (hash groupBy), MinHash-LSH
+    (Jaccard), inverted-index n-gram (exact Jaccard), and SimHash
+    (Hamming ball) all share the same candidate-pairs-only plan shape.
+    """
+    sim = simhash_table(table(spark, sf_dir, "documents")).persist()
+    return simhash_pairs(sim)

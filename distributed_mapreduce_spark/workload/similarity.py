@@ -28,8 +28,13 @@ from distributed_mapreduce_spark.workload.registry import query, table
 #: Brute-force query set: vec_id < N_QUERIES.
 N_QUERIES = 8
 TOP_K = 5
-#: Near-dup cosine threshold in micro-units.
-NEAR_DUP_COS_U = 900_000
+#: Near-dup cosine threshold in micro-units. The harness embeddings are
+#: random-ish (intra-cell cosine tops out near 0.47), so the threshold
+#: sits at the top ~0.1% of intra-cell pairs — high enough to mean
+#: "unusually similar", low enough that the differential check compares
+#: real rows instead of an always-empty set. A production pipeline with
+#: genuinely duplicated content would raise this toward 0.9.
+NEAR_DUP_COS_U = 350_000
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -11,6 +11,7 @@ from distributed_mapreduce_spark.workload.dedup import (
     ngram_jaccard_pairs,
     shingle_table,
     shingles,
+    simhash_pairs,
     simhash_table,
 )
 
@@ -79,6 +80,18 @@ def test_ngram_jaccard_max_df_drops_stop_grams(spark):
         assert ngram_jaccard_pairs(sh_df, max_df=4).count() == 6
     finally:
         sh_df.unpersist()
+
+
+def test_simhash_pairs_banding_finds_close_pairs(spark, docs):
+    sim = simhash_table(docs)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(sim).collect()}
+    assert got.get((1, 4)) == 0  # identical docs: distance 0
+    # Pigeonhole guarantee: any pair within distance 3 shares a band, so
+    # if (1,2) is within 3 it MUST be found; either way doc 3 never pairs.
+    hashes = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    d12 = bin(hashes[1] ^ hashes[2]).count("1")
+    assert ((1, 2) in got) == (d12 <= 3)
+    assert not any(3 in p for p in got)
 
 
 def test_simhash_similar_docs_have_close_hashes(spark, docs):
