@@ -27,6 +27,8 @@ HEADLINE = [
     "group_count",
     "wordcount",
     "join_multiway",
+    "tpch_q3_shipping",
+    "tpch_q5_region_volume",
     "topk",
     "window_running",
     "select_regex",

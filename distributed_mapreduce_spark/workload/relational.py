@@ -1,0 +1,366 @@
+"""Classic analytical query shapes (TPC-H-style) over the harness
+tables — the relational depth the reference's declared-but-dead SQL
+surface (`SELECT` grammar at file_server/fileserver.py:1372-1382, dead
+JOIN stub at fileserver.py:1383-1384) implies but never implements.
+
+Every query is pure DataFrame API; Catalyst supplies pushdown, pruning,
+join ordering, and AQE picks broadcast vs shuffle join at runtime.
+
+Determinism rules (same as workload.core): DECIMAL-cast sums with
+pinned scale (double aggregation is order-dependent), integer
+cross-multiplication instead of float division, deterministic LIMIT
+tie-breaks, identical aliases Spark-side and oracle-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+
+#: Q3-style cutoff: orders placed before / shipped after this instant.
+Q3_CUT = "1998-01-01"
+#: Q18-style large-order quantity threshold (99th pct of per-order sums).
+Q18_MIN_QTY = 300
+#: Moving-window width for the RANGE-frame query, in seconds (30 days).
+MOVING_RANGE_S = 30 * 24 * 3600
+
+_DEC = "decimal(18,2)"
+
+
+def _revenue() -> F.Column:
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return price * (F.lit(1).cast(_DEC) - disc)
+
+
+_SQL_REVENUE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@query(
+    "tpch_q3_shipping",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(sum({_SQL_REVENUE}) AS DECIMAL(30,4)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '{Q3_CUT}'
+      AND l_shipdate > TIMESTAMP '{Q3_CUT}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped-revenue orders.
+
+    Both date filters reach the parquet scans (PushedFilters), customer
+    degenerates to a semi-ish broadcast join, and the LIMIT becomes
+    TakeOrderedAndProject — no global sort at any scale.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_CUT).cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_CUT).cast("timestamp")
+    )
+    agg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("decimal(30,4)").alias("revenue"))
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5_region_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(sum({_SQL_REVENUE}) AS DECIMAL(30,4)) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue by nation within a region.
+
+    Six-way join where every dimension (customer keys, supplier keys,
+    nation, region) broadcasts; the only big shuffle is lineitem ⋈
+    orders on orderkey, and the region filter prunes nations before the
+    fact tables are touched.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    df = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return df.groupBy("n_name").agg(
+        F.sum(_revenue()).cast("decimal(30,4)").alias("revenue")
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_MIN_QTY}
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via an aggregated semi-join.
+
+    The HAVING subquery is a groupBy + filter whose (orderkey) result is
+    semi-joined back into the fact — at scale the aggregate is partial
+    (map-side combine) and the semi-join's build side is only the rare
+    qualifying keys.
+    """
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = F.col("l_quantity").cast(_DEC)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sq"))
+        .filter(F.col("sq") > Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "semi")
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.sum(qty).cast("decimal(30,2)").alias("total_qty"))
+    )
+
+
+@query(
+    "exists_shiplag",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exists_shiplag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one slow-shipping lineitem
+    (>= 90 days after order date), counted by priority. EXISTS with a
+    non-equi conjunct → left-semi join; no row duplication however many
+    lineitems match."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "scalar_subquery_lowqty",
+    oracle="""
+    WITH stats AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS sq,
+             count(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS low_qty_spend,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN stats ON lineitem.l_partkey = stats.l_partkey
+    JOIN part ON p_partkey = lineitem.l_partkey
+    WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < sq
+    GROUP BY p_brand
+    """,
+)
+def q_scalar_subquery_lowqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines below 20% of their part's average quantity.
+
+    The correlated scalar subquery becomes a per-part aggregate joined
+    back to the fact. `qty < 0.2 * avg` is evaluated as
+    `qty * 5 * count < sum` — exact decimal integer arithmetic, no
+    engine-dependent float division.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = F.col("l_quantity").cast(_DEC)
+    stats = li.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum(qty).cast("decimal(30,2)").alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        li.join(stats, F.col("l_partkey") == F.col("sp_partkey"))
+        .filter(qty * 5 * F.col("n") < F.col("sq"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("decimal(30,2)")
+            .alias("low_qty_spend"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "intersect_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): customers with both a finished and an
+    open order. Absent from the reference (§2.7) — completes the set-op
+    family alongside union/except."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(o)
+
+
+@query(
+    "except_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customers with a finished order but no
+    open one."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.subtract(o)
+
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube: per-flag, per-status, and grand
+    totals in one pass (Expand + single aggregate — one shuffle instead
+    of three unioned jobs). The harness data has no NULL group keys, so
+    coalesce labels the set totals unambiguously."""
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return li.sparkSession.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "window_moving_sum",
+    oracle=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
+                      RANGE BETWEEN {MOVING_RANGE_S} PRECEDING AND CURRENT ROW)
+                AS DECIMAL(30,2)) AS qty_30d
+    FROM lineitem
+    """,
+)
+def q_window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day moving quantity per supplier: a RANGE frame over event
+    time (epoch seconds — Spark range frames are numeric). Same-instant
+    rows share a frame, so the result is order-deterministic even with
+    timestamp ties."""
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-MOVING_RANGE_S, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast("decimal(30,2)").alias("qty_30d"),
+    )
+
+
+@query(
+    "monthly_order_stats",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-bucketed aggregate (date_trunc) — the batch twin of the
+    streaming tumbling window over `events`."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(30,2)").alias("total_price"),
+        )
+    )
