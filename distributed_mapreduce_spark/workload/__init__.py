@@ -19,5 +19,6 @@ from distributed_mapreduce_spark.workload import events  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import maplejuice_q  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import advanced  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import relational  # noqa: F401,E402
+from distributed_mapreduce_spark.workload import multimodal_q  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]

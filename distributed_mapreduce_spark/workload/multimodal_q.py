@@ -1,0 +1,79 @@
+"""Multimodal workload queries: the Arrow/`mapInPandas` plumbing of
+:mod:`distributed_mapreduce_spark.multimodal` run over the harness
+`documents` table with EXACT DuckDB oracles.
+
+The codec is a deterministic stub (media libs aren't in this
+container), which is precisely what makes these differential-testable:
+the fake blob is md5-derived, so the oracle reconstructs the expected
+widths/heights/frames in pure SQL while the Spark side exercises the
+real distributed path — binary columns, Arrow batches, Python-worker
+fan-out, row-explosion. Swapping in a real codec changes none of the
+plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.multimodal import (
+    attach_fake_media,
+    extract_image_features,
+    sample_frames,
+)
+from distributed_mapreduce_spark.workload.registry import query, table
+
+#: Fake-blob layout (multimodal.attach_fake_media): 128 hex chars =
+#: 64 bytes = md5 || reverse(md5) || md5 || reverse(md5).
+_SQL_HEXBLOB = (
+    "md5(CAST(doc_id AS VARCHAR)) || reverse(md5(CAST(doc_id AS VARCHAR)))"
+    " || md5(CAST(doc_id AS VARCHAR)) || reverse(md5(CAST(doc_id AS VARCHAR)))"
+)
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT + 1 AS INTEGER) AS width,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::INT + 1 AS INTEGER) AS height,
+           CAST(64 AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction over binary media columns.
+
+    Spark path: JVM-side blob synthesis (`unhex`) → `mapInPandas` decode
+    stub over Arrow batches → typed feature rows. The oracle re-derives
+    the stub's (first_byte+1, second_byte+1) dimensions from the md5 hex
+    directly — an exact check that the batch plumbing neither drops,
+    duplicates, nor reorders payload bytes.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return extract_image_features(attach_fake_media(docs))
+
+
+@query(
+    "multimodal_frames",
+    oracle=f"""
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           substr({_SQL_HEXBLOB}, i * 32 + 1, 32) AS frame_hex
+    FROM documents, range(0, 4) r(i)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one blob → N fixed-size frame rows (the row
+    explosion real video sampling produces), checked frame-by-frame.
+
+    The 64-byte blob yields 4×16-byte frames; each frame's lowercase hex
+    must equal the corresponding 32-char slice of the md5-derived hex
+    string the blob was built from.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    frames = sample_frames(attach_fake_media(docs))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.lower(F.hex(F.col("frame"))).alias("frame_hex"),
+    )
