@@ -77,13 +77,53 @@ def sessionized_counts(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+def stateful_user_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`: cumulative
+    per-user event count carried in the state store across micro-batches.
+
+    This is the escape hatch for stream semantics the built-in windowed
+    aggregates can't express (bespoke session logic, CEP-ish patterns,
+    decaying counters); the state row here is deliberately minimal so
+    the test surface pins the *mechanism* — keyed state, Arrow batch
+    iteration, update-mode emission — not a particular business rule.
+
+    Scale shape: state is partitioned by the grouping key exactly like a
+    shuffle, one state row per user; the watermark bounds replay, and
+    emission is one row per key per batch (update mode), never a full
+    state dump.
+    """
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint"
+    state_schema = "n bigint"
+
+    def fn(key, pdfs, state):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain all available input into an in-memory table (test/dev
-    sink), blocking until complete."""
+    sink), blocking until complete. `output_mode` must match the query
+    shape: "complete" for windowed aggregates, "update" for stateful
+    operators (the memory sink then appends one row per key per batch —
+    readers take the last emission per key)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

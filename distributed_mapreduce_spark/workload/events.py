@@ -112,3 +112,39 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.sum(k).cast("long").alias("k_sum"), F.count(F.lit(1)).alias("cnt")
     )
+
+
+@query(
+    "events_stateful_user_counts",
+    oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+)
+def q_events_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming with CUSTOM state: land the
+    events as a file-source stream, run the `applyInPandasWithState`
+    cumulative per-user counter to completion (availableNow), and
+    return the final per-user totals.
+
+    The oracle is plain batch SQL — on a closed input the stream's
+    final state MUST equal the batch aggregate (batch/stream
+    unification), so the keyed state store, Arrow state iteration, and
+    update-mode emission are all differentially checked, not just
+    smoke-tested. The last emission per key wins (cumulative counts
+    are monotone, hence `max`).
+    """
+    import tempfile
+
+    from distributed_mapreduce_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+        stateful_user_counts,
+    )
+
+    work = tempfile.mkdtemp(prefix="events_stateful_")
+    landing = f"{work}/landing"
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(landing)
+
+    stream = stateful_user_counts(read_events_stream(spark, landing))
+    run_to_memory(stream, "events_stateful_user_counts_sink", output_mode="update")
+    final = spark.table("events_stateful_user_counts_sink")
+    return final.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

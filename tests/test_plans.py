@@ -49,6 +49,43 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_tpch_q3_filters_pushed_and_topk_strategy(spark, sf_dir):
+    df = QUERIES["tpch_q3_shipping"](spark, sf_dir)
+    plan = explain_str(df)
+    pushed = pushed_filters(df)
+    # Both date predicates reach their parquet scans...
+    assert any("o_orderdate" in f for f in pushed)
+    assert any("l_shipdate" in f for f in pushed)
+    # ...and LIMIT-over-sort lowers to top-k, not a global sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_all_dims_broadcast(spark, sf_dir):
+    df = QUERIES["tpch_q5_region_volume"](spark, sf_dir)
+    plan = explain_str(df)
+    # Four broadcast joins (customer keys, supplier, nation, region);
+    # the only shuffle join allowed is lineitem ⋈ orders.
+    assert plan.count("BroadcastHashJoin") >= 3
+    # The region filter is pushed to the region scan.
+    assert any("r_name" in f for f in pushed_filters(df))
+
+
+def test_tpch_q18_uses_semi_join_and_partial_agg(spark, sf_dir):
+    plan = explain_str(QUERIES["tpch_q18_large_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    # The HAVING aggregate is partial (map-side combine) before its
+    # exchange: HashAggregate appears with a partial_sum / merge pair.
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_scan_pruning_on_scalar_subquery(spark, sf_dir):
+    df = QUERIES["scalar_subquery_lowqty"](spark, sf_dir)
+    # lineitem is scanned twice (fact + stats); neither scan may read
+    # more than the four columns the query touches.
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"l_partkey", "l_quantity", "l_extendedprice", "p_partkey", "p_brand"}
+
+
 def test_grep_count_does_not_read_text_twice(spark, sf_dir):
     # regex filter must be applied at scan output, not post-shuffle:
     # the aggregate input schema is just the filter's output

@@ -9,6 +9,7 @@ from distributed_mapreduce_spark.streaming.events_stream import (
     read_events_stream,
     run_to_memory,
     sessionized_counts,
+    stateful_user_counts,
     windowed_counts,
 )
 from distributed_mapreduce_spark.workload.registry import table
@@ -51,6 +52,23 @@ def test_windowed_counts_matches_batch(spark, events_dir):
     expected = {
         (r["ws"], r["event_type"]): (r["n_events"], r["sum_value"])
         for r in expected_df.collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_stateful_user_counts_final_state_matches_batch(spark, events_dir):
+    stream = stateful_user_counts(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "state_stream", output_mode="update")
+    # Update-mode memory sink appends per batch; cumulative counts are
+    # monotone so the max per user is the final state.
+    rows = spark.table("state_stream").collect()
+    got: dict[int, int] = {}
+    for r in rows:
+        got[r["user_id"]] = max(got.get(r["user_id"], 0), r["n_events"])
+    expected = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(events_dir).groupBy("user_id").count()
+        .withColumnRenamed("count", "n").collect()
     }
     assert got == expected and len(got) > 0
 
