@@ -166,3 +166,78 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+#: BPE-ish pre-tokenizer regex (GPT-2-style splitting, simplified to
+#: constructs whose semantics are identical in Java regex and DuckDB's
+#: RE2): letter runs, SINGLE digits (BPE tokenizers split numbers), and
+#: runs of non-alphanumeric-non-space symbols.
+BPE_REGEX = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]+"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS INTEGER) AS n_bpe_tokens,
+           CAST(len({_sql_tokens('text')}) AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token count: regex pre-tokenization (letter runs, single
+    digits, symbol runs) next to the plain whitespace count — the pair a
+    corpus pipeline uses to estimate real tokenizer cost from cheap
+    JVM-side regex, without shipping text to Python."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+    )
+
+
+#: Rolling-hash base/mask: h = fold(acc*31 + tok_hash) & (2^32-1).
+#: The 2^32 mask (not a prime mod) keeps the fold's first step equal to
+#: the bare first element, which is exactly DuckDB list_reduce's seed —
+#: so both engines execute the identical operation sequence.
+ROLLING_MASK = 0xFFFFFFFF
+
+
+@query(
+    "text_rolling_hash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform({_sql_tokens('text')},
+                            s -> ('0x' || substr(md5('rh_' || s), 1, 8))::BIGINT) AS th
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN len(th) = 0 THEN 0
+                ELSE list_reduce(th, (acc, x) -> (acc * 31 + x) & {ROLLING_MASK})
+                END AS BIGINT) AS rolling_fp
+    FROM t
+    """,
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over the token stream (Rabin–Karp fold). Unlike the md5 fingerprint
+    (`text_fingerprint`, order-insensitive after normalization), this
+    distinguishes permuted documents — the standard shift-resistant
+    fingerprint for chunked dedup."""
+    docs = table(spark, sf_dir, "documents")
+    th = F.transform(
+        _tokens(F.col("text")),
+        lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit("rh_"), s)), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    fold = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x).bitwiseAND(F.lit(ROLLING_MASK)),
+    )
+    return docs.select("doc_id", fold.cast("long").alias("rolling_fp"))
