@@ -210,3 +210,50 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation, differentially proven: the salted physical plans must
+# produce byte-identical results to the plain logical aggregation/join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "skew_salted_count",
+    oracle="SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+)
+def q_skew_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count over a low-cardinality (i.e. maximally
+    hot-keyed) column. The oracle is the PLAIN group-count: salting must
+    be invisible in the result — only the shuffle key-space changes."""
+    from distributed_mapreduce_spark.operators.skew import salted_group_count
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_group_count(li.select("l_returnflag"), "l_returnflag")
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT p_brand, count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact ⋈ dimension join (16× replicated small side) with the
+    plain join as the oracle — exactness of the salt/replicate/drop
+    cycle, not just its shape, is what's checked."""
+    from distributed_mapreduce_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, "p_partkey")
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(30,2)")
+        .alias("sum_qty"),
+    )
