@@ -58,3 +58,26 @@ def range_bucket(df: DataFrame, key_col: str, num_buckets: int, bucket_col: str 
     """
     w = Window.orderBy(F.col(key_col))
     return df.withColumn(bucket_col, (F.ntile(num_buckets).over(w) - 1).cast("int"))
+
+
+def row_range_shard(
+    df: DataFrame, order_cols: list[str], num_shards: int, shard_col: str = "shard"
+) -> DataFrame:
+    """Contiguous row-range shard id — the reference's `partition_csv`
+    input split (fileserver.py:265-289): rows in a defined total order
+    cut into `num_shards` equal contiguous ranges.
+
+    PARITY OPERATOR ONLY: the global row_number forces a single-task
+    sort, which is exactly why Spark replaced row-range splits with
+    automatic per-file input splits (`repartition(n)` for explicit
+    control). Kept because it is the reference's user-visible semantics;
+    never use it as a physical distribution strategy at scale.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    w_all = Window.partitionBy()
+    rn = F.row_number().over(w)
+    total = F.count(F.lit(1)).over(w_all)
+    return df.withColumn(
+        shard_col,
+        ((rn - F.lit(1)) * num_shards / total).cast("long").cast("int"),
+    )

@@ -486,6 +486,37 @@ def q_partition_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "partition_rows_assign",
+    oracle="""
+    SELECT shard, count(*) AS cnt, min(o_orderkey) AS lo, max(o_orderkey) AS hi
+    FROM (
+      SELECT o_orderkey,
+             CAST(((row_number() OVER (ORDER BY o_orderkey) - 1) * 4)
+                  // (count(*) OVER ()) AS INTEGER) AS shard
+      FROM orders
+    ) GROUP BY shard
+    """,
+)
+def q_partition_rows_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous row-range input split (partition_csv,
+    fileserver.py:265-289): 4 equal ranges in orderkey order. Parity of
+    the reference's split semantics; the scale path is `repartition(n)`
+    (automatic input splits) — see operators.partitioning.row_range_shard."""
+    from distributed_mapreduce_spark.operators.partitioning import row_range_shard
+
+    orders = table(spark, sf_dir, "orders")
+    return (
+        row_range_shard(orders.select("o_orderkey"), ["o_orderkey"], 4)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+    )
+
+
+@query(
     "partition_range_assign",
     oracle="""
     SELECT bucket, count(*) AS cnt, min(o_orderkey) AS lo, max(o_orderkey) AS hi
