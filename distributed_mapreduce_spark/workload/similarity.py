@@ -182,3 +182,94 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_u(F.col("a.embedding"), F.col("b.embedding")).alias("cos_u"),
     )
     return scored.filter(F.col("cos_u") >= NEAR_DUP_COS_U)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (the bucketed ANN alternative to IVF): bucket id
+# = sign bits of dot(v, r_j) for deterministic ±1 hyperplanes r_j. The
+# planes are module-level constants derived from md5, embedded as
+# literal arrays on BOTH engines, so the bucketing (double fold + sign
+# test, identical IEEE op order) is differentially exact.
+# ---------------------------------------------------------------------------
+
+#: Harness embedding dimensionality (all SFs ship 64-d vectors).
+EMB_DIM = 64
+#: Hyperplane count → 2^RP_PLANES buckets.
+RP_PLANES = 4
+
+
+def _rp_sign(j: int, i: int) -> int:
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"rp_{j}_{i}".encode()).hexdigest()[0], 16) < 8 else -1
+
+
+_PLANES = [[_rp_sign(j, i) for i in range(EMB_DIM)] for j in range(RP_PLANES)]
+
+
+def lsh_bucket(v: Column) -> Column:
+    """Sign-bit bucket id of a vector under the fixed hyperplanes."""
+    acc = F.lit(0)
+    for j, plane in enumerate(_PLANES):
+        arr = F.array(*[F.lit(float(s)) for s in plane])
+        acc = acc + F.when(dot(v, arr) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def _sql_lsh_bucket(v: str) -> str:
+    parts = []
+    for j, plane in enumerate(_PLANES):
+        lst = "[" + ", ".join(f"{float(s):.1f}" for s in plane) + "]"
+        parts.append(f"CASE WHEN {_sql_dot(v, lst)} > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS INTEGER)"
+
+
+@query(
+    "ann_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, bucket, embedding AS qv FROM b WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cos_u('q.qv', 'e.embedding')} AS cos_u
+      FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_u, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_u DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane sign bits put cosine-close
+    vectors in the same bucket; each query scores only its bucket.
+
+    Same plan skeleton as `ann_ivf` (bucket equi-join, per-query window
+    top-k) but the bucketing is computed from the vectors themselves —
+    no trained quantizer needed. At 100 TB: 2^k buckets shard the
+    corpus; recall tunes with k and multi-probe (flip one bit per
+    probe), all still equi-joins.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_u(F.col("qv"), F.col("embedding")).alias("cos_u"),
+        )
+    )
+    return topk_per_query(scored, TOP_K).select("query_id", "neighbor_id", "cos_u", "rnk")
