@@ -257,3 +257,27 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(30,2)")
         .alias("sum_qty"),
     )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (median/p25/p90) per group — Spark `percentile`
+    and DuckDB `quantile_cont` share the same linear-interpolation
+    definition, so the doubles match bit-for-bit. The approx_percentile
+    sketch is the 100 TB default; the exact form is the oracle-checkable
+    ground truth it is tuned against."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
