@@ -476,3 +476,89 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sim = simhash_table(table(spark, sf_dir, "documents")).persist()
     return simhash_pairs(sim)
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: pairwise near-dups → connected components → one
+# canonical representative per cluster (what a pipeline actually keeps).
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label propagation over an undirected pair graph:
+    (doc_id, cluster_id) where cluster_id = smallest doc_id reachable.
+
+    Pregel-style iteration on DataFrames: each round joins current
+    labels across edges, takes the min per node, and stops when a round
+    changes nothing (left-anti probe). Near-dup graphs are
+    shallow-diameter (clusters are cliques-ish), so rounds ≈ log of the
+    largest cluster, not of n. Each round's result is persisted to cut
+    lineage; at 100 TB scale swap the persist for periodic
+    `localCheckpoint()` and the loop is the standard big-graph CC.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+    rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
+    edges = fwd.unionAll(rev).persist()
+    labels = (
+        edges.select(F.col("s").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges.s == labels.doc_id).select(
+            F.col("t").alias("doc_id"), F.col("cluster_id")
+        )
+        new_labels = (
+            msgs.unionAll(labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels, ["doc_id", "cluster_id"], "left_anti")
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def _sql_dedup_clusters() -> str:
+    # Same candidate+verify chain as dedup_minhash_pairs, then connected
+    # components via a recursive transitive closure (the graph is tiny
+    # after verification, so closure-then-min is exact and cheap).
+    base = _sql_minhash_pairs().replace("WITH bh", "WITH RECURSIVE bh", 1)
+    return (
+        base
+        + f", verified AS ({_SQL_VERIFY_TAIL})"
+        + """
+    , edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM verified
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM verified
+    ), reach(s, t) AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    )
+    SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+    FROM reach GROUP BY s
+    """
+    )
+
+
+@query("dedup_clusters", oracle=_sql_dedup_clusters())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH verified pairs → connected
+    components → cluster id = min doc_id (the canonical keeper). The
+    iterative Spark loop is checked against DuckDB's recursive
+    transitive closure — an exact oracle for a genuinely iterative
+    algorithm."""
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    pairs = _verify_pairs(sh_df, minhash_candidate_pairs(sh_df))
+    return connected_components(pairs.select("doc_a", "doc_b"))

@@ -102,3 +102,19 @@ def test_simhash_similar_docs_have_close_hashes(spark, docs):
 
     assert got[1] == got[4]  # identical docs, identical simhash
     assert hamming(got[1], got[2]) < hamming(got[1], got[3])  # near < far
+
+
+def test_connected_components_chain_merges_transitively(spark):
+    from distributed_mapreduce_spark.workload.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    # Chain 1-2-3-4 collapses to min label 1 even though (1,4) never pairs.
+    assert {got[1], got[2], got[3], got[4]} == {1}
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == 20
