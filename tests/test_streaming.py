@@ -80,3 +80,73 @@ def test_sessionized_counts_total_events_preserved(spark, events_dir):
     total = sum(r["n_events"] for r in rows)
     assert total == spark.read.parquet(events_dir).count()
     assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Three micro-batches (maxFilesPerTrigger=1): batch 0 advances the
+    watermark past the 10:00 window, batch 1 triggers its eviction (the
+    window emits once, with only on-time counts), and batch 2's late
+    event for the closed window is dropped by the watermark — asserted
+    both on the output and on the state-store drop metric."""
+    import datetime as dt
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(rows, name):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string") \
+            .coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(f"{staging}/part-*.parquet")[0]
+        shutil.copy(part, str(landing / f"{name}.parquet"))
+
+    T = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(i, minutes):
+        return (i, T + dt.timedelta(minutes=minutes), 1, "click", 1.0, "{}")
+
+    # Batch 0: three events in [10:00,11:00) + one at 14:00 that pushes
+    # the watermark (1h) to 13:00.
+    land([ev(1, 0), ev(2, 10), ev(3, 20), ev(4, 240)], "a")
+    time.sleep(1.1)  # file-source orders batches by mod time
+    # Batch 1: an on-time event; running it evicts + emits the closed
+    # 10:00 window (eviction applies the watermark set by batch 0).
+    land([ev(6, 245)], "b")
+    time.sleep(1.1)
+    # Batch 2: a LATE event at 10:45 — behind the watermark, window
+    # already closed → dropped.
+    land([ev(5, 45)], "c")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["ws"]: r["n"] for r in spark.table("late_sink").collect()}
+    # The closed 10:00 window emitted with ONLY the on-time events; the
+    # late 10:45 event was discarded, and the open 14:00 window is held.
+    assert got == {T: 3}
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
