@@ -114,6 +114,43 @@ def stateful_user_counts(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def dedup_events_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event
+    within the watermark horizon (`dropDuplicatesWithinWatermark`).
+
+    The state store keeps one row per key only until the watermark
+    passes it — bounded state for unbounded streams, which plain
+    `dropDuplicates` on a stream cannot guarantee. This is the
+    streaming twin of `dedup_exact`: at-least-once sources (file
+    landing, Kafka) become effectively-once before aggregation.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def write_partitioned_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, partition_col: str = "event_type"
+) -> None:
+    """Drain a stream into partitioned parquet via foreachBatch — the
+    production sink shape (idempotent per-batch overwrite into a
+    partition-pruned layout), as opposed to the memory sink used in
+    tests. Blocks until all available input is processed."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy(partition_col).parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain all available input into an in-memory table (test/dev
     sink), blocking until complete. `output_mode` must match the query

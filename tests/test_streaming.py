@@ -150,3 +150,53 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1
+
+
+def test_stream_dedup_within_watermark_removes_redelivery(spark, tmp_path):
+    """The same event_id delivered in two micro-batches survives once."""
+    import datetime as dt
+    import glob
+    import shutil
+    import time
+
+    from distributed_mapreduce_spark.streaming.events_stream import (
+        dedup_events_stream,
+        write_partitioned_parquet,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def land(rows, name):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], str(landing / f"{name}.parquet")
+        )
+
+    T = dt.datetime(2026, 1, 1, 10, 0, 0)
+    e1 = (1, T, 7, "click", 1.0, "{}")
+    e2 = (2, T, 7, "view", 1.0, "{}")
+    land([e1, e2], "a")
+    time.sleep(1.1)
+    land([e1, (3, T, 8, "click", 1.0, "{}")], "b")  # e1 re-delivered
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    deduped = dedup_events_stream(stream)
+    out = str(tmp_path / "out")
+    write_partitioned_parquet(deduped, out, str(tmp_path / "ckpt"))
+
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # e1 once, e2, e3
+    assert got.filter("event_id = 1").count() == 1
+    # The foreachBatch sink produced a partition-pruned layout.
+    assert got.filter("event_type = 'click'").count() == 2
+    import os
+    assert any(d.startswith("event_type=") for d in os.listdir(out))
