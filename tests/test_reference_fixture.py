@@ -62,3 +62,22 @@ def test_flagship_on_reference_traffic_csv(spark, param):
     }
     expected = set(map(tuple, _oracle(param)))
     assert got == expected and len(got) > 0
+
+
+@pytest.mark.parametrize("pattern", ["Video|Radio", "Video,Radio", "Fiber/Radio"])
+def test_select_regex_on_reference_traffic_csv(spark, pattern):
+    """The reference's `SELECT ALL FROM traffic.csv WHERE <regex>`
+    examples (README.md:52-56): whole-RAW-LINE regex — `Video,Radio`
+    expresses column adjacency, `Video|Radio` alternation. Checked
+    against Python re over the same lines (the regex subset used has
+    identical Java/PCRE semantics)."""
+    import re
+
+    from distributed_mapreduce_spark.operators.filters import filter_rlike_line
+    from distributed_mapreduce_spark.sources.readers import scan_text
+
+    lines = scan_text(spark, TRAFFIC)
+    got = filter_rlike_line(lines, pattern).count()
+    with open(TRAFFIC, encoding="utf-8") as fh:
+        expected = sum(1 for line in fh if re.search(pattern, line.rstrip("\n")))
+    assert got == expected and got > 0
