@@ -281,3 +281,67 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
     )
+
+
+@query(
+    "array_agg_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           array_agg(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_set is shuffle-order-
+    dependent, so the ONLY portable form is sorted — sort_array after
+    the set-collect. Nested (array-typed) result columns round-trip
+    through the differential comparator too."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+#: Fuzzy-match edit-distance ceiling.
+FUZZY_MAX_DIST = 3
+
+
+@query(
+    "fuzzy_match_levenshtein",
+    oracle=f"""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+                AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+      AND a.p_name <> b.p_name
+    """,
+)
+def q_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: edit-distance pairs within
+    (brand, size) blocks — the classic entity-resolution plan. Blocking
+    keeps the candidate set per-block O(m²) instead of corpus-wide
+    O(n²); Spark's `levenshtein` and DuckDB's agree exactly (unit edit
+    costs). Same-name pairs are excluded (those are `dedup_exact`'s
+    job); this finds the *near* misses."""
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a = part.alias("a")
+    b = part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter((dist <= FUZZY_MAX_DIST) & (F.col("a.p_name") != F.col("b.p_name")))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )

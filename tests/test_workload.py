@@ -14,7 +14,7 @@ from distributed_mapreduce_spark.workload import ORACLES, QUERIES
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 #: queries whose correct result may be empty on tiny inputs
-MAY_BE_EMPTY = {"join_anti", "embedding_near_dup"}
+MAY_BE_EMPTY = {"join_anti", "embedding_near_dup", "fuzzy_match_levenshtein"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
