@@ -1,6 +1,7 @@
 """Plan inspection utilities (scale-posture checks)."""
 
 from distributed_mapreduce_spark.plans.checks import (
+    exchange_count,
     explain_str,
     has_broadcast_join,
     pushed_filters,
@@ -9,6 +10,7 @@ from distributed_mapreduce_spark.plans.checks import (
 )
 
 __all__ = [
+    "exchange_count",
     "explain_str",
     "pushed_filters",
     "read_schema_columns",

@@ -46,5 +46,19 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_count(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans (wider/fewer = better fusion)."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
+    """Number of WholeStageCodegen spans (wider/fewer = better fusion).
+
+    Formatted mode tags fused operators `[codegen id : N]`; the legacy
+    tree mode prints `WholeStageCodegen (N)` — count either.
+    """
+    s = explain_str(df)
+    ids = set(re.findall(r"codegen id : (\d+)", s))
+    ids |= set(re.findall(r"WholeStageCodegen \((\d+)\)", s))
+    return len(ids)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle/broadcast) operators in the plan —
+    counted from the formatted details section so each operator counts
+    once."""
+    return len(re.findall(r"\(\d+\) Exchange", explain_str(df)))

@@ -491,9 +491,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels across edges, takes the min per node, and stops when a round
     changes nothing (left-anti probe). Near-dup graphs are
     shallow-diameter (clusters are cliques-ish), so rounds ≈ log of the
-    largest cluster, not of n. Each round's result is persisted to cut
-    lineage; at 100 TB scale swap the persist for periodic
-    `localCheckpoint()` and the loop is the standard big-graph CC.
+    largest cluster, not of n. Each round ends in an eager
+    `localCheckpoint`, which BOTH materializes the round and truncates
+    lineage — without it the returned plan nests every iteration
+    (hundreds of phantom exchanges) and the analyzer, not the data,
+    becomes the bottleneck. On a cluster where executor loss must be
+    survivable, swap for reliable `checkpoint()`.
     """
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
@@ -502,7 +505,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         edges.select(F.col("s").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         msgs = edges.join(labels, edges.s == labels.doc_id).select(
@@ -512,14 +515,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             msgs.unionAll(labels)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels, ["doc_id", "cluster_id"], "left_anti")
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
