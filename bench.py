@@ -32,9 +32,11 @@ HEADLINE = [
     "topk",
     "window_running",
     "select_regex",
+    "tpch_q18_large_orders",
     "dedup_minhash_pairs",
     "dedup_simhash",
     "ann_ivf",
+    "ann_lsh",
     "events_tumbling",
     "events_sessionize",
 ]
