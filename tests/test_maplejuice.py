@@ -103,3 +103,29 @@ def test_engine_grep_modes(spark, tmp_path):
     per = {r["machine"]: r["cnt"] for r in eng.grep(glob, "^err", "m").collect()}
     assert per == {"vm1.log": 2, "vm2.log": 1}
     assert eng.grep(glob, "^err", "a").count() == 3
+
+
+def test_sink_merged_csv_single_file_roundtrip(spark, tmp_path):
+    """conglomerate parity: exactly ONE csv part file, content intact."""
+    import glob
+
+    from distributed_mapreduce_spark.sources.sinks import sink_merged_csv, sink_parquet
+
+    df = spark.createDataFrame(
+        [("Video", 3, "60.00%"), ("Loop", 2, "40.00%")], ["detection", "cnt", "pct"]
+    )
+    out = str(tmp_path / "merged")
+    sink_merged_csv(df, out)
+    parts = glob.glob(f"{out}/part-*.csv")
+    assert len(parts) == 1  # the reference's single-file contract
+    back = spark.read.option("header", True).csv(out)
+    assert {tuple(r) for r in back.collect()} == {
+        ("Video", "3", "60.00%"),
+        ("Loop", "2", "40.00%"),
+    }
+
+    # and the at-scale default keeps partitioning
+    pq = str(tmp_path / "pq")
+    sink_parquet(df, pq, partition_by=["detection"])
+    import os
+    assert any(d.startswith("detection=") for d in os.listdir(pq))
