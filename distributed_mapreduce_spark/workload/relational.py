@@ -364,3 +364,73 @@ def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(30,2)").alias("total_price"),
         )
     )
+
+
+@query(
+    "tpch_q14_promo",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_SQL_REVENUE} ELSE 0 END)
+                AS DECIMAL(30,4)) AS promo_revenue,
+           CAST(sum({_SQL_REVENUE}) AS DECIMAL(30,4)) AS total_revenue,
+           CAST(floor(sum(CASE WHEN p_type = 'PROMO' THEN {_SQL_REVENUE} ELSE 0 END)
+                      * 10000.0 / sum({_SQL_REVENUE})) AS BIGINT) AS promo_bp
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (promo revenue share)
+    over a broadcast fact ⋈ dimension join — one pass, no second scan
+    for the denominator; the share reported in exact basis points."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("decimal(30,4)").alias("promo_revenue"),
+            F.sum(rev).cast("decimal(30,4)").alias("total_revenue"),
+        )
+    )
+    bp = F.floor(
+        F.col("promo_revenue").cast("double") * 10000.0
+        / F.col("total_revenue").cast("double")
+    ).cast("long")
+    return agg.select("promo_revenue", "total_revenue", bp.alias("promo_bp"))
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT CAST(sum({_SQL_REVENUE}) AS DECIMAL(30,4)) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicates spanning both join sides.
+    Catalyst extracts the common join key (partkey equi-join survives),
+    pushes the single-side conjuncts into each scan, and evaluates the
+    residual disjunction post-join — the textbook disjunctive-predicate
+    plan."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    brand = F.col("p_brand")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 10) & qty.between(1, 20))
+        | ((brand == "Brand#2") & size.between(11, 25) & qty.between(10, 30))
+        | ((brand == "Brand#3") & size.between(26, 50) & qty.between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.sum(_revenue()).cast("decimal(30,4)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
