@@ -241,3 +241,52 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x).bitwiseAND(F.lit(ROLLING_MASK)),
     )
     return docs.select("doc_id", fold.cast("long").alias("rolling_fp"))
+
+
+#: Deterministic split fractions (percent): train/val/test = 80/10/10.
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 90
+
+
+@query(
+    "text_split_assign",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(len({_sql_tokens('text')})) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT text,
+             CASE WHEN ('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN ('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment: md5-bucket the stable
+    doc key, cut at 80/90 — the standard deterministic split for
+    training corpora (same row lands in the same split on every engine,
+    every run, any cluster size — unlike `sample()`/`sampleBy()`, which
+    are seed- and partitioning-dependent). Reports doc and token counts
+    per split."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), F.size(_tokens(F.col("text"))).alias("nt"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
