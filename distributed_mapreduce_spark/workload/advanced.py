@@ -345,3 +345,38 @@ def q_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("dist"),
         )
     )
+
+
+@query(
+    "unpivot_status",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, CAST(cnt AS BIGINT) AS cnt
+    FROM p UNPIVOT (cnt FOR status IN (f_cnt, o_cnt, p_cnt))
+    """,
+)
+def q_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-status counts back to long form — the
+    inverse of `pivot_status`, via the native `unpivot` operator (an
+    Expand node, one pass, no union-of-selects)."""
+    orders = table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["f_cnt", "o_cnt", "p_cnt"], "status", "cnt"
+    )

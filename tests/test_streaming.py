@@ -200,3 +200,30 @@ def test_stream_dedup_within_watermark_removes_redelivery(spark, tmp_path):
     assert got.filter("event_type = 'click'").count() == 2
     import os
     assert any(d.startswith("event_type=") for d in os.listdir(out))
+
+
+def test_stream_static_join_enriches_events(spark, events_dir):
+    """Stream ⋈ static dimension (the standard enrichment pattern): the
+    static side is re-read per micro-batch, joined without state. The
+    drained result must equal the equivalent batch join."""
+    from pyspark.sql import functions as F
+
+    static_dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+        ["event_type", "type_code"],
+    )
+    stream = read_events_stream(spark, events_dir)
+    enriched = (
+        stream.join(F.broadcast(static_dim), "event_type")
+        .groupBy("type_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_to_memory(enriched, "enrich_sink")
+    got = {r["type_code"]: r["n"] for r in spark.table("enrich_sink").collect()}
+
+    batch = spark.read.parquet(events_dir).join(static_dim, "event_type")
+    expected = {
+        r["type_code"]: r["count"]
+        for r in batch.groupBy("type_code").count().collect()
+    }
+    assert got == expected and len(got) > 0
