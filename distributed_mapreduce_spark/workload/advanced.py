@@ -380,3 +380,51 @@ def q_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["o_orderpriority"], ["f_cnt", "o_cnt", "p_cnt"], "status", "cnt"
     )
+
+
+@query(
+    "bucketed_join_agg",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join via BUCKETED storage: both sides are persisted bucketed on
+    the join key, so the join satisfies its distribution requirement
+    from storage — the 100 TB pattern of paying the fact table's shuffle
+    once at write time. The oracle is the plain join: bucketing must be
+    invisible in the result.
+
+    (The write happens per invocation here because the harness is
+    ephemeral; a real pipeline writes once and reuses. The zero-Exchange
+    property of the bucketed plan is asserted in tests/test_bucketing.py
+    and tested again for this query in tests/test_plans.py.)
+    """
+    import tempfile
+
+    from distributed_mapreduce_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    work = tempfile.mkdtemp(prefix="bucketed_q_")
+    # Broadcast threshold off so the test exercises the bucketed
+    # (sort-merge, zero-exchange) path rather than a broadcast join.
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    write_bucketed(orders, "bq_orders", "o_custkey", 8, f"{work}/orders")
+    write_bucketed(cust, "bq_customer", "c_custkey", 8, f"{work}/customer")
+    bo = read_bucketed(spark, "bq_orders")
+    bc = read_bucketed(spark, "bq_customer").withColumnRenamed("c_custkey", "o_custkey")
+    j = bo.hint("merge").join(bc, "o_custkey")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(30,2)")
+        .alias("total"),
+    )

@@ -92,3 +92,15 @@ def test_grep_count_does_not_read_text_twice(spark, sf_dir):
     df = QUERIES["grep_count"](spark, sf_dir)
     schemas = read_schema_columns(df)
     assert schemas and set(schemas[0]) <= {"text"}
+
+
+def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
+    from distributed_mapreduce_spark.plans import exchange_count
+
+    df = QUERIES["bucketed_join_agg"](spark, sf_dir)
+    plan = explain_str(df)
+    # Bucketed storage satisfies the join's distribution requirement:
+    # a sort-merge join with ZERO exchanges on the join inputs — the
+    # only exchange left is the final aggregation's.
+    assert "SortMergeJoin" in plan
+    assert exchange_count(df) <= 1
