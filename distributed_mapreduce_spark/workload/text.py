@@ -290,3 +290,48 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("long").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "text_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_sql_tokens('text')}) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+    )
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rnk
+    FROM (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(row_number() OVER (PARTITION BY tf.doc_id
+                                     ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS INTEGER) AS rnk
+      FROM tf JOIN df ON tf.tok = df.tok
+    ) WHERE rnk <= 3
+    """,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document: rank by (term frequency
+    desc, corpus document-frequency asc, term) — the TF-IDF ordering
+    with exact integer keys instead of a float idf (log() is not
+    bit-portable across engines; the integer (tf, df) sort induces the
+    same ranking for fixed tf). Plan: one explode, two aggregations
+    (per-doc tf, global df), a broadcast-able df join, and a per-doc
+    window top-k — no global sort."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok")
+    )
+    joined = tf.join(F.broadcast(df), "tok")
+    return (
+        joined.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "rnk")
+    )
