@@ -165,16 +165,23 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            lag(CAST(l_quantity AS DECIMAL(18,2)))
-             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                                   l_partkey, l_quantity, l_extendedprice) AS prev_qty,
            lead(CAST(l_quantity AS DECIMAL(18,2)))
-             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_qty
+             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                                   l_partkey, l_quantity, l_extendedprice) AS next_qty
     FROM lineitem
     """,
 )
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead over a total deterministic per-key ordering."""
+    """lag/lead over a total deterministic per-key ordering —
+    (orderkey, linenumber) is not unique in the harness data, so the
+    sort extends through every remaining column (see window_running)."""
     li = table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_quantity", "l_extendedprice",
+    )
     qty = F.col("l_quantity").cast("decimal(18,2)")
     return li.select(
         "l_suppkey",

@@ -405,18 +405,26 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
                 OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                               l_partkey, l_quantity, l_extendedprice
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DECIMAL(30,2)) AS running_qty
     FROM lineitem
     """,
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running-sum analytic window with a total deterministic ordering."""
+    """Running-sum analytic window with a total deterministic ordering.
+
+    (l_orderkey, l_linenumber) is NOT unique in the harness data, so the
+    order extends through every remaining column — rows that still tie
+    are full duplicates, whose outputs are identical either way."""
     li = table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_partkey", "l_quantity", "l_extendedprice",
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
