@@ -273,3 +273,81 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return topk_per_query(scored, TOP_K).select("query_id", "neighbor_id", "cos_u", "rnk")
+
+
+@query(
+    "ann_bruteforce_pandas",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cos_u('q.qv', 'e.embedding')} AS cos_u
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_u, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_u DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN via a VECTORIZED Pandas UDF — the Arrow-batched
+    alternative to the JVM fold scorer (`ann_bruteforce`), with the SAME
+    oracle: numpy accumulates dimension-by-dimension in float64, which
+    reproduces the left fold's IEEE operation order exactly (a plain
+    np.dot would use pairwise/SIMD summation and drift in the last ulp).
+
+    Plan shape: the tiny query set rides into every task as a plain
+    closure (at real scale: a broadcast variable); each Arrow batch of
+    vectors is scored against all queries in C speed; top-k stays a
+    Spark window. This is the pattern for scoring logic too complex for
+    Catalyst expressions.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+
+    def fold_dot(E: np.ndarray, v: np.ndarray) -> np.ndarray:
+        acc = np.zeros(E.shape[0], dtype=np.float64)
+        for i in range(E.shape[1]):
+            acc += E[:, i] * v[i]
+        return acc
+
+    def fold_sq(E: np.ndarray) -> np.ndarray:
+        acc = np.zeros(E.shape[0], dtype=np.float64)
+        for i in range(E.shape[1]):
+            acc += E[:, i] * E[:, i]
+        return acc
+
+    q_norms = np.sqrt([float(fold_dot(v[None, :], v)[0]) for v in q_vecs])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            norms = np.sqrt(fold_sq(E))
+            out = {"query_id": [], "neighbor_id": [], "cos_u": []}
+            for qi, qv, qn in zip(q_ids, q_vecs, q_norms):
+                mask = ids != qi
+                cos = fold_dot(E[mask], qv) / (norms[mask] * qn)
+                out["query_id"].extend([qi] * int(mask.sum()))
+                out["neighbor_id"].extend(ids[mask])
+                out["cos_u"].extend(np.floor(cos * 1_000_000.0).astype(np.int64))
+            yield pd.DataFrame(out)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_u long"
+    )
+    return topk_per_query(scored, TOP_K).select("query_id", "neighbor_id", "cos_u", "rnk")
