@@ -32,8 +32,12 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus), 1)
 
+    # local[N, 3]: up to 3 attempts per task. Plain local[N] runs with
+    # maxFailures=1 (any task error fails the job), which hides the
+    # failure-recovery semantics the reference hand-rolls (pending-task
+    # rescheduling, fileserver.py:739-790) and every real cluster has.
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(f"local[{cpus}, 3]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalescing, skew-join splitting, dynamic join
