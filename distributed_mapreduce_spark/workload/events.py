@@ -148,3 +148,33 @@ def q_events_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     run_to_memory(stream, "events_stateful_user_counts_sink", output_mode="update")
     final = spark.table("events_stateful_user_counts_sink")
     return final.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "events_sliding",
+    oracle="""
+    SELECT ws, event_type, count(*) AS n_events
+    FROM (
+      SELECT event_type, unnest([
+        time_bucket(INTERVAL '30 minutes', ts),
+        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE
+      ]) AS ws, ts
+      FROM events
+    )
+    WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+    GROUP BY ws, event_type
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide: every event lands in two
+    overlapping windows (w/s = 2). Spark's `window(ts, w, s)` expands
+    rows natively; the oracle unnests the two candidate window starts
+    per event and refilters — the general sliding-window identity."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events")
+    )
