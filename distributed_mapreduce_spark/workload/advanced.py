@@ -435,3 +435,72 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(30,2)")
         .alias("total"),
     )
+
+
+@query(
+    "window_analytics_suite",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           first_value(c_custkey) OVER w AS richest,
+           last_value(c_custkey)
+             OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
+           nth_value(c_custkey, 2) OVER w AS runner_up,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value + percent_rank + cume_dist in one pass over
+    one window ordering (c_custkey is unique → total order).
+    `last_value` needs the full-partition frame spelled out — the
+    default frame stops at CURRENT ROW, a classic SQL footgun both
+    engines share. percent_rank/cume_dist divide small ints in doubles,
+    which is correctly rounded and bit-identical everywhere."""
+    customer = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.first("c_custkey").over(w).alias("richest"),
+        F.last("c_custkey").over(w_full).alias("poorest"),
+        F.nth_value("c_custkey", 2).over(w).alias("runner_up"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "parse_extract_ids",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(regexp_extract(s_name, 'Supplier#(\\d+)', 1) AS BIGINT) AS parsed_id,
+           count(*) OVER () AS n_total,
+           CAST(sum(CASE WHEN CAST(regexp_extract(s_name, 'Supplier#(\\d+)', 1) AS BIGINT) = s_suppkey
+                    THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_consistent
+    FROM supplier
+    """,
+)
+def q_parse_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured extraction from semi-structured strings:
+    regexp_extract the numeric id out of 'Supplier#NNNNNNNNN' and
+    cross-check it against the key column — the log/ID-parsing pattern
+    (reference analog: per-line regex, data/sql-juice.go:49-57), with a
+    built-in consistency audit."""
+    supp = table(spark, sf_dir, "supplier")
+    parsed = F.regexp_extract(F.col("s_name"), r"Supplier#(\d+)", 1).cast("long")
+    w = Window.partitionBy()
+    return supp.select(
+        "s_suppkey",
+        parsed.alias("parsed_id"),
+        F.count(F.lit(1)).over(w).alias("n_total"),
+        F.sum(F.when(parsed == F.col("s_suppkey"), 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("n_consistent"),
+    )
