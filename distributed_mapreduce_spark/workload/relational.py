@@ -443,3 +443,88 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_revenue()).cast("decimal(30,4)").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(30,2)) AS spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + aggregate: every customer appears, orderless
+    customers with n_orders = 0 (count over the nullable key skips
+    NULLs — the outer-join row survives the count correctly)."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return j.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").cast("long").alias("n_orders"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+        ).cast("decimal(30,2)").alias("spend"),
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.k, s.k) AS nationkey,
+           CAST(coalesce(c.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(coalesce(s.n_supp, 0) AS BIGINT) AS n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+    ON c.k = s.k
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates: nations present on either
+    side survive with zero-filled counts — the reconciliation-report
+    shape (aggregate-then-join keeps the outer join tiny)."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = cust.join(supp, cust.ck == supp.sk, "full_outer")
+    return j.select(
+        F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).cast("long").alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).cast("long").alias("n_supp"),
+    )
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT party, custkey, suppkey, count(*) AS n
+    FROM (
+      SELECT 'customer' AS party, c_custkey AS custkey FROM customer
+      UNION ALL BY NAME
+      SELECT 'supplier' AS party, s_suppkey AS suppkey FROM supplier
+    )
+    GROUP BY party, custkey, suppkey
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: `unionByName(allowMissingColumns=True)`
+    aligns by column NAME and null-fills the gaps (positional unionAll
+    would silently mis-align) — the union you want when appending files
+    with drifting schemas."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("party"), F.col("c_custkey").alias("custkey")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("party"), F.col("s_suppkey").alias("suppkey")
+    )
+    u = cust.unionByName(supp, allowMissingColumns=True)
+    return u.groupBy("party", "custkey", "suppkey").agg(F.count(F.lit(1)).alias("n"))
