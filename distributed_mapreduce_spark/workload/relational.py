@@ -528,3 +528,55 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = cust.unionByName(supp, allowMissingColumns=True)
     return u.groupBy("party", "custkey", "suppkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "date_parts_agg",
+    oracle="""
+    SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-part extraction (year/quarter) + aggregate — the date
+    function family the reference lacks entirely (SURVEY §2.10: strings
+    only)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "string_functions_suite",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           substr(p_name, 1, 5) AS prefix5,
+           lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS padded_key,
+           replace(p_name, ' ', '_') AS snake,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           CAST(strpos(p_name, ' ') AS INTEGER) AS space_at
+    FROM part
+    """,
+)
+def q_string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string library in one projection: case mapping, substring,
+    pad, replace, length, position — all JVM-side codegen (SURVEY §2.10
+    upgraded from the reference's 4-function repertoire)."""
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.lpad(F.col("p_partkey").cast("string"), 9, "0").alias("padded_key"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.length("p_name").alias("name_len"),
+        F.instr(F.col("p_name"), " ").alias("space_at"),
+    )
