@@ -18,16 +18,35 @@ from pyspark.sql import functions as F
 #: Literal substituted for empty/whitespace-only values.
 EMPTY_SENTINEL = "empty"
 
+#: Whitespace stripped at both ends. The reference uses Go's
+#: strings.TrimSpace (data/maple-exe.go:22), which strips tabs/newlines
+#: too — Spark's `F.trim` and SQL `trim()` strip ONLY spaces, a
+#: divergence hypothesis found with a tab-padded value. The explicit
+#: class below behaves identically in Java regex and RE2 (DuckDB).
+WS_CLASS = " \t\n\r\f"
+_TRIM_RE = f"^[{WS_CLASS}]+|[{WS_CLASS}]+$"
+
+
+def trim_ws(col: Column | str) -> Column:
+    """Strip [ \\t\\n\\r\\f] from both ends (Go TrimSpace parity)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _TRIM_RE, "")
+
+
+def sql_trim_ws(expr: str) -> str:
+    """DuckDB twin of :func:`trim_ws` (real control chars embedded —
+    DuckDB standard strings don't interpret backslash escapes)."""
+    return f"regexp_replace({expr}, '{_TRIM_RE}', '', 'g')"
+
 
 def normalize_empty(col: Column | str) -> Column:
-    """trim, then empty-string → the literal ``"empty"``.
+    """trim (Go TrimSpace semantics), then empty → ``"empty"``.
 
     Reference semantics: data/maple-exe.go:28-32 and
     hadoop/TrafficMapper.java:37-43 (NULL is treated the same as empty
     because the reference's CSV lines can't express NULL).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
+    t = trim_ws(col)
     return F.when(t.isNull() | (t == ""), F.lit(EMPTY_SENTINEL)).otherwise(t)
 
 

@@ -16,12 +16,15 @@ from pyspark.sql import functions as F
 def filter_eq_param(df: DataFrame, column: str, param: str) -> DataFrame:
     """Parameterized equality with trim-before-compare.
 
-    Reference: data/maple-exe.go:22-26 (`trim(col) == argv param`);
+    Reference: data/maple-exe.go:22-26 (`trim(col) == argv param`,
+    Go strings.TrimSpace — strips tabs/newlines, not just spaces);
     twin hadoop/TrafficMapper.java:46-50. The param arrives at runtime
     (REPL arg, fileserver.py:1339/1353) → here a plain literal, which
     Catalyst constant-folds and pushes down.
     """
-    return df.filter(F.trim(F.col(column)) == F.lit(param))
+    from distributed_mapreduce_spark.functions.strings import trim_ws
+
+    return df.filter(trim_ws(column) == F.lit(param))
 
 
 def filter_rlike_line(df: DataFrame, regex: str, columns: list[str] | None = None) -> DataFrame:

@@ -42,7 +42,10 @@ from distributed_mapreduce_spark.operators.setops import distinct_rows, top_k, u
 from distributed_mapreduce_spark.workload.registry import query, table
 
 # SQL fragment twins of functions.strings (oracle side).
-_NORM = "CASE WHEN {c} IS NULL OR trim({c}) = '' THEN 'empty' ELSE trim({c}) END"
+# Go-TrimSpace-parity trim (see functions.strings.WS_CLASS): real control
+# chars embedded in the pattern — DuckDB standard strings don't unescape.
+_T = "regexp_replace({c}, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')"
+_NORM = "CASE WHEN {c} IS NULL OR " + _T + " = '' THEN 'empty' ELSE " + _T + " END"
 _SANITIZE = "replace(replace(" + _NORM + ", '/', '_'), ' ', '_')"
 
 # Regex used by the grep-family queries (hits a strict subset of docs).
@@ -63,7 +66,7 @@ SELECT_PATTERN = "spark .*,en,"
     WITH g AS (
       SELECT {_NORM.format(c='o_orderpriority')} AS priority, count(*) AS cnt
       FROM orders
-      WHERE trim(o_orderstatus) = 'F'
+      WHERE regexp_replace(o_orderstatus, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g') = 'F'
       GROUP BY 1
     )
     SELECT priority, cnt, {pct_of_total_sql('cnt', 'sum(cnt) OVER ()')} AS pct
@@ -89,7 +92,7 @@ def flagship_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_eq_param",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-    FROM orders WHERE trim(o_orderstatus) = 'F'
+    FROM orders WHERE regexp_replace(o_orderstatus, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g') = 'F'
     """,
 )
 def q_filter_eq_param(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,7 +21,8 @@ from distributed_mapreduce_spark.functions.strings import pct_of_total_str, pct_
 from distributed_mapreduce_spark.maplejuice import juice, maple
 from distributed_mapreduce_spark.workload.registry import query, table
 
-_NORM = "CASE WHEN {c} IS NULL OR trim({c}) = '' THEN 'empty' ELSE trim({c}) END"
+_T = "regexp_replace({c}, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')"
+_NORM = "CASE WHEN {c} IS NULL OR " + _T + " = '' THEN 'empty' ELSE " + _T + " END"
 
 
 def _maple_fn(pdf: pd.DataFrame) -> Iterator[tuple[str, str]]:
@@ -44,7 +45,7 @@ def _juice_fn(key: str, pdf: pd.DataFrame) -> pd.DataFrame:
     WITH g AS (
       SELECT {_NORM.format(c='o_orderpriority')} AS priority, count(*) AS cnt
       FROM orders
-      WHERE trim(o_orderstatus) = 'F'
+      WHERE regexp_replace(o_orderstatus, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g') = 'F'
       GROUP BY 1
     )
     SELECT priority, cnt, {pct_of_total_sql('cnt', 'sum(cnt) OVER ()')} AS pct

@@ -1,0 +1,104 @@
+"""Property-based parity tests (hypothesis): the engine's semantics
+functions must agree with straight-line Python reference
+implementations on arbitrary inputs — a strictly stronger test
+strategy than the reference's (which has none, SURVEY.md §5).
+
+Each example runs a real Spark job, so example counts are kept small;
+the value is in the adversarial inputs hypothesis finds (whitespace
+mixes, empty strings, unicode, duplicate keys), not in volume.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.functions.strings import (
+    normalize_empty,
+    pct_of_total_str,
+    sanitize_key,
+)
+
+# Printable-ish text incl. whitespace-only and slash/space-heavy values.
+VALUES = st.text(
+    alphabet=st.sampled_from(list("ab /\t") + ["é"]), min_size=0, max_size=8
+)
+
+
+def _py_normalize(s: str | None) -> str:
+    # The engine's trim class is exactly [ \t\n\r\f] (functions.strings.WS_CLASS).
+    t = (s or "").strip(" \t\n\r\f")
+    return t if t else "empty"
+
+
+def _py_sanitize(s: str | None) -> str:
+    return _py_normalize(s).replace("/", "_").replace(" ", "_")
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(VALUES, min_size=1, max_size=30))
+def test_normalize_and_sanitize_match_python(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = df.select(
+        normalize_empty("v").alias("n"), sanitize_key("v").alias("s")
+    ).collect()
+    for v, row in zip(vals, got):
+        assert row["n"] == _py_normalize(v), repr(v)
+        assert row["s"] == _py_sanitize(v), repr(v)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=50))
+def test_group_count_and_pct_match_counter(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    grouped = df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    total = len(keys)
+    got = {
+        r["k"]: (r["cnt"], r["pct"])
+        for r in grouped.withColumn(
+            "pct", pct_of_total_str(F.col("cnt"), F.lit(total))
+        ).collect()
+    }
+    expected = Counter(keys)
+    assert set(got) == set(expected)
+    for k, n in expected.items():
+        bp = n * 10000 // total
+        assert got[k] == (n, f"{bp // 100}.{bp % 100:02d}%"), k
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_maple_juice_sum_matches_python(spark, pairs):
+    """The functional maple/juice runners must equal a plain Python
+    reduce on arbitrary keyed integers."""
+    import pandas as pd
+
+    from distributed_mapreduce_spark.maplejuice import juice, maple
+
+    df = spark.createDataFrame(pairs, ["k", "v"])
+
+    def mapper(pdf):
+        yield from zip(pdf["k"], pdf["v"].astype(str))
+
+    def reducer(key, pdf):
+        return pd.DataFrame(
+            {"key": [key], "value": [str(pdf["value"].astype(int).sum())]}
+        )
+
+    kv = maple(df, mapper)
+    out = {
+        r["key"]: int(r["value"])
+        for r in juice(kv, reducer, num_juices=4).collect()
+    }
+    expected: dict[str, int] = {}
+    for k, v in pairs:
+        expected[k] = expected.get(k, 0) + v
+    assert out == expected

@@ -26,7 +26,8 @@ from distributed_mapreduce_spark.sources.readers import scan_csv
 
 TRAFFIC = "/root/reference/data/traffic.csv"
 
-_NORM = "CASE WHEN {c} IS NULL OR trim({c}) = '' THEN 'empty' ELSE trim({c}) END"
+_T = "regexp_replace({c}, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')"
+_NORM = "CASE WHEN {c} IS NULL OR " + _T + " = '' THEN 'empty' ELSE " + _T + " END"
 
 
 def _oracle(param: str):
