@@ -29,15 +29,25 @@ def asof_join(
     right_ts: str,
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    `right_ts` <= `left_ts` within the same `on` key (NULLs when no
-    prior right row exists).
+    """For each left row, attach the nearest right row within the same
+    `on` key: the greatest `right_ts` <= `left_ts` (backward, default)
+    or the smallest `right_ts` >= `left_ts` (forward). NULLs when no
+    such right row exists — the pandas `merge_asof` surface, as one
+    shuffle + one window.
 
     Tie rule: a right row at exactly left_ts matches (inclusive), which
     the union encodes by sorting right rows before left rows at equal
-    timestamps.
+    timestamps (in the direction of travel).
+
+    `tolerance_seconds` nulls out matches farther than the tolerance
+    (applied after the window, like pandas) — matches stay positional,
+    only the attachment is dropped.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     l_tagged = left.select(
@@ -58,9 +68,10 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(ts_order, F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -71,13 +82,17 @@ def asof_join(
         ],
     )
     out_cols = [on] + [c for c in left.columns if c != on]
-    return (
-        filled.filter(F.col("_side") == 1)
-        .select(
-            *out_cols,
-            *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in [*value_cols, right_ts]],
-        )
-    )
+    matched_ts = F.col(f"_f_{right_ts}")
+    if tolerance_seconds is not None:
+        delta = F.abs(F.unix_micros(F.col("_ts")) - F.unix_micros(matched_ts))
+        in_tol = delta <= F.lit(tolerance_seconds * 1_000_000)
+        attach = [
+            F.when(in_tol, F.col(f"_f_{c}")).alias(f"{c}{suffix}")
+            for c in [*value_cols, right_ts]
+        ]
+    else:
+        attach = [F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in [*value_cols, right_ts]]
+    return filled.filter(F.col("_side") == 1).select(*out_cols, *attach)
 
 
 def range_join_binned(

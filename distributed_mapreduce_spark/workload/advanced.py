@@ -504,3 +504,30 @@ def q_parse_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_consistent"),
     )
+
+
+@query(
+    "asof_next_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           (SELECT min(p.ts) FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR) AS ts_asof
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: the next purchase within 2
+    hours of each click (attribution windows). Same union+window plan
+    as the backward as-of, ordering reversed; the tolerance nulls
+    out-of-window attachments exactly like pandas merge_asof."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=[], direction="forward", tolerance_seconds=2 * 3600,
+    )
+    return out.select("event_id", "user_id", "ts", "ts_asof")
