@@ -97,3 +97,23 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "media").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESAMPLE_SCHEMA = "doc_id bigint, resampled binary"
+
+
+def resample_media(df: DataFrame, stride: int = 4) -> DataFrame:
+    """Resize/downsample stand-in: keep every `stride`-th byte of each
+    blob — the shape (per-blob transform, smaller payload out) of image
+    resize / audio resample, as an Arrow-batched `mapInPandas`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resampled": [bytes(b[::stride]) for b in pdf["media"]],
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(run, schema=RESAMPLE_SCHEMA)

@@ -77,3 +77,26 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.lower(F.hex(F.col("frame"))).alias("frame_hex"),
     )
+
+
+@query(
+    "multimodal_resample",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(list_transform(range(0, 16),
+               i -> substr({_SQL_HEXBLOB}, i * 8 + 1, 2)), '') AS resampled_hex
+    FROM documents
+    """,
+)
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/resample stub over binary media: every 4th byte of the
+    64-byte blob survives (16 bytes out). The oracle reconstructs the
+    expected bytes from the md5 hex directly — stride arithmetic over
+    the blob is checked byte-for-byte."""
+    from distributed_mapreduce_spark.multimodal import resample_media
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    out = resample_media(attach_fake_media(docs))
+    return out.select(
+        "doc_id", F.lower(F.hex(F.col("resampled"))).alias("resampled_hex")
+    )

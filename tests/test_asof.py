@@ -66,3 +66,29 @@ def test_range_join_binned_covers_bucket_boundary(spark):
     right = spark.createDataFrame([(1, ts(9, 58), "c")], ["k", "rt", "rid"])
     got = range_join_binned(left, right, "k", "lt", "rt", 0, 60, 60).collect()
     assert len(got) == 1
+
+
+def test_asof_forward_with_tolerance(spark):
+    import datetime as dt
+
+    from distributed_mapreduce_spark.operators.asof import asof_join
+
+    T = dt.datetime(2026, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 101, T), (1, 102, T + dt.timedelta(hours=3))],
+        ["k", "lid", "lts"],
+    )
+    right = spark.createDataFrame(
+        [(1, T + dt.timedelta(minutes=30))], ["k", "rts"]
+    )
+    out = {
+        r["lid"]: r["rts_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=[], direction="forward", tolerance_seconds=3600,
+        ).collect()
+    }
+    # lid 101: next right row 30 min later, inside the 1h tolerance.
+    assert out[101] == T + dt.timedelta(minutes=30)
+    # lid 102: no right row at-or-after it → NULL.
+    assert out[102] is None
