@@ -114,6 +114,46 @@ def stateful_user_counts(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def stream_stream_conversions(
+    events: DataFrame,
+    window_seconds: int = 300,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream ⋈ stream with watermarks: purchases joined to the clicks
+    that preceded them within `window_seconds`, both sides unbounded.
+
+    The interval condition + both watermarks is what makes this safe at
+    scale: each side's state store retains only rows newer than
+    (watermark - window), so state is bounded no matter how long the
+    streams run. On a closed input the result equals the batch interval
+    join (`range_join_conversions`) — asserted in tests.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return purchases.join(clicks, cond, "inner").select("purchase_id", "click_id")
+
+
 def dedup_events_stream(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:

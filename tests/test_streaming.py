@@ -227,3 +227,49 @@ def test_stream_static_join_enriches_events(spark, events_dir):
         for r in batch.groupBy("type_code").count().collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, events_dir):
+    """Stream-stream interval join on a closed input == the batch
+    interval join (the workload's range_join_conversions plan)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.events_stream import (
+        stream_stream_conversions,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    joined = stream_stream_conversions(stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("ss_join_sink").collect()
+    }
+
+    ev = spark.read.parquet(events_dir)
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 300 SECONDS")),
+    )
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in batch.select("purchase_id", "click_id").collect()
+    }
+    assert got == expected and len(got) > 0
