@@ -580,3 +580,32 @@ def q_string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.instr(F.col("p_name"), " ").alias("space_at"),
     )
+
+
+@query(
+    "histogram_prices",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 30000.0) AS INTEGER) AS bucket,
+           count(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: floor-division bucketing + per-bucket
+    stats — the distribution-profiling pass a pipeline runs before
+    choosing partition bounds or salting thresholds. (Identical
+    floor(x / w) expression on both engines; correctly-rounded double
+    division makes it exact.)"""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 30000.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
