@@ -28,6 +28,9 @@ MOVING_RANGE_S = 30 * 24 * 3600
 
 _DEC = "decimal(18,2)"
 
+#: DuckDB token-array twin (same as workload.text._sql_tokens('text')).
+_SQL_TOKS_REL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
 
 def _revenue() -> F.Column:
     price = F.col("l_extendedprice").cast(_DEC)
@@ -608,4 +611,75 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").alias("lo"),
             F.max("o_totalprice").alias("hi"),
         )
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k
+      FROM orders
+    )
+    SELECT a.k AS k, count(*) AS n_pairs
+    FROM keyed a JOIN keyed b
+      ON a.k IS NOT DISTINCT FROM b.k AND a.o_orderkey = b.o_orderkey
+    GROUP BY a.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` ≡ `IS NOT DISTINCT FROM`): NULL keys
+    match each other instead of vanishing — required when a join key is
+    legitimately absent (here: status 'P' nulled out). Catalyst still
+    plans a hash join on the null-safe key."""
+    orders = table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    j = a.join(
+        b,
+        F.col("a.k").eqNullSafe(F.col("b.k"))
+        & (F.col("a.o_orderkey") == F.col("b.o_orderkey")),
+    )
+    return j.groupBy(F.col("a.k").alias("k")).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "array_functions_suite",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS_REL} AS toks FROM documents
+    )
+    SELECT doc_id,
+           toks[1] AS first_tok,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           list_contains(toks, 'the') AS has_the,
+           CAST(list_position(toks, 'the') AS INTEGER) AS the_at,
+           toks[1:3] AS first3,
+           list_reverse(toks)[1] AS last_tok
+    FROM t
+    """,
+)
+def q_array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function library in one projection: index
+    access, size, membership, position, slice, reverse — all JVM-side
+    over the token arrays (SURVEY §2.10: the reference has no array
+    functions at all)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")
+    t = docs.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.element_at("toks", 1).alias("first_tok"),
+        F.size("toks").alias("n_toks"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.array_position("toks", "the").cast("int").alias("the_at"),
+        F.slice("toks", 1, 3).alias("first3"),
+        F.element_at(F.reverse("toks"), 1).alias("last_tok"),
     )
