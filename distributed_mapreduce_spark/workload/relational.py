@@ -683,3 +683,74 @@ def q_array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("toks", 1, 3).alias("first3"),
         F.element_at(F.reverse("toks"), 1).alias("last_tok"),
     )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 != 0
+    ), updates AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN 'updated'
+                WHEN u.o_orderkey IS NOT NULL THEN 'inserted'
+                ELSE 'kept' END AS action
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation on plain parquet: full-outer join of base
+    vs updates, update-wins coalesce, action audit column. This is the
+    engine-level kernel under Delta/Iceberg MERGE INTO — here surfaced
+    as a pure DataFrame transform (doubles pass through untouched, so
+    no decimal casts needed)."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("bk"), F.col("o_totalprice").alias("bp")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("uk"), (F.col("o_totalprice") * 2).alias("up")
+    )
+    j = base.join(updates, base.bk == updates.uk, "full_outer")
+    return j.select(
+        F.coalesce(F.col("uk"), F.col("bk")).alias("o_orderkey"),
+        F.coalesce(F.col("up"), F.col("bp")).alias("o_totalprice"),
+        F.when(F.col("uk").isNotNull() & F.col("bk").isNotNull(), "updated")
+        .when(F.col("uk").isNotNull(), "inserted")
+        .otherwise("kept")
+        .alias("action"),
+    )
+
+
+#: Shared Q17-style correlated-subquery text — run verbatim by BOTH
+#: engines (Spark SQL front-end + Catalyst decorrelation on one side,
+#: DuckDB on the other).
+_CORRELATED_SQL = """
+    SELECT p_brand,
+           count(*) AS n_low
+    FROM lineitem l
+    JOIN part ON p_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * (
+            SELECT count(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey
+          ) < (
+            SELECT CAST(sum(CAST(i.l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2))
+            FROM lineitem i WHERE i.l_partkey = l.l_partkey
+          )
+    GROUP BY p_brand
+    """
+
+
+@query("correlated_subquery_sql", oracle=_CORRELATED_SQL)
+def q_correlated_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME correlated-scalar-subquery SQL text on both engines:
+    Spark's SQL front-end decorrelates the two scalar subqueries into
+    aggregate+join under the hood (what `scalar_subquery_lowqty` wrote
+    by hand) — proving the declarative surface, not just the DataFrame
+    API, is complete."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CORRELATED_SQL)
