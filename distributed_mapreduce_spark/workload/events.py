@@ -178,3 +178,36 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("ws"), "event_type", "n_events")
     )
+
+
+#: Gaps-and-islands sessionization — identical SQL text on BOTH engines
+#: (Spark SQL front-end on a temp view, DuckDB on the harness view).
+_SESSIONIZE_SQL = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """
+
+
+@query("sessionize_sql", oracle=_SESSIONIZE_SQL)
+def q_sessionize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization as VERBATIM SQL (lag → new-session
+    flag → running sum → group): the same text Spark SQL and DuckDB both
+    execute — the declarative twin of `events_sessionize`'s DataFrame
+    construction."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SESSIONIZE_SQL)
