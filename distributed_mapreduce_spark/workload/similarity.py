@@ -351,3 +351,66 @@ def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, schema="query_id long, neighbor_id long, cos_u long"
     )
     return topk_per_query(scored, TOP_K).select("query_id", "neighbor_id", "cos_u", "rnk")
+
+
+def _sql_probe_list(bucket_expr: str) -> str:
+    flips = ", ".join(f"xor({bucket_expr}, {1 << j})" for j in range(RP_PLANES))
+    return f"[{bucket_expr}, {flips}]"
+
+
+@query(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             unnest({_sql_probe_list(_sql_lsh_bucket('embedding'))}) AS probe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cos_u('q.qv', 'e.embedding')} AS cos_u
+      FROM q JOIN b e ON e.bucket = q.probe AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_u, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_u DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query searches its own bucket plus the
+    RP_PLANES buckets one sign-bit away (the buckets a borderline
+    vector most likely fell into) — ~(1+k)× the probes for sharply
+    better recall, still pure equi-joins. The standard recall/cost
+    dial for LSH at scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(RP_PLANES)],
+    )
+    q = (
+        b.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("bucket").alias("qbucket"),
+            F.col("embedding").alias("qv"),
+        )
+        .select("query_id", "qv", F.explode(probes).alias("probe"))
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_u(F.col("qv"), F.col("embedding")).alias("cos_u"),
+        )
+        .distinct()
+    )
+    return topk_per_query(scored, TOP_K).select("query_id", "neighbor_id", "cos_u", "rnk")
