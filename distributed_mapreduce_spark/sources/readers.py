@@ -77,3 +77,14 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the harness tables from a scale-factor directory."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def scan_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written with DIFFERENT
+    (evolving) schemas: `mergeSchema` unions the per-file schemas and
+    null-fills columns absent from older files.
+
+    Costs a footer read per file at planning time — fine for landing
+    dirs, wasteful on huge static tables (there, declare the schema).
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)
