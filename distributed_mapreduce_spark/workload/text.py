@@ -335,3 +335,63 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", F.col("tf").cast("long").alias("tf"),
                 F.col("df").cast("long").alias("df"), "rnk")
     )
+
+
+@query(
+    "pipeline_corpus_prep",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             len({_sql_tokens('text')}) AS n_tokens,
+             {_sql_bp(_sql_count_in(_sql_tokens('text'), STOPWORDS), f"len({_sql_tokens('text')})")} AS stop_bp
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, text FROM scored WHERE n_tokens >= 40 AND stop_bp >= 300
+    ), deduped AS (
+      SELECT min(doc_id) AS doc_id, any_value(text) AS text
+      FROM kept GROUP BY md5(text)
+    )
+    SELECT split, count(*) AS n_docs FROM (
+      SELECT CASE WHEN ('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN ('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM deduped
+    ) GROUP BY split
+    """,
+)
+def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep chain as ONE declarative plan: quality
+    filter (length + stopword ratio) → exact dedup (md5 groupBy, min
+    doc_id survives) → deterministic split assignment → per-split
+    counts. Catalyst fuses the filter into the scan and pipelines the
+    rest — at 100 TB the chain is exactly this plan with more
+    partitions, not a different program.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        _bp(_count_in(toks, STOPWORDS), F.size(toks)).alias("stop_bp"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 40) & (F.col("stop_bp") >= 300))
+    deduped = kept.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return deduped.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
