@@ -564,3 +564,91 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_df = shingle_table(docs)
     pairs = _verify_pairs(sh_df, minhash_candidate_pairs(sh_df))
     return connected_components(pairs.select("doc_a", "doc_b"))
+
+
+#: BFS hop bound for cluster-distance queries: both engines bound the
+#: search identically, so paths longer than this are excluded from BOTH
+#: sides (near-dup clusters are shallow; at sf0.1 the deepest observed
+#: chain is 3 hops).
+MAX_HOPS = 10
+
+
+def bfs_hops_to_root(pairs: DataFrame, max_hops: int = MAX_HOPS) -> DataFrame:
+    """(doc_id, cluster_id, hops): BFS distance from each node to its
+    cluster representative (min doc_id), by bounded min-plus iteration.
+
+    The relaxation loop is the distributed Bellman-Ford specialization
+    for unit weights: each round joins current distances across edges
+    and keeps the min. `localCheckpoint` per round bounds lineage (same
+    pattern as `connected_components`).
+    """
+    labels = connected_components(pairs, max_iter=max_hops + 1)
+    fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+    rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
+    edges = fwd.unionAll(rev).persist()
+
+    dist = labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("doc_id") == F.col("cluster_id"), 0)
+        .otherwise(None)
+        .cast("int")
+        .alias("hops"),
+    ).localCheckpoint()
+    for _ in range(max_hops):
+        msgs = (
+            edges.join(dist, edges.s == dist.doc_id)
+            .filter(F.col("hops").isNotNull())
+            .select(
+                F.col("t").alias("doc_id"),
+                F.col("cluster_id"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+        )
+        dist = (
+            dist.unionByName(msgs)
+            .groupBy("doc_id", "cluster_id")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return dist.filter(F.col("hops").isNotNull())
+
+
+@query(
+    "dedup_cluster_hops",
+    oracle=_sql_minhash_pairs().replace("WITH bh", "WITH RECURSIVE bh", 1)
+    + f", verified AS ({_SQL_VERIFY_TAIL})"
+    + f"""
+    , edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM verified
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM verified
+    ), reach(s, t, d) AS (
+      SELECT s, t, 1 FROM edges
+      UNION
+      SELECT r.s, e.t, r.d + 1 FROM reach r JOIN edges e ON r.t = e.s
+      WHERE r.d < {MAX_HOPS}
+    ), roots AS (
+      SELECT s AS doc_id, least(s, min(t)) AS cluster_id FROM reach GROUP BY s
+    )
+    SELECT r.doc_id, r.cluster_id,
+           CAST(CASE WHEN r.doc_id = r.cluster_id THEN 0
+                ELSE (SELECT min(d) FROM reach
+                      WHERE reach.s = r.doc_id AND reach.t = r.cluster_id)
+                END AS INTEGER) AS hops
+    FROM roots r
+    """,
+)
+def q_dedup_cluster_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance to each near-dup cluster's representative — a
+    second iterative algorithm (bounded Bellman-Ford) with an exact
+    bounded-recursive-CTE oracle. Useful downstream: hops measure how
+    indirect a document's duplication is (1 = direct near-dup of the
+    keeper, 2+ = transitive)."""
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    pairs = _verify_pairs(sh_df, minhash_candidate_pairs(sh_df)).select(
+        "doc_a", "doc_b"
+    )
+    return bfs_hops_to_root(pairs)
