@@ -754,3 +754,56 @@ def q_correlated_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_CORRELATED_SQL)
+
+
+@query(
+    "topk_nulls_last",
+    oracle="""
+    SELECT o_orderkey, k FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS k
+      FROM orders
+    )
+    ORDER BY k DESC NULLS LAST, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over a NULLABLE key with explicit NULLS LAST: Spark orders
+    nulls FIRST by default in descending sorts while DuckDB orders them
+    LAST — any ordering over nullable keys must spell the placement out
+    or the two engines silently disagree."""
+    orders = table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("k"),
+    )
+    return keyed.orderBy(F.col("k").desc_nulls_last(), F.col("o_orderkey")).limit(10)
+
+
+@query(
+    "filtered_distinct_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_cust_all,
+           count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F') AS n_cust_f,
+           count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O') AS n_cust_o
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_filtered_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional exact distinct counts in one aggregation: the FILTER
+    clause becomes count_distinct over a NULL-when-excluded key (NULLs
+    don't count) — three distinct-count columns, one pass, one Expand."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_cust_all"),
+        F.count_distinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("n_cust_f"),
+        F.count_distinct(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+        ).alias("n_cust_o"),
+    )
