@@ -807,3 +807,42 @@ def q_filtered_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
         ).alias("n_cust_o"),
     )
+
+
+@query(
+    "supplier_share_of_nation",
+    oracle="""
+    WITH per_supp AS (
+      SELECT s_nationkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS qty
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_nationkey, l_suppkey
+    )
+    SELECT s_nationkey, l_suppkey, qty,
+           CAST(floor(qty * 10000.0 / sum(qty) OVER (PARTITION BY s_nationkey)) AS BIGINT) AS share_bp
+    FROM per_supp
+    """,
+)
+def q_supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-grain aggregate: per-supplier quantity, then each supplier's
+    share of its NATION's total as a window over the aggregated rows
+    (the percent-of-total pattern one level up — the window sees
+    |suppliers| rows, never |lineitems|). Exact decimal sums, integer
+    basis points."""
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    per_supp = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(30,2)")
+            .alias("qty")
+        )
+    )
+    w = Window.partitionBy("s_nationkey")
+    share = F.floor(
+        F.col("qty").cast("double") * 10000.0
+        / F.sum("qty").over(w).cast("double")
+    ).cast("long")
+    return per_supp.select("s_nationkey", "l_suppkey", "qty", share.alias("share_bp"))
