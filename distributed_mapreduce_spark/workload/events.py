@@ -211,3 +211,30 @@ def q_sessionize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction."""
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_SESSIONIZE_SQL)
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key: the CDC/compaction primitive (last event
+    wins). Deterministic via the (ts, event_id) total order —
+    `dropDuplicates` can't express "latest", only "any". One shuffle
+    on the key, per-partition sort, no global sort."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )

@@ -129,3 +129,31 @@ def test_sink_merged_csv_single_file_roundtrip(spark, tmp_path):
     sink_parquet(df, pq, partition_by=["detection"])
     import os
     assert any(d.startswith("detection=") for d in os.listdir(pq))
+
+
+def test_cli_put_store_select_roundtrip(tmp_path):
+    """End-user CLI smoke: put a CSV, list it, run a SELECT — in a
+    subprocess, exactly as a user would (fresh JVM, no test session)."""
+    import csv
+    import subprocess
+    import sys
+
+    src = tmp_path / "traffic_mini.csv"
+    with open(src, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["Detection_", "Interconne"])
+        w.writerows([["Video", "Fiber"], ["Loop", "Radio"], ["Video", "Radio"]])
+
+    wh = str(tmp_path / "wh")
+    base = [sys.executable, "-m", "distributed_mapreduce_spark", "--warehouse", wh, "--cpus", "2"]
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")}
+
+    r = subprocess.run(base + ["put", str(src), "traffic"], capture_output=True, text=True, env=env, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(base + ["store"], capture_output=True, text=True, env=env, timeout=240)
+    assert r.returncode == 0 and "traffic" in r.stdout, r.stderr[-2000:]
+    r = subprocess.run(base + ["select", "traffic", "Video,Radio"], capture_output=True, text=True, env=env, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # Whole-line regex: only the row where Video is adjacent to Radio.
+    assert "Video" in r.stdout and "Loop" not in r.stdout
