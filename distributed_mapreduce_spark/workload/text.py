@@ -11,7 +11,7 @@ float division then rounding is not portable across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.workload.registry import query, table
@@ -394,4 +394,102 @@ def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return deduped.select(split.alias("split")).groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+#: Chunking geometry: window of CHUNK_W tokens, stride CHUNK_S (25%
+#: overlap) — the RAG/pretraining chunker shape.
+CHUNK_W, CHUNK_S = 32, 24
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(toks[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_W}], ' ') AS chunk,
+           CAST(least(len(toks) - i * {CHUNK_S}, {CHUNK_W}) AS INTEGER) AS n_tokens
+    FROM t, range(0, 100) r(i)
+    WHERE i * {CHUNK_S} < len(toks)
+      AND (i = 0 OR i * {CHUNK_S} + {CHUNK_W} <= len(toks) + {CHUNK_S} - 1)
+    """,
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({CHUNK_W}-token windows,
+    {CHUNK_S} stride): the doc→chunks explosion every RAG/pretraining
+    pipeline runs. JVM-side: sequence of starts → slice+join per chunk
+    → explode; chunk count per doc is ceil((len-W)/S)+1 capped by the
+    start-in-range rule, mirrored exactly in the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    starts = F.filter(
+        F.transform(F.sequence(F.lit(0), F.lit(99)), lambda i: i * CHUNK_S),
+        lambda s: (s < n)
+        & ((s == 0) | (s + CHUNK_W <= n + CHUNK_S - 1)),
+    )
+    chunks = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+        n.alias("n"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, CHUNK_W), " "
+        ).alias("chunk"),
+        F.least(F.col("n") - F.col("start"), F.lit(CHUNK_W)).cast("int").alias("n_tokens"),
+    )
+
+
+#: Packing budget in tokens per training sequence.
+PACK_BUDGET = 512
+
+
+@query(
+    "text_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_sql_tokens('text')}) AS n_tokens FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM t
+    )
+    SELECT CAST((c - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM cum GROUP BY 1
+    """,
+)
+def q_text_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in stable doc_id order) to
+    ~{PACK_BUDGET}-token training packs by cumulative-token binning —
+    the throughput trick that keeps pretraining batches dense. The
+    running sum is a window in doc order; pack boundaries are pure
+    integer arithmetic, so the oracle is exact. (A production packer
+    would partition the cumsum per shard; the global order here is the
+    deterministic parity form.)"""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = t.select(
+        "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("c")
+    )
+    return (
+        cum.select(
+            F.floor((F.col("c") - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
+            "n_tokens",
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
     )
