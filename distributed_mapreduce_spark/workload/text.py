@@ -417,8 +417,8 @@ CHUNK_W, CHUNK_S = 32, 24
     """,
 )
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking ({CHUNK_W}-token windows,
-    {CHUNK_S} stride): the doc→chunks explosion every RAG/pretraining
+    """Overlapping token-window chunking (32-token windows, stride 24):
+    the doc→chunks explosion every RAG/pretraining
     pipeline runs. JVM-side: sequence of starts → slice+join per chunk
     → explode; chunk count per doc is ceil((len-W)/S)+1 capped by the
     start-in-range rule, mirrored exactly in the oracle."""
@@ -470,7 +470,7 @@ PACK_BUDGET = 512
 )
 def q_text_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs (in stable doc_id order) to
-    ~{PACK_BUDGET}-token training packs by cumulative-token binning —
+    ~512-token training packs by cumulative-token binning —
     the throughput trick that keeps pretraining batches dense. The
     running sum is a window in doc order; pack boundaries are pure
     integer arithmetic, so the oracle is exact. (A production packer
