@@ -846,3 +846,41 @@ def q_supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sum("qty").over(w).cast("double")
     ).cast("long")
     return per_supp.select("s_nationkey", "l_suppkey", "qty", share.alias("share_bp"))
+
+
+@query(
+    "map_functions_suite",
+    oracle="""
+    SELECT o_orderkey,
+           m['status'][1] AS status_v,
+           m['priority'][1] AS priority_v,
+           m['absent'][1] AS missing_v,
+           CAST(cardinality(m) AS INTEGER) AS n_entries,
+           list_sort(map_keys(m)) AS keys_sorted
+    FROM (
+      SELECT o_orderkey,
+             map(['status', 'priority'], [o_orderstatus, o_orderpriority]) AS m
+      FROM orders
+    )
+    """,
+)
+def q_map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: construction, key lookup (present + absent →
+    NULL), cardinality, sorted key list. Map values are projected to
+    scalars/arrays before returning — map column ORDER is
+    engine-defined, so comparing raw maps across engines is a trap;
+    projecting through lookups is the portable form."""
+    orders = table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    t = orders.select("o_orderkey", m.alias("m"))
+    return t.select(
+        "o_orderkey",
+        F.element_at("m", "status").alias("status_v"),
+        F.element_at("m", "priority").alias("priority_v"),
+        F.element_at("m", "absent").alias("missing_v"),
+        F.size("m").alias("n_entries"),
+        F.array_sort(F.map_keys("m")).alias("keys_sorted"),
+    )
