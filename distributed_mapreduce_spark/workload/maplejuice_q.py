@@ -64,3 +64,45 @@ def q_maplejuice_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.sum("cnt").over(Window.partitionBy())
     return grouped.withColumn("pct", pct_of_total_str(F.col("cnt"), total))
+
+
+@query(
+    "maplejuice_exe_pipeline",
+    oracle="""
+    SELECT o_orderpriority AS key, count(*) AS cnt
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_maplejuice_exe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTABLE surface (rdd.pipe), oracle-checked: maple runs an
+    awk program over raw lines (filter status=='F', emit
+    "priority\\t1"), juice pipes each reducer's key groups through a
+    second awk that sums per key — the reference's run-any-binary
+    contract (fileserver.py:364-379, 557-571) with the key-in-filename
+    protocol replaced by tab-separated lines that survive distribution.
+    """
+    from distributed_mapreduce_spark.maplejuice import juice_exe, maple_exe
+
+    orders = table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    lines = orders.select(
+        F.concat_ws(",", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "value"
+        )
+    )
+    # maple exe: CSV line -> "key\tvalue" pairs (awk is universally present)
+    kv = maple_exe(
+        lines,
+        """awk -F',' '$1 == "F" { print $2 "\t1" }'""",
+        num_maples=4,
+    )
+    # juice exe: per-reducer "key\tvalue" lines -> per-key summed counts
+    counts = juice_exe(
+        kv,
+        """awk -F'\t' '{ s[$1] += $2 } END { for (k in s) print k "\t" s[k] }'""",
+        num_juices=4,
+        partition="hash",
+    )
+    return counts.select(
+        F.col("key"), F.col("value").cast("long").alias("cnt")
+    ).withColumnRenamed("key", "key")
