@@ -238,3 +238,40 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
     )
+
+
+@query(
+    "busiest_hours_per_type",
+    oracle="""
+    SELECT event_type, ws, n_events, rnk FROM (
+      SELECT event_type, ws, n_events,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n_events DESC, ws) AS INTEGER) AS rnk
+      FROM (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rnk <= 3
+    """,
+)
+def q_busiest_hours_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k groups within group: aggregate to (type, hour) counts, then
+    rank hours within each type and keep the top 3 — the aggregate →
+    window-over-aggregate composition (the window sees |groups| rows;
+    the deterministic (count desc, window-start) order makes the cut
+    exact)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.window("ts", "1 hour").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("w.start")
+    )
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "event_type", F.col("w.start").alias("ws"), "n_events", "rnk"
+        )
+    )
