@@ -91,7 +91,17 @@ class Engine:
         """Reduce phase over a KV dataset. `dest` stores the merged
         result as a named dataset (the reference's conglomerate+put,
         fileserver.py:598-635); `delete_input` mirrors the delete flag
-        (fileserver.py:642-650)."""
+        (fileserver.py:642-650).
+
+        `delete_input=True` requires `dest`: without a materialized
+        destination the returned DataFrame is a lazy plan that still
+        reads the source parquet, so deleting it would leave the caller
+        with a dangling result."""
+        if delete_input and dest is None:
+            raise ValueError(
+                "juice(delete_input=True) requires dest: the lazy result "
+                "still reads the input until it is materialized"
+            )
         kv = self.get(src) if isinstance(src, str) else src
         out = mj.juice(kv, fn, num_juices, partition, output_schema)
         if dest is not None:

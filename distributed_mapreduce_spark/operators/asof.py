@@ -40,7 +40,11 @@ def asof_join(
 
     Tie rule: a right row at exactly left_ts matches (inclusive), which
     the union encodes by sorting right rows before left rows at equal
-    timestamps (in the direction of travel).
+    timestamps (in the direction of travel). When several RIGHT rows
+    share (key, right_ts), the window order breaks the tie by the
+    attached value columns (last in column order wins) so the result is
+    deterministic; rows identical in every attached column tie
+    harmlessly.
 
     `tolerance_seconds` nulls out matches farther than the tolerance
     (applied after the window, like pandas) — matches stay positional,
@@ -69,9 +73,14 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
 
     ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
+    # Deterministic tiebreak among right rows at the same (key, ts):
+    # order by the attached values themselves (ADVICE r01 — without
+    # this, which right row "wins" a timestamp tie is partition-order
+    # dependent).
+    tiebreak = [F.col(f"{c}{suffix}") for c in value_cols]
     w = (
         Window.partitionBy(on)
-        .orderBy(ts_order, F.col("_side"))
+        .orderBy(ts_order, F.col("_side"), *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -108,9 +117,16 @@ def range_join_binned(
     """Equi-join `on` key with `lower <= left_ts - right_ts <= upper`
     (seconds), executed as a bucket equi-join + exact filter.
 
-    `bin_seconds` must be >= (upper - lower); each left row probes two
-    buckets, so the work is O(matches + rows), never a cross product.
+    Each right row is replicated into every bucket offset a matching
+    left row could fall in — `floor(lower/bin) .. floor(upper/bin)+1`,
+    derived from the interval, so the join is complete for ANY lower <=
+    upper (negative bounds included), with (upper-lower)/bin_seconds + 2
+    probes per row. Work stays O(matches + rows·probes), never a cross
+    product; pick `bin_seconds` ≈ the window width so probes ≈ 2.
     """
+    lower, upper = int(lower), int(upper)
+    if lower > upper:
+        raise ValueError(f"lower ({lower}) must be <= upper ({upper})")
     lsec = F.unix_micros(F.col(left_ts))
     rsec = F.unix_micros(F.col(right_ts))
     lb = (lsec / F.lit(bin_seconds * 1_000_000)).cast("long")
@@ -118,9 +134,12 @@ def range_join_binned(
 
     l2 = left.withColumn("_lb", lb)
     r2 = right.withColumn("_rb", rb)
-    # probe the right bucket and its successor (covers windows spanning
-    # a bucket boundary)
-    r_dup = r2.withColumn("_probe", F.explode(F.array(F.col("_rb"), F.col("_rb") + 1)))
+    # All bucket offsets a match can span: floor bounds of the interval
+    # ends plus the boundary-crossing successor.
+    offsets = range(lower // bin_seconds, upper // bin_seconds + 2)
+    r_dup = r2.withColumn(
+        "_probe", F.explode(F.array(*[F.col("_rb") + F.lit(o) for o in offsets]))
+    )
     joined = l2.join(
         r_dup,
         [l2[on] == r_dup[on], l2["_lb"] == r_dup["_probe"]],

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def partition_hash(df: DataFrame, key_col: str, num_partitions: int) -> DataFrame:
@@ -81,3 +82,71 @@ def row_range_shard(
         shard_col,
         ((rn - F.lit(1)) * num_shards / total).cast("long").cast("int"),
     )
+
+
+def row_range_shard_scalable(
+    df: DataFrame,
+    order_cols: list[str],
+    num_shards: int,
+    shard_col: str = "shard",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale path for :func:`row_range_shard` — identical assignment
+    (`shard = (rank - 1) * n // total` in the `order_cols` total order,
+    reference `partition_csv` semantics, fileserver.py:265-289) with NO
+    single-task global sort.
+
+    Plan (the distributed zipWithIndex):
+
+    1. `repartitionByRange` on the order columns (sampled bounds — the
+       parallel sort) + `sortWithinPartitions`.
+    2. One Arrow `mapInPandas` pass attaches a per-partition local row
+       number — narrow, order-preserving, no shuffle.
+    3. Per-partition row counts (tiny: one row per partition) turn into
+       cumulative offsets with a window over that P-row relation —
+       global, but over ~hundreds of rows, the benign pct-of-total
+       shape.
+    4. A broadcast join attaches (offset, total); the global rank is
+       `offset + local_rn`, all per-row arithmetic.
+
+    The heavy data is touched by exactly one range shuffle; determinism
+    needs `order_cols` to be a total order (same contract as the parity
+    op — equal keys land in the same range partition, so any residual
+    tie-order never crosses a shard boundary decision for distinct
+    keys).
+    """
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, *[F.col(c) for c in order_cols]).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    out_schema = StructType(
+        with_pid.schema.fields + [StructField("_lrn", LongType(), False)]
+    )
+
+    def attach_local_rn(batches):
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_lrn"] = range(seen + 1, seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    numbered = with_pid.mapInPandas(attach_local_rn, schema=out_schema)
+
+    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy()).alias("_total"),
+    )
+
+    joined = numbered.join(F.broadcast(offsets), "_pid")
+    rn = F.col("_off") + F.col("_lrn")
+    return joined.withColumn(
+        shard_col,
+        ((rn - F.lit(1)) * num_shards / F.col("_total")).cast("long").cast("int"),
+    ).drop("_pid", "_lrn", "_off", "_total")

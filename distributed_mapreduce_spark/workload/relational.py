@@ -114,10 +114,13 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: local-supplier revenue by nation within a region.
 
-    Six-way join where every dimension (customer keys, supplier keys,
-    nation, region) broadcasts; the only big shuffle is lineitem ⋈
-    orders on orderkey, and the region filter prunes nations before the
-    fact tables are touched.
+    Fixed-size dimensions (supplier, nation, region) carry explicit
+    broadcast hints; customer does NOT — its size scales with SF
+    (sf100 ≈ 15 M rows), so the hint that wins at sf0.1 would OOM the
+    build side at 100×. AQE still picks broadcast for customer at small
+    SF and falls back to shuffle join when it grows. The only
+    unavoidable big shuffle is lineitem ⋈ orders on orderkey, and the
+    region filter prunes nations before the fact tables are touched.
     """
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -127,8 +130,12 @@ def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
 
     df = (
-        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        # merge hint: lineitem is the fact — force the sort-merge path
+        # (shuffles on the join key, spills gracefully, never OOMs) so
+        # the planner can't broadcast a table that only LOOKS small at
+        # bench SF (pruned-scan estimate < 10 MB at sf0.1).
+        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -163,7 +170,8 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     The HAVING subquery is a groupBy + filter whose (orderkey) result is
     semi-joined back into the fact — at scale the aggregate is partial
     (map-side combine) and the semi-join's build side is only the rare
-    qualifying keys.
+    qualifying keys. Customer is joined without a broadcast hint (it
+    scales with SF); AQE broadcasts it while it fits.
     """
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -177,8 +185,11 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "semi")
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        # merge hint: same fact-broadcast guard as tpch_q5 — the 2-col
+        # pruned lineitem scan under-estimates below the broadcast
+        # threshold at bench SF.
+        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_name", "o_orderkey", "o_orderdate")
         .agg(F.sum(qty).cast("decimal(30,2)").alias("total_qty"))
     )
@@ -251,7 +262,7 @@ def q_scalar_subquery_lowqty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(stats, F.col("l_partkey") == F.col("sp_partkey"))
         .filter(qty * 5 * F.col("n") < F.col("sq"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand")
         .agg(
             F.sum(F.col("l_extendedprice").cast(_DEC))
@@ -391,14 +402,16 @@ def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional aggregation (promo revenue share)
-    over a broadcast fact ⋈ dimension join — one pass, no second scan
-    for the denominator; the share reported in exact basis points."""
+    over a fact ⋈ part join — one pass, no second scan for the
+    denominator; the share reported in exact basis points. part scales
+    with SF, so no explicit broadcast hint — AQE broadcasts while it
+    fits and shuffle-joins beyond that."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _revenue()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
     agg = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(promo).cast("decimal(30,4)").alias("promo_revenue"),
             F.sum(rev).cast("decimal(30,4)").alias("total_revenue"),
@@ -433,7 +446,7 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    j = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     qty = F.col("l_quantity")
     size = F.col("p_size")
     brand = F.col("p_brand")

@@ -317,8 +317,9 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact integer keys instead of a float idf (log() is not
     bit-portable across engines; the integer (tf, df) sort induces the
     same ranking for fixed tf). Plan: one explode, two aggregations
-    (per-doc tf, global df), a broadcast-able df join, and a per-doc
-    window top-k — no global sort."""
+    (per-doc tf, global df), a df join left to AQE (the vocabulary
+    grows with the corpus — broadcast while small, shuffle join at
+    scale), and a per-doc window top-k — no global sort."""
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -328,7 +329,7 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("tok")
     )
-    joined = tf.join(F.broadcast(df), "tok")
+    joined = tf.join(df, "tok")
     return (
         joined.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
@@ -337,14 +338,159 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing: ordered regex redaction classes. Patterns restricted to
+# syntax with identical semantics in Java regex (Spark) and RE2 (DuckDB)
+# so the oracle is a genuinely independent second implementation.
+# Email first (its local part contains digits), then IP (dots), then
+# SSN-shaped ids, then phone numbers — each later class sees the
+# previous classes' redactions, never their raw text.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    (r"\d{3}-\d{2}-\d{4}", "<ID>"),
+    (r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact email / IPv4 / SSN-shaped / phone-shaped spans, in the
+    fixed PII_PATTERNS order. Pure Catalyst `regexp_replace` chain —
+    JVM-side, codegen-fused, no Python in the hot path."""
+    out = col
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def _sql_scrub(c: str) -> str:
+    out = c
+    for pat, rep in PII_PATTERNS:
+        escaped = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped}', '{rep}', 'g')"
+    return out
+
+
+@query(
+    "text_scrub_pii",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 415-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ssn 987-65-4321 from 192.168.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST((doc_id * 7) % 256 AS VARCHAR) AS dirty
+      FROM documents
+    )
+    SELECT doc_id, {_sql_scrub('dirty')} AS scrubbed,
+           NOT regexp_matches({_sql_scrub('dirty')}, '[0-9@]') AS clean
+    FROM injected
+    """,
+)
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub, differentially verified end-to-end. The fixture corpus
+    contains no digits or '@' (checked: zero across all SFs), so the
+    query first INJECTS deterministic doc_id-derived PII — an email, a
+    phone, an SSN-shaped id, an IPv4 — then scrubs, and returns the
+    scrubbed text plus a `clean` audit bit (no digit or '@' may
+    survive). The oracle re-runs injection + scrub in DuckDB's RE2
+    engine, so the value hash proves both the redaction order and the
+    pattern semantics match across two regex engines."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        did.cast("string"),
+        F.lit("@example.com or 415-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 987-65-4321 from 192.168."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        ((did * 7) % 256).cast("string"),
+    )
+    scrubbed = scrub_pii(dirty)
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (~scrubbed.rlike("[0-9@]")).alias("clean"),
+    )
+
+
+def build_corpus_prep(docs: DataFrame, with_telemetry: bool = False):
+    """Corpus-prep plan builder: PII scrub → quality filter (length +
+    stopword ratio) → exact dedup (md5 groupBy, min doc_id survives) →
+    deterministic split assignment → per-split counts.
+
+    With `with_telemetry`, attaches `df.observe()` per-stage counters
+    (rows in, rows dropped by the quality filter, rows surviving) and
+    returns `(df, observations)`. Observation metrics ride the action
+    itself — unlike accumulators they are exactly-once under task
+    retries and cost no extra job. Returns `df` alone otherwise.
+    """
+    from pyspark.sql import Observation
+
+    toks = _tokens(F.col("text"))
+    scrubbed = docs.select("doc_id", scrub_pii(F.col("text")).alias("text"))
+    scored = scrubbed.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        _bp(_count_in(toks, STOPWORDS), F.size(toks)).alias("stop_bp"),
+    )
+    observations: dict[str, Observation] = {}
+    if with_telemetry:
+        keep_cond = (F.col("n_tokens") >= 40) & (F.col("stop_bp") >= 300)
+        obs = Observation("quality_gate")
+        scored = scored.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.when(~keep_cond, 1).otherwise(0)).alias("dropped_quality"),
+            F.sum(F.when(keep_cond, 1).otherwise(0)).alias("rows_kept"),
+        )
+        observations["quality_gate"] = obs
+    kept = scored.filter((F.col("n_tokens") >= 40) & (F.col("stop_bp") >= 300))
+    deduped = kept.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    if with_telemetry:
+        obs_d = Observation("dedup_gate")
+        deduped = deduped.observe(obs_d, F.count(F.lit(1)).alias("rows_unique"))
+        observations["dedup_gate"] = obs_d
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    out = deduped.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (out, observations) if with_telemetry else out
+
+
+
 @query(
     "pipeline_corpus_prep",
     oracle=f"""
-    WITH scored AS (
+    WITH scrubbed AS (
+      SELECT doc_id, {_sql_scrub('text')} AS text FROM documents
+    ), scored AS (
       SELECT doc_id, text,
              len({_sql_tokens('text')}) AS n_tokens,
              {_sql_bp(_sql_count_in(_sql_tokens('text'), STOPWORDS), f"len({_sql_tokens('text')})")} AS stop_bp
-      FROM documents
+      FROM scrubbed
     ), kept AS (
       SELECT doc_id, text FROM scored WHERE n_tokens >= 40 AND stop_bp >= 300
     ), deduped AS (
@@ -360,41 +506,16 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full corpus-prep chain as ONE declarative plan: quality
-    filter (length + stopword ratio) → exact dedup (md5 groupBy, min
-    doc_id survives) → deterministic split assignment → per-split
-    counts. Catalyst fuses the filter into the scan and pipelines the
-    rest — at 100 TB the chain is exactly this plan with more
-    partitions, not a different program.
+    """The full corpus-prep chain as ONE declarative plan: PII scrub →
+    quality filter → exact dedup → deterministic split assignment →
+    per-split counts. Catalyst fuses scrub+filter into the scan and
+    pipelines the rest — at 100 TB the chain is exactly this plan with
+    more partitions, not a different program. (Scrub is the identity on
+    the digit-free fixture corpus; `text_scrub_pii` exercises it on
+    injected PII. Telemetry: see `build_corpus_prep(with_telemetry=
+    True)`, asserted in tests/test_workload.py.)
     """
-    docs = table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    scored = docs.select(
-        "doc_id",
-        "text",
-        F.size(toks).alias("n_tokens"),
-        _bp(_count_in(toks, STOPWORDS), F.size(toks)).alias("stop_bp"),
-    )
-    kept = scored.filter((F.col("n_tokens") >= 40) & (F.col("stop_bp") >= 300))
-    deduped = kept.groupBy(F.md5("text").alias("fp")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, "train")
-        .when(bucket < SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
-    return deduped.select(split.alias("split")).groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
+    return build_corpus_prep(table(spark, sf_dir, "documents"))
 
 
 #: Chunking geometry: window of CHUNK_W tokens, stride CHUNK_S (25%

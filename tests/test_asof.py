@@ -68,6 +68,30 @@ def test_range_join_binned_covers_bucket_boundary(spark):
     assert len(got) == 1
 
 
+def test_range_join_binned_interval_wider_than_bin(spark):
+    # ADVICE r01: [300, 600]s with 300s bins used to probe only 2
+    # buckets and silently drop matches; offsets now derive from the
+    # interval. right 420s before left => inside [300, 600].
+    left = spark.createDataFrame([(1, ts(10, 0), "p")], ["k", "lt", "lid"])
+    right = spark.createDataFrame([(1, ts(3, 0), "c")], ["k", "rt", "rid"])
+    got = range_join_binned(left, right, "k", "lt", "rt", 300, 600, 300).collect()
+    assert len(got) == 1
+    # and the exact predicate still excludes a 200s-before row
+    right2 = spark.createDataFrame([(1, ts(6, 40), "c")], ["k", "rt", "rid"])
+    assert range_join_binned(left, right2, "k", "lt", "rt", 300, 600, 300).count() == 0
+
+
+def test_range_join_binned_negative_lower(spark):
+    # negative lower => right may be AFTER left: window [-60, 60]
+    left = spark.createDataFrame([(1, ts(10, 0), "p")], ["k", "lt", "lid"])
+    right = spark.createDataFrame(
+        [(1, ts(10, 30), "after"), (1, ts(9, 30), "before"), (1, ts(12, 0), "far")],
+        ["k", "rt", "rid"],
+    )
+    got = {r["rid"] for r in range_join_binned(left, right, "k", "lt", "rt", -60, 60, 60).collect()}
+    assert got == {"after", "before"}
+
+
 def test_asof_forward_with_tolerance(spark):
     import datetime as dt
 

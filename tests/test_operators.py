@@ -20,6 +20,8 @@ from distributed_mapreduce_spark.operators.partitioning import (
     partition_hash,
     partition_range,
     range_bucket,
+    row_range_shard,
+    row_range_shard_scalable,
 )
 from distributed_mapreduce_spark.operators.setops import top_k, union_all
 
@@ -88,6 +90,33 @@ def test_partition_range_is_contiguous(spark):
     # partitions form non-overlapping contiguous key ranges
     for prev, cur in zip(rngs, rngs[1:]):
         assert prev["hi"] < cur["lo"]
+
+
+def test_row_range_shard_scalable_matches_parity_op(spark):
+    # Same (key → shard) assignment as the single-task parity operator,
+    # through the distributed zipWithIndex plan — on a key space shuffled
+    # out of order so the range shuffle actually has to re-sort.
+    df = spark.createDataFrame([((i * 37) % 1001,) for i in range(1001)], ["key"])
+    want = {(r["key"], r["shard"]) for r in row_range_shard(df, ["key"], 7).collect()}
+    got = {
+        (r["key"], r["shard"])
+        for r in row_range_shard_scalable(df, ["key"], 7, num_partitions=8).collect()
+    }
+    assert got == want
+
+
+def test_row_range_shard_scalable_has_no_single_task_sort(spark):
+    from distributed_mapreduce_spark.plans import explain_str
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["key"])
+    plan = explain_str(row_range_shard_scalable(df, ["key"], 4, num_partitions=8), mode="simple")
+    # The heavy data goes through a parallel range exchange and
+    # per-partition sorts only. In simple-mode plan strings a global
+    # sort prints as `Sort [...], true, 0` — the parity op has one, the
+    # scalable plan must have none (its only single-partition work is
+    # the P-row offsets window).
+    assert "rangepartitioning(key" in plan
+    assert ", true, 0" not in plan
 
 
 def test_bucket_assignments_are_deterministic(spark):

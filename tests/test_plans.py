@@ -39,8 +39,29 @@ def test_flagship_scan_reads_only_two_columns(spark, sf_dir):
 
 
 def test_dim_joins_broadcast(spark, sf_dir):
+    # No explicit hint on customer (it scales with SF) — but at tiny SF
+    # the size-based planner must still choose broadcast on its own.
     assert has_broadcast_join(QUERIES["join_inner"](spark, sf_dir))
     assert has_broadcast_join(QUERIES["join_multiway"](spark, sf_dir))
+
+
+def test_no_unbounded_broadcast_hint_on_scaling_tables(spark, sf_dir):
+    """VERDICT r01 #4: a broadcast hint on an SF-scaling table (e.g.
+    customer) wins at sf0.1 and OOMs at 100×. Explicit hints are only
+    allowed on fixed-size dims or filter/limit-bounded subtrees (the
+    8-row ANN query sets); everything else is AQE's call."""
+    from distributed_mapreduce_spark.plans import unbounded_scaling_broadcasts
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+        except Exception:
+            continue  # materializing/streaming entries, checked elsewhere
+        flagged = unbounded_scaling_broadcasts(df)
+        if flagged:
+            offenders[name] = flagged
+    assert offenders == {}
 
 
 def test_topk_avoids_global_sort(spark, sf_dir):

@@ -200,6 +200,28 @@ def test_stream_dedup_within_watermark_removes_redelivery(spark, tmp_path):
     assert got.filter("event_type = 'click'").count() == 2
     import os
     assert any(d.startswith("event_type=") for d in os.listdir(out))
+    # Each batch landed under its own _batch_id partition (the replay
+    # idempotence key).
+    assert "_batch_id" in got.columns
+
+
+def test_partitioned_parquet_sink_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) must overwrite its own
+    partitions, not append duplicates — the foreachBatch parquet-sink
+    idempotence contract."""
+    from distributed_mapreduce_spark.streaming.events_stream import parquet_batch_sink
+
+    out = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [(1, "click", 1.0), (2, "view", 2.0)], ["event_id", "event_type", "value"]
+    )
+    sink = parquet_batch_sink(out)
+    sink(batch, 0)
+    sink(batch, 0)  # replay of the same batch
+    assert spark.read.parquet(out).count() == 2
+    # a NEW batch id appends rather than clobbering earlier batches
+    sink(batch.filter("event_id = 1"), 1)
+    assert spark.read.parquet(out).count() == 3
 
 
 def test_stream_static_join_enriches_events(spark, events_dir):

@@ -37,3 +37,48 @@ def test_query_runs_and_schema_stable(spark, sf_dir, name):
 
 def test_every_query_has_oracle():
     assert set(ORACLES) == set(QUERIES)
+
+
+def test_corpus_prep_telemetry_matches_oracle_case_sums(spark, sf_dir):
+    """observe() per-stage counters must equal DuckDB-side CASE sums
+    computed over the same stage predicates (VERDICT r01 #8)."""
+    from distributed_mapreduce_spark.workload.registry import table
+    from distributed_mapreduce_spark.workload.text import (
+        STOPWORDS,
+        _sql_bp,
+        _sql_count_in,
+        _sql_scrub,
+        _sql_tokens,
+        build_corpus_prep,
+    )
+
+    df, obs = build_corpus_prep(table(spark, sf_dir, "documents"), with_telemetry=True)
+    df.count()  # one action drives every Observation
+    got_q = obs["quality_gate"].get
+    got_d = obs["dedup_gate"].get
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(
+        f"""
+        WITH scrubbed AS (
+          SELECT doc_id, {_sql_scrub('text')} AS text FROM documents
+        ), scored AS (
+          SELECT doc_id, text, len({_sql_tokens('text')}) AS n_tokens,
+                 {_sql_bp(_sql_count_in(_sql_tokens('text'), STOPWORDS), f"len({_sql_tokens('text')})")} AS stop_bp
+          FROM scrubbed
+        )
+        SELECT count(*) AS rows_in,
+               sum(CASE WHEN NOT (n_tokens >= 40 AND stop_bp >= 300) THEN 1 ELSE 0 END) AS dropped_quality,
+               sum(CASE WHEN n_tokens >= 40 AND stop_bp >= 300 THEN 1 ELSE 0 END) AS rows_kept,
+               (SELECT count(DISTINCT md5(text)) FROM scored
+                WHERE n_tokens >= 40 AND stop_bp >= 300) AS rows_unique
+        FROM scored
+        """
+    ).fetchone()
+    assert got_q["rows_in"] == want[0]
+    assert got_q["dropped_quality"] == want[1]
+    assert got_q["rows_kept"] == want[2]
+    assert got_d["rows_unique"] == want[3]

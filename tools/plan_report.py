@@ -29,6 +29,7 @@ def main() -> int:
         explain_str,
         pushed_filters,
         read_schema_columns,
+        unbounded_scaling_broadcasts,
         wholestage_codegen_count,
     )
     from distributed_mapreduce_spark.session import get_spark
@@ -56,6 +57,7 @@ def main() -> int:
             "codegen": wholestage_codegen_count(df),
             "pushed": len(pushed_filters(df)),
             "scan_cols": [len(c) for c in read_schema_columns(df)],
+            "scaling_bcast": unbounded_scaling_broadcasts(df),
         }
         rows.append((name, props))
 
@@ -68,6 +70,12 @@ def main() -> int:
         if isinstance(p, dict) and p["cartesian"] > 0
     ]
     print(f"\ncartesian products: {bad or 'none'}")
+    hinted = [
+        (n, p["scaling_bcast"])
+        for n, p in rows
+        if isinstance(p, dict) and p["scaling_bcast"]
+    ]
+    print(f"unbounded scaling-table broadcast hints: {hinted or 'none'}")
     return 0
 
 
