@@ -515,6 +515,50 @@ def q_parse_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from distributed_mapreduce_spark.sources.layout import (  # noqa: E402
+    _sql_morton2,
+    _sql_quantize,
+    morton2,
+    quantize,
+)
+
+#: zorder_assign geometry: 8 bits per dimension over fixed value ranges
+#: (o_custkey caps at 150k up to sf1; o_totalprice at ~600k), so the
+#: assignment is SF-independent arithmetic.
+_Z_BITS = 8
+_Z_CK = (1, 150_000)
+_Z_TP = (0, 600_000)
+
+
+@query(
+    "zorder_assign",
+    oracle=f"""
+    SELECT o_orderkey,
+           {_sql_morton2(
+               _sql_quantize('o_custkey', _Z_CK[0], _Z_CK[1], _Z_BITS),
+               _sql_quantize('CAST(floor(o_totalprice) AS BIGINT)', _Z_TP[0], _Z_TP[1], _Z_BITS),
+               _Z_BITS,
+           )} AS z
+    FROM orders
+    """,
+)
+def q_zorder_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) code over (o_custkey, o_totalprice) — the
+    multi-column-layout key behind `sources.layout.write_zordered`.
+    Quantize each dimension to 8 bits, interleave: pure JVM bit
+    arithmetic, differentially checked against DuckDB's independent
+    `>>`/`<<`/`&` evaluation. Clustering files by this key gives box
+    predicates on BOTH columns tight parquet min/max pruning
+    (demonstrated in tests/test_layout.py)."""
+    orders = table(spark, sf_dir, "orders")
+    z = morton2(
+        quantize(F.col("o_custkey"), *_Z_CK, _Z_BITS),
+        quantize(F.floor(F.col("o_totalprice")).cast("long"), *_Z_TP, _Z_BITS),
+        _Z_BITS,
+    )
+    return orders.select("o_orderkey", z.alias("z"))
+
+
 @query(
     "asof_next_purchase",
     oracle="""

@@ -1,0 +1,93 @@
+"""Z-order layout: a box predicate over two columns must touch far
+fewer files than a single-column sort layout allows, because Morton
+clustering keeps both dimensions' per-file min/max ranges tight."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.sources.layout import (
+    morton2,
+    quantize,
+    write_zordered,
+)
+
+N, BITS, FILES = 20_000, 8, 16
+
+
+def _grid(spark):
+    # deterministic pseudo-random 2-D points: two INDEPENDENT hash
+    # streams (a shared modulus would correlate the dimensions)
+    return spark.range(N).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id") + N), F.lit(1000)).alias("y"),
+    )
+
+
+def _files_with_matches(spark, path, cond):
+    return (
+        spark.read.parquet(path)
+        .filter(cond)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    df = _grid(spark)
+    z = morton2(quantize(F.col("x"), 0, 999, BITS), quantize(F.col("y"), 0, 999, BITS), BITS)
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, z, FILES)
+
+    # single-column sort layout (the x-optimised strawman)
+    xpath = str(tmp_path / "xsort")
+    (
+        df.repartitionByRange(FILES, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+
+    box = (F.col("x").between(100, 199)) & (F.col("y").between(100, 199))
+    y_only = F.col("y").between(100, 199)
+
+    # same rows in both layouts
+    n_box = spark.read.parquet(zpath).filter(box).count()
+    assert n_box == spark.read.parquet(xpath).filter(box).count() > 0
+
+    # x-sorted layout scatters y: a y-filter has matches in EVERY file;
+    # the z-order layout confines it to a strict subset
+    assert _files_with_matches(spark, xpath, y_only) == FILES
+    z_files_y = _files_with_matches(spark, zpath, y_only)
+    assert z_files_y < FILES / 2
+
+    # and the 2-D box stays tightly clustered under z-order: a ~1% box
+    # must not touch more than half the files (it touches ~1 of 16;
+    # bound kept loose for sampling-partitioner variance)
+    assert _files_with_matches(spark, zpath, box) <= FILES / 2
+
+
+def test_zorder_files_have_tight_minmax_footers(spark, tmp_path):
+    """Every z-clustered file must cover a narrow slice of BOTH
+    dimensions — that's what parquet row-group min/max stats prune on."""
+    df = _grid(spark)
+    z = morton2(quantize(F.col("x"), 0, 999, BITS), quantize(F.col("y"), 0, 999, BITS), BITS)
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, z, FILES)
+
+    spans = (
+        spark.read.parquet(zpath)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert len(spans) == FILES
+    # average per-file span well under the full 0..999 range in BOTH
+    # dimensions (a 1-D sort would leave the other dimension ~999)
+    avg_dx = sum(r["dx"] for r in spans) / len(spans)
+    avg_dy = sum(r["dy"] for r in spans) / len(spans)
+    assert avg_dx < 600 and avg_dy < 600
