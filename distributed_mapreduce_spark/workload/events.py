@@ -275,3 +275,95 @@ def q_busiest_hours_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("w.start").alias("ws"), "n_events", "rnk"
         )
     )
+
+
+@query(
+    "events_multi_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS hour,
+           CASE WHEN GROUPING(event_type) = 0 THEN event_type END AS event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', ts)),
+      (date_trunc('day', ts), date_trunc('hour', ts)),
+      (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+    )
+    """,
+)
+def q_events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: daily, hourly, and
+    hourly-per-type rollups of the event stream in ONE pass via
+    GROUPING SETS — the single-scan multi-resolution materialization a
+    time-series store keeps incrementally. At 100 TB this beats three
+    separate aggregations: one shuffle keyed on the finest grouping,
+    coarser levels folded from the same exchange. NULL level columns
+    are normalized through GROUPING() so rollup rows hash identically
+    across engines."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    df = ev.select(day.alias("day"), hour.alias("hour"), "event_type", "value")
+    # GROUPING SETS is SQL-only surface in Spark; run it through the
+    # session SQL front-end on a temp view (itself part of the tested
+    # surface — see `sessionize_sql`).
+    df.createOrReplaceTempView("_ev_rollup_in")
+    return spark.sql(
+        """
+        SELECT day,
+               CASE WHEN GROUPING(hour) = 0 THEN hour END AS hour,
+               CASE WHEN GROUPING(event_type) = 0 THEN event_type END AS event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS sum_value
+        FROM _ev_rollup_in
+        GROUP BY GROUPING SETS ((day), (day, hour), (day, hour, event_type))
+        """
+    )
+
+
+#: Per-class sampling rates in basis points (reproducible downsampling:
+#: keep all rare classes, thin the torrent).
+SAMPLE_BP = {"click": 2500, "view": 1000, "purchase": 10000, "signup": 10000, "error": 10000}
+
+
+@query(
+    "events_stratified_sample",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_sampled
+    FROM events
+    WHERE ('0x' || substr(md5('samp_' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < CASE event_type
+              WHEN 'click' THEN {SAMPLE_BP["click"]}
+              WHEN 'view' THEN {SAMPLE_BP["view"]}
+              ELSE 10000 END
+    GROUP BY event_type
+    """,
+)
+def q_events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the reproducible-downsample
+    every training pipeline needs (thin the hot classes, keep the rare
+    ones). NOT `sampleBy`: rand(seed) depends on row/partition order,
+    so reruns on different partitionings disagree. Hash-gating on a
+    salted key (`md5('samp_' || event_id) % 10000 < class_bp`) is
+    order-independent, engine-portable, and exactly re-derivable — the
+    same row set forever, verified here by exact per-class counts."""
+    ev = table(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("samp_"), F.col("event_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    bp = F.when(F.col("event_type") == "click", SAMPLE_BP["click"]).when(
+        F.col("event_type") == "view", SAMPLE_BP["view"]
+    ).otherwise(10000)
+    return (
+        ev.filter(h < bp)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

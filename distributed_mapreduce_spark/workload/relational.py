@@ -897,3 +897,157 @@ def q_map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").alias("n_entries"),
         F.array_sort(F.map_keys("m")).alias("keys_sorted"),
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(sum({_SQL_REVENUE}) AS DECIMAL(30,4)) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+    The returnflag filter is pushed to the lineitem scan; customer joins
+    without a broadcast hint (SF-scaling — AQE's call); nation is a
+    hinted broadcast; ORDER BY + LIMIT lowers to TakeOrderedAndProject
+    (per-partition heads, no global sort)."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_revenue()).cast("decimal(30,4)").alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(min_price) AS best_price
+      FROM cost GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS partkey, p_brand, s_name,
+           CAST(c.min_price AS DECIMAL(18,2)) AS price
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.min_price = b.best_price
+    JOIN part ON p_partkey = c.l_partkey
+    JOIN supplier ON s_suppkey = c.l_suppkey
+    WHERE p_size <= 10
+    """,
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table in the harness, so
+    lineitem stands in as the part-supplier price relation): for each
+    small part, every supplier achieving the minimum observed price —
+    the correlated-min subquery, decorrelated by hand into aggregate +
+    self-equi-join on (key, min). At scale both aggregations are
+    map-side partial over the same (partkey[, suppkey]) shuffle; ties
+    (several suppliers at the best price) are all kept, which is why
+    the join, not row_number, is the right decorrelation."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select("p_partkey", "p_brand")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("min_price")
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("min_price").alias("best_price")
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("min_price") == F.col("best_price")),
+        )
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "p_brand",
+            "s_name",
+            F.col("min_price").cast("decimal(18,2)").alias("price"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+      SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nation key instead of phone prefixes): customers
+    richer than the positive-balance average with no PENDING order
+    (every harness customer has ordered at least once, so the original
+    never-ordered predicate is vacuously empty), rolled up by nation.
+    The scalar AVG subquery is a 1-row aggregate attached via broadcast
+    cross join (same pattern as parse_extract_ids — never a global
+    window over raw rows); the NOT EXISTS is a left-anti join against
+    the filtered orders (filter pushed under the anti-join's build).
+
+    DECIMAL avg: Spark yields DECIMAL(22,6) for avg(DECIMAL(18,2)) and
+    DuckDB widens differently, but the comparison `c_acctbal > avg` is
+    exact either way because both engines compare at full precision."""
+    cust = table(spark, sf_dir, "customer")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey"))
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(18,2)")).alias("avg_bal")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
+    )
+    idle = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        idle.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(30,2)").alias("total_bal"),
+        )
+    )

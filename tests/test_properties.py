@@ -102,3 +102,52 @@ def test_maple_juice_sum_matches_python(spark, pairs):
     for k, v in pairs:
         expected[k] = expected.get(k, 0) + v
     assert out == expected
+
+
+def _py_quantize(x: int, lo: int, hi: int, bits: int) -> int:
+    n = 1 << bits
+    q = ((x - lo) * n) // (hi - lo + 1)
+    return max(0, min(n - 1, q))
+
+
+def _py_morton2(qa: int, qb: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((qa >> i) & 1) << (2 * i)
+        z |= ((qb >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=1100),
+            st.integers(min_value=-50, max_value=1100),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_morton_quantize_matches_python_reference(spark, pts):
+    from distributed_mapreduce_spark.sources.layout import morton2, quantize
+
+    bits = 6
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r["x"], r["y"], r["z"])
+        for r in df.select(
+            "x",
+            "y",
+            morton2(
+                quantize(F.col("x"), 0, 999, bits),
+                quantize(F.col("y"), 0, 999, bits),
+                bits,
+            ).alias("z"),
+        ).collect()
+    }
+    want = {
+        (x, y, _py_morton2(_py_quantize(x, 0, 999, bits), _py_quantize(y, 0, 999, bits), bits))
+        for x, y in pts
+    }
+    assert got == want
