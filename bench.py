@@ -39,6 +39,14 @@ HEADLINE = [
     "ann_lsh",
     "events_tumbling",
     "events_sessionize",
+    # round-2 additions (no round-1 baseline): layout, rollup, sampling,
+    # sketches, scrub, integrity
+    "zorder_assign",
+    "events_multi_rollup",
+    "events_stratified_sample",
+    "approx_distinct_counts",
+    "text_scrub_pii",
+    "table_checksum",
 ]
 
 

@@ -584,3 +584,89 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=[], direction="forward", tolerance_seconds=2 * 3600,
     )
     return out.select("event_id", "user_id", "ts", "ts_asof")
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+           CAST(sum(CASE WHEN o_orderstatus = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_status,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           CAST(min(o_orderdate) AS TIMESTAMP) AS first_order,
+           CAST(max(o_orderdate) AS TIMESTAMP) AS last_order,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total_price
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (the ANALYZE/data-quality summary every
+    ingestion step emits): row count, null/empty counts, distinct
+    cardinality, key and date ranges, exact decimal total — all in a
+    single aggregate, so a 100 TB profile costs one scan + one 1-row
+    reduction, not a query per metric."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).cast("long").alias("null_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "", 1).otherwise(0)).cast("long").alias("empty_status"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(30,2)").alias("total_price"),
+    )
+
+
+@query(
+    "table_checksum",
+    oracle="""
+    SELECT 'orders' AS tbl, count(*) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+           ), 1, 8))::BIGINT) AS BIGINT) AS checksum
+    FROM orders
+    UNION ALL
+    SELECT 'customer', count(*),
+           CAST(sum(('0x' || substr(md5(
+               CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR)
+           ), 1, 8))::BIGINT) AS BIGINT)
+    FROM customer
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per table: sum of per-row
+    md5-derived uint32s over a canonical string encoding. Commutative,
+    so it parallelizes as an ordinary map-side-partial aggregate and is
+    identical on any engine, partitioning, or row order — the
+    cross-cluster integrity check you run after a 100 TB migration or
+    replication pass (the Spark-native form of the reference's SDFS
+    re-replication audit, fileserver.py:739-790)."""
+
+    def cksum(df: DataFrame, tbl: str, enc: F.Column) -> DataFrame:
+        h = F.conv(F.substring(F.md5(enc), 1, 8), 16, 10).cast("long")
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).cast("long").alias("checksum"),
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    o_enc = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    c_enc = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+    )
+    return cksum(orders, "orders", o_enc).unionAll(cksum(cust, "customer", c_enc))
