@@ -367,3 +367,35 @@ def q_events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+@query(
+    "events_gap_fill_locf",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM events
+    """,
+)
+def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap repair: readings taken
+    during 'error' events are treated as missing and replaced by the
+    user's most recent good reading (time-series sensor-repair shape).
+    One window per user key — `last(ignorenulls)` over a running frame,
+    the same bounded-state plan as the as-of join; rows before any good
+    reading stay NULL."""
+    ev = table(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(good, ignorenulls=True).over(w).alias("value_filled"),
+    )

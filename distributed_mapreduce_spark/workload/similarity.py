@@ -448,3 +448,33 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return topk_per_query(scored, TOP_K).select("query_id", "neighbor_id", "cos_u", "rnk")
+
+
+@query(
+    "embedding_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           CASE WHEN {_sql_dot('embedding', 'embedding')} = 0 THEN embedding
+                ELSE list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / sqrt({_sql_dot('embedding', 'embedding')}))
+           END AS unit,
+           CAST(floor(sqrt({_sql_dot('embedding', 'embedding')}) * 1000000.0) AS BIGINT) AS norm_u
+    FROM embeddings
+    """,
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize the embedding column (the prep step before cosine =
+    dot shortcuts and before LSH/IVF bucketing on unit vectors). Pure
+    higher-order array expressions — the norm is the same explicit left
+    fold as every other dot product in this module, so the doubles are
+    bit-identical across engines; zero vectors pass through unchanged."""
+    emb = table(spark, sf_dir, "embeddings")
+    nrm2 = dot(F.col("embedding"), F.col("embedding"))
+    unit = F.when(nrm2 == 0, F.col("embedding")).otherwise(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(nrm2))
+    )
+    return emb.select(
+        "vec_id",
+        unit.alias("unit"),
+        F.floor(F.sqrt(nrm2) * 1000000.0).cast("long").alias("norm_u"),
+    )

@@ -614,3 +614,49 @@ def q_text_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("pack_tokens"),
         )
     )
+
+
+#: Mixture weights in basis points by source tier: heads (src0-4) kept
+#: whole, mids (src5-14) quartered, tails (src15+) at 5%.
+MIX_HEAD_BP, MIX_MID_BP, MIX_TAIL_BP = 10000, 2500, 500
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle=f"""
+    SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc
+    FROM documents
+    WHERE ('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN {MIX_HEAD_BP}
+                 WHEN CAST(substr(source, 4) AS INTEGER) < 15 THEN {MIX_MID_BP}
+                 ELSE {MIX_TAIL_BP} END
+    GROUP BY source
+    """,
+)
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture construction: per-source sampling rates
+    (up-weight curated sources, thin the crawl tail) applied as the
+    same order-independent hash gate as `events_stratified_sample` —
+    the mixture is a pure function of (doc_id, source), so a re-run on
+    any cluster reproduces the exact corpus. Returns per-source counts
+    for the mixture audit."""
+    docs = table(spark, sf_dir, "documents")
+    src_n = F.substring(F.col("source"), 4, 10).cast("int")
+    bp = (
+        F.when(src_n < 5, MIX_HEAD_BP)
+        .when(src_n < 15, MIX_MID_BP)
+        .otherwise(MIX_TAIL_BP)
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        docs.filter(h < bp)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc"))
+    )
