@@ -670,3 +670,73 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("string"),
     )
     return cksum(orders, "orders", o_enc).unionAll(cksum(cust, "customer", c_enc))
+
+
+@query(
+    "secondary_sort_first3",
+    oracle="""
+    SELECT l_suppkey,
+           (array_agg(l_orderkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                          l_partkey, l_quantity, l_extendedprice))[1:3] AS first3,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q_secondary_sort_first3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapReduce secondary-sort contract (values arrive at the
+    reducer ordered by a non-key column) in Spark: collect the full
+    order key as structs, `sort_array` (lexicographic struct order ==
+    multi-column ORDER BY), project + slice. One shuffle on the group
+    key; the per-group sort is local. The total order extends through
+    every lineitem column (see window_running) so the result is
+    deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.struct(
+        F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"),
+        F.col("l_partkey"), F.col("l_quantity"), F.col("l_extendedprice"),
+    )
+    arr = F.sort_array(F.collect_list(key))
+    return li.groupBy("l_suppkey").agg(
+        F.slice(F.transform(arr, lambda s: s.getField("l_orderkey")), 1, 3).alias("first3"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "decile_stats",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+      FROM orders
+    )
+    SELECT CAST(1 + len(list_filter(b.q, x -> o_totalprice > x)) AS INTEGER) AS decile,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning: decile boundaries from one aggregate,
+    broadcast back, bin id as a SUM OF INDICATORS (1 + #boundaries
+    below the value — no 10-way CASE, no per-row global window), then
+    per-bin stats. Spark's exact `percentile` ≡ DuckDB `quantile_cont`
+    bit-for-bit. At 100 TB the boundary step swaps to approx_percentile
+    (certified within 1% by `approx_percentile_prices`); the bin-assign
+    and rollup stages are unchanged."""
+    orders = table(spark, sf_dir, "orders")
+    ps = ", ".join(str(p / 10) for p in range(1, 10))
+    bounds = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({ps}))").alias("q")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(F.filter("q", lambda x: F.col("o_totalprice") > x))
+        ).cast("int").alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(30,2)").alias("total"),
+    )
