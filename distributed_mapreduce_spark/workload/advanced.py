@@ -740,3 +740,62 @@ def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(30,2)").alias("total"),
     )
+
+
+#: Random-walk mass scale: each supplier starts with 1e6 micro-units.
+WALK_MASS0 = 1_000_000
+
+
+@query(
+    "bipartite_walk_mass",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), sdeg AS (
+      SELECT s, count(*) AS d FROM edges GROUP BY s
+    ), pmass AS (
+      SELECT e.p, sum({WALK_MASS0} // sdeg.d) AS m
+      FROM edges e JOIN sdeg ON e.s = sdeg.s GROUP BY e.p
+    ), pdeg AS (
+      SELECT p, count(*) AS d FROM edges GROUP BY p
+    ), smass AS (
+      SELECT e.s, sum(pmass.m // pdeg.d) AS m
+      FROM edges e
+      JOIN pmass ON e.p = pmass.p
+      JOIN pdeg ON e.p = pdeg.p
+      GROUP BY e.s
+    )
+    SELECT s AS suppkey, CAST(m AS BIGINT) AS mass FROM smass
+    """,
+)
+def q_bipartite_walk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step random-walk mass on the supplier↔part bipartite graph
+    (distinct lineitem edges): every supplier starts with 1e6 micro-
+    units, spreads them equally over its parts, parts spread what they
+    received back over their suppliers — the PageRank/HITS power-
+    iteration step, hand-unrolled. All arithmetic is integer floor
+    division, so the iteration is bit-exact in any engine (float
+    PageRank is order-dependent and unportable). Each round is one
+    join + one aggregate on the edge list — the scalable Pregel step;
+    more rounds = repeat the same stage (cf. connected_components'
+    localCheckpoint loop for the dynamic-round variant)."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    pmass = (
+        edges.join(sdeg, "s")
+        .select("p", F.floor(F.lit(WALK_MASS0) / F.col("d")).cast("long").alias("share"))
+        .groupBy("p")
+        .agg(F.sum("share").alias("m"))
+    )
+    pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    smass = (
+        edges.join(pmass, "p")
+        .join(pdeg, "p")
+        .select("s", F.floor(F.col("m") / F.col("d")).cast("long").alias("share"))
+        .groupBy("s")
+        .agg(F.sum("share").cast("long").alias("mass"))
+    )
+    return smass.select(F.col("s").alias("suppkey"), "mass")
