@@ -1,0 +1,293 @@
+"""Corpus-quality and vocabulary workload over `documents` — the
+repetition / vocabulary / tf-idf stages of an LLM training-data
+pipeline (Gopher-style repetition filters, vocabulary construction,
+token-id encoding, salience ranking).
+
+Reference parity note: the reference engine (Ky-Lee-375
+Distributed_MapReduce) expresses corpus statistics as maple/juice
+word-count jobs (`maple_wordcount.py` / `juice_wordcount.py`); these
+queries are the scaled-up Spark-native generalization: same
+tokenize→aggregate skeleton, but per-document repetition signals,
+df-thresholded vocabularies and tf-idf scoring on top.
+
+Scale notes (100 TB):
+- Per-document n-gram signals are pure Catalyst higher-order array
+  expressions — no shuffle at all for the within-row stats; the
+  top-bigram stage shuffles (doc_id, gram) pairs once with map-side
+  partial aggregation.
+- The vocabulary is a df-thresholded aggregate: its size follows
+  Heaps' law (sublinear in corpus size) but is NOT fixed, so joins
+  against it are left to AQE rather than force-broadcast (same policy
+  as `plans.unbounded_scaling_broadcasts`).
+- tf-idf uses an integer-scaled idf (floor(N*1000/df)) so the oracle
+  comparison is exact integer arithmetic, not float log — documented
+  as a monotone surrogate of ln(N/df) for ranking purposes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+from distributed_mapreduce_spark.workload.text import _sql_bp, _sql_tokens, _tokens
+
+#: Minimum document frequency for a token to enter the vocabulary.
+VOCAB_MIN_DF = 5
+
+#: Tokens encoded per document (prefix) by `vocab_encode`.
+ENCODE_LEN = 32
+
+#: Integer idf scale: idf_scaled = floor(N_docs * IDF_SCALE / df).
+IDF_SCALE = 1000
+
+#: Top terms kept per document by tf-idf rank.
+TFIDF_TOP_K = 3
+
+
+def _ngrams(toks, n: int):
+    """1-indexed n-gram strings of a token array (JVM-side); empty
+    array when the document has fewer than ``n`` tokens (guarded
+    because Spark's ``sequence(1, k)`` DESCENDS for k < 1 while
+    DuckDB's ``generate_series`` returns empty)."""
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_ngrams(toks: str, n: int) -> str:
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks})-{n - 1}), i -> {parts}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+@query(
+    "quality_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             {_sql_ngrams('toks', 3)} AS tri,
+             {_sql_ngrams('toks', 2)} AS bi
+      FROM t
+    ), bg AS (
+      SELECT doc_id, b AS gram, count(*) AS cnt
+      FROM g, unnest(bi) AS u(b)
+      GROUP BY 1, 2
+    ), ba AS (
+      SELECT doc_id, max(cnt) AS top_bigram_n, CAST(sum(cnt) AS BIGINT) AS bi_total
+      FROM bg GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(len(tri) AS INTEGER) AS tri_total,
+           CAST(len(list_distinct(tri)) AS INTEGER) AS tri_distinct,
+           {_sql_bp('len(tri) - len(list_distinct(tri))', 'len(tri)')} AS dup_tri_bp,
+           coalesce(ba.top_bigram_n, 0) AS top_bigram_n,
+           {_sql_bp('coalesce(ba.top_bigram_n, 0)', 'coalesce(ba.bi_total, 0)')}
+             AS top_bigram_bp
+    FROM g LEFT JOIN ba ON g.doc_id = ba.doc_id
+    """,
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-trigram
+    fraction and the mass of the single most frequent bigram (both in
+    exact basis points).
+
+    Plan: the trigram stats are within-row array expressions (zero
+    shuffle); the top-bigram stage explodes bigrams and hash-aggregates
+    (doc_id, gram) with map-side partials, then reduces per doc — the
+    wordcount skeleton of the reference's `maple_wordcount.py` applied
+    per-document.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = docs.select("doc_id", _ngrams(toks, 3).alias("tri"), _ngrams(toks, 2).alias("bi"))
+    tri_stats = base.select(
+        "doc_id",
+        F.size("tri").alias("tri_total"),
+        F.size(F.array_distinct("tri")).alias("tri_distinct"),
+    )
+    bi_stats = (
+        base.select("doc_id", F.explode("bi").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_bigram_n"),
+            F.sum("cnt").alias("bi_total"),
+        )
+    )
+
+    def bp(num, den):
+        return (
+            F.when(den == 0, F.lit(0))
+            .otherwise(F.floor(num.cast("double") * 10000.0 / den.cast("double")))
+            .cast("long")
+        )
+
+    joined = tri_stats.join(bi_stats, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        "tri_total",
+        "tri_distinct",
+        bp(F.col("tri_total") - F.col("tri_distinct"), F.col("tri_total")).alias("dup_tri_bp"),
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
+        bp(
+            F.coalesce(F.col("top_bigram_n"), F.lit(0)),
+            F.coalesce(F.col("bi_total"), F.lit(0)),
+        ).alias("top_bigram_bp"),
+    )
+
+
+_VOCAB_SQL = f"""
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS tf_corpus,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS vocab_id
+    FROM (SELECT doc_id, tok AS token
+          FROM (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents),
+               unnest(toks) AS u(tok))
+    GROUP BY token
+    HAVING count(DISTINCT doc_id) >= {VOCAB_MIN_DF}
+"""
+
+
+def _vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf_corpus"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    kept = counts.filter(F.col("df") >= VOCAB_MIN_DF)
+    # Global window over the *aggregated* vocabulary relation (one row
+    # per surviving token — Heaps'-law small, same benign class as the
+    # pct-of-total family), not over raw corpus rows.
+    w = Window.orderBy(F.desc("tf_corpus"), F.asc("token"))
+    return kept.withColumn("vocab_id", F.row_number().over(w).cast("long"))
+
+
+@query("vocab_build", oracle=_VOCAB_SQL)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: df-thresholded token table with dense ids
+    assigned by (corpus frequency desc, token asc).
+
+    Plan: explode → hash-aggregate with map-side partials carries
+    (token, partial counts), never raw text; the id-assigning window
+    runs over the aggregated vocabulary only."""
+    return _vocab_df(spark, sf_dir)
+
+
+@query(
+    "vocab_encode",
+    oracle=f"""
+    WITH vocab AS ({_VOCAB_SQL}),
+    t AS (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents),
+    ex AS (
+      SELECT doc_id, i AS pos, toks[i] AS token
+      FROM t, unnest(generate_series(1, least(len(toks), {ENCODE_LEN}))) AS u(i)
+    ),
+    enc AS (
+      SELECT ex.doc_id, ex.pos, CAST(coalesce(v.vocab_id, -1) AS BIGINT) AS tid
+      FROM ex LEFT JOIN vocab v ON ex.token = v.token
+    )
+    SELECT doc_id, array_agg(tid ORDER BY pos) AS token_ids
+    FROM enc GROUP BY doc_id
+    """,
+)
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the first {ENCODE_LEN} tokens of every document as
+    vocabulary ids (OOV → -1) — the tokenizer-application stage of a
+    training pipeline, minus the learned merges.
+
+    Plan: posexplode the bounded prefix (fan-out ≤ {ENCODE_LEN}×),
+    equi-join tokens against the vocabulary (AQE picks the strategy —
+    the vocab is sublinear but unbounded, so no forced broadcast),
+    then reassemble per doc via sort_array(collect_list(struct)) —
+    order restored without a window."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = _vocab_df(spark, sf_dir).select("token", "vocab_id")
+    prefix = docs.select(
+        "doc_id", F.slice(_tokens(F.col("text")), 1, ENCODE_LEN).alias("toks")
+    )
+    ex = prefix.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    enc = ex.join(vocab, "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("vocab_id"), F.lit(-1)).cast("long").alias("tid")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "tid"))).alias("ps"))
+        .select("doc_id", F.transform("ps", lambda s: s["tid"]).alias("token_ids"))
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, tok AS term
+      FROM (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents),
+           unnest(toks) AS u(tok)
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * CAST(floor(n.n_docs * {IDF_SCALE} / df.df) AS BIGINT) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= {TFIDF_TOP_K}
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} salient terms per document by integer-scaled
+    tf-idf (idf surrogate floor(N*{IDF_SCALE}/df) — monotone in
+    ln(N/df), exact in integer arithmetic).
+
+    Plan: tf = one exploded hash-aggregate; df = re-aggregate of the
+    (already small) tf relation; N attaches via a 1-row aggregate
+    broadcast cross-join (never a global window over raw rows); the
+    per-doc ranking window is keyed by doc_id — fully partitioned."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(F.col("n_docs") * IDF_SCALE / F.col("df")).cast("long")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
