@@ -1,0 +1,178 @@
+"""Graph analytics over the part co-occurrence graph — triangle
+counting, degree distribution, common-neighbor scoring.
+
+The graph: nodes are parts; an undirected edge (a, b) exists when both
+parts appear in the same order (derived from `lineitem`, gated to
+``l_orderkey % 7 = 0`` so the edge set stays a bounded sample of the
+quadratic per-order pair fan-out). Edges are stored once, oriented
+``src < dst`` — the standard de-duplicated representation that makes
+each triangle appear exactly once as (a < b < c).
+
+Reference parity note: the reference's graph-ish workloads are the
+maple/juice join jobs (`maple_join.py` / `juice_join.py`); these
+queries generalize the same shuffle-join skeleton to multi-way
+self-joins (the canonical MapReduce triangle-enumeration algorithm of
+Suri & Vassilvitskii, WWW'11, expressed declaratively).
+
+Scale notes (100 TB):
+- Edge derivation shuffles once on orderkey; the per-order pair
+  blowup is bounded by order arity (≤ 7 lineitems/order in TPC-H).
+- Triangle enumeration is two shuffle equi-joins on edge endpoints.
+  Worst-case intermediate is the wedge count Σ_b d(b)²; the id
+  orientation (src < dst) halves it and AQE handles residual skew.
+  For a power-law 100 TB graph you would re-orient by degree
+  (compact-forward) — noted, not needed at harness skew.
+- All outputs are exact integers — no float drift in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+
+#: Deterministic order-key gate bounding the sampled co-occurrence set.
+EDGE_GATE_MOD = 7
+
+#: Top pairs kept by common-neighbor count.
+COMMON_NEIGHBOR_TOP_K = 100
+
+_EDGES_SQL = f"""
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_orderkey % {EDGE_GATE_MOD} = 0) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_orderkey % {EDGE_GATE_MOD} = 0) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct src<dst co-occurrence edges (one shuffle on orderkey)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % EDGE_GATE_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_triangle_counts",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e1.dst = e2.src
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation count (local clustering
+    numerator). Each triangle (a<b<c) is enumerated once via two
+    endpoint equi-joins over the oriented edge set, then exploded to
+    its three corners and hash-aggregated — the Suri-Vassilvitskii
+    node-iterator, Catalyst-planned."""
+    e = _edges(spark, sf_dir).cache()
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@query(
+    "graph_degree_hist",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      GROUP BY node
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-occurrence graph: per-node degree
+    (each undirected edge counted at both endpoints), then a histogram
+    degree → node count. Two hash aggregations with map-side partials;
+    the histogram relation is tiny regardless of graph size."""
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL
+      SELECT dst AS u, src AS v FROM e
+    ),
+    wedge AS (
+      SELECT w1.v AS a, w2.v AS c, CAST(count(*) AS BIGINT) AS n_common
+      FROM und w1 JOIN und w2 ON w1.u = w2.u AND w1.v < w2.v
+      GROUP BY 1, 2
+    )
+    SELECT a, c, n_common
+    FROM wedge
+    ORDER BY n_common DESC, a, c
+    LIMIT {COMMON_NEIGHBOR_TOP_K}
+    """,
+)
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{COMMON_NEIGHBOR_TOP_K} node pairs by common-neighbor count
+    (the simplest link-prediction score). Wedges are enumerated by a
+    self-join of the undirected incidence list on the center node and
+    hash-aggregated per endpoint pair; the global top-k is a
+    TakeOrdered (per-partition top-k then merge on the driver — no
+    global sort shuffle)."""
+    e = _edges(spark, sf_dir)
+    und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    w1 = und.alias("w1")
+    w2 = und.alias("w2")
+    wedge = (
+        w1.join(
+            w2,
+            (F.col("w1.u") == F.col("w2.u")) & (F.col("w1.v") < F.col("w2.v")),
+        )
+        .select(F.col("w1.v").alias("a"), F.col("w2.v").alias("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return wedge.orderBy(F.desc("n_common"), "a", "c").limit(COMMON_NEIGHBOR_TOP_K)
