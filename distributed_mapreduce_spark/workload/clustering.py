@@ -1,0 +1,190 @@
+"""K-means (one Lloyd iteration) over `embeddings` — assignment,
+cluster profiling, and a fixed-point centroid update, all with exact
+DuckDB oracles.
+
+Floats are kept portable the same way the ANN family does it
+(`workload/similarity.py`): every distance is an identical IEEE
+left-fold on both engines, and every aggregated surface is integer
+(counts, floor-scaled micros) so no order-dependent float sum ever
+reaches the comparator.
+
+Reference parity note: the reference's iterative story is re-running
+maple/juice jobs from the client (`mp3_client.py` loops); one Lloyd
+iteration is the canonical such loop body, expressed here as a single
+declarative plan per stage.
+
+Scale notes (100 TB):
+- K is a fixed constant (8): the centroid table is broadcast by
+  construction — this is the legitimate broadcast case (does not scale
+  with SF), unlike dimension tables which are left to AQE.
+- Assignment is a broadcast nested-loop over K rows per vector — linear
+  scan, embarrassingly parallel, no shuffle until the tiny per-cluster
+  aggregate.
+- The centroid update explodes vectors to (cluster, dim) pairs —
+  64× fan-out with map-side partial aggregation; shuffle carries only
+  K×64 partial sums per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+from distributed_mapreduce_spark.workload.similarity import _sql_dot, dot
+
+#: Number of clusters; centroids seed from vec_id < KMEANS_K.
+KMEANS_K = 8
+
+#: Fixed-point scale for distance / centroid surfaces.
+MICRO = 1_000_000
+
+
+def _sqdist(a, b):
+    """Deterministic squared L2: widen to double, (x-y)*(x-y), left fold
+    from 0.0 — the identical operation sequence as the oracle's
+    list_reduce (0.0 + x == x)."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+_ASSIGN_SQL = f"""
+    SELECT vec_id, cid,
+           CAST(floor({_sql_sqdist('embedding', 'cvec')} * {MICRO}) AS BIGINT)
+             AS dist_micro
+    FROM (
+      SELECT e.vec_id, c.vec_id AS cid, e.embedding, c.embedding AS cvec,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_sqdist('e.embedding', 'c.embedding')}, c.vec_id
+             ) AS rn
+      FROM embeddings e
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < {KMEANS_K}) c
+    )
+    WHERE rn = 1
+"""
+
+
+def _assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        "embedding",
+        _sqdist(F.col("embedding"), F.col("cvec")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cid",
+            "embedding",
+            F.floor(F.col("d") * MICRO).cast("long").alias("dist_micro"),
+        )
+    )
+
+
+@query("kmeans_assign", oracle=_ASSIGN_SQL)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd assignment step: each vector to its nearest of
+    {KMEANS_K} seed centroids by squared L2 (ties broken by lowest
+    centroid id); distance surfaced as floor-micros.
+
+    Plan: broadcast the K-row centroid table, score K candidates per
+    vector in a single projection, keep the argmin with a per-vector
+    window (bounded K-row state per key)."""
+    return _assignment(spark, sf_dir).select("vec_id", "cid", "dist_micro")
+
+
+@query(
+    "kmeans_cluster_profile",
+    oracle=f"""
+    WITH a AS ({_ASSIGN_SQL})
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+           min(dist_micro) AS min_dist_micro,
+           max(dist_micro) AS max_dist_micro,
+           CAST(sum(dist_micro) AS BIGINT) AS inertia_micro
+    FROM a GROUP BY cid
+    """,
+)
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster profile after assignment: member count, nearest /
+    farthest member distance, and exact fixed-point inertia (sum of
+    floor-micro distances — integer arithmetic, order-independent)."""
+    a = _assignment(spark, sf_dir)
+    return a.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("dist_micro").alias("min_dist_micro"),
+        F.max("dist_micro").alias("max_dist_micro"),
+        F.sum("dist_micro").cast("long").alias("inertia_micro"),
+    )
+
+
+@query(
+    "kmeans_centroid_update",
+    oracle=f"""
+    WITH a AS ({_ASSIGN_SQL}),
+    m AS (
+      SELECT a.cid, e.embedding FROM a JOIN embeddings e ON a.vec_id = e.vec_id
+    ),
+    ex AS (
+      SELECT cid, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {MICRO}) AS BIGINT) AS v
+      FROM m, unnest(generate_series(1, len(embedding))) AS u(i)
+    )
+    SELECT cid, CAST(dim AS INTEGER) AS dim,
+           CAST(sum(v) AS BIGINT) AS sum_micro,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+             AS centroid_micro
+    FROM ex GROUP BY cid, dim
+    """,
+)
+def q_kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd update step in fixed-point: per (cluster, dimension) the
+    mean member coordinate, computed as exact integer micro-sums then a
+    floor-divide — every value portable, no float accumulation order
+    anywhere.
+
+    Plan: assignment (broadcast argmin) → 64× posexplode fan-out →
+    hash aggregate on (cid, dim) with map-side partials; shuffle volume
+    is K×64 partials per task regardless of corpus size."""
+    a = _assignment(spark, sf_dir)
+    ex = a.select(
+        "cid", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "cid",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * MICRO).cast("long").alias("v"),
+    )
+    agg = ex.groupBy("cid", F.col("dim").cast("int").alias("dim")).agg(
+        F.sum("v").cast("long").alias("sum_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return agg.select(
+        "cid",
+        "dim",
+        "sum_micro",
+        "n_members",
+        F.floor(F.col("sum_micro").cast("double") / F.col("n_members"))
+        .cast("long")
+        .alias("centroid_micro"),
+    )
