@@ -225,3 +225,45 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
         .start()
     )
     q.awaitTermination()
+
+
+def multi_grain_counts(events: DataFrame, watermark: str = "2 hours"):
+    """Streaming twin of `events_multi_rollup`'s grains, as parallel
+    streaming aggregations from one source (streaming cannot chain two
+    shuffling aggs in one query, so each grain is its own sink — the
+    standard fan-out pattern for multi-resolution dashboards).
+
+    Returns (hourly_by_type, by_type): the first is watermarked and
+    append-capable; the second is an unbounded running aggregate
+    (complete/update sinks only)."""
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events")
+    )
+    by_type = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return hourly, by_type
+
+
+def stratified_sample_stream(events: DataFrame, sample_bp: dict[str, int]) -> DataFrame:
+    """Streaming twin of `events_stratified_sample`'s row gate: the
+    same order-independent md5 hash-gate filter, applied per record —
+    stateless, so it composes with any downstream streaming aggregate
+    and yields EXACTLY the batch-selected row set (same rows whatever
+    the micro-batch boundaries — the property rand()-based sampling
+    lacks)."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("samp_"), F.col("event_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    bp = F.lit(10000)
+    for etype, v in sample_bp.items():
+        bp = F.when(F.col("event_type") == etype, v).otherwise(bp)
+    return events.filter(h < bp)

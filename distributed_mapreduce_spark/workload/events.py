@@ -399,3 +399,44 @@ def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last(good, ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+@query(
+    "window_trailing_1h",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(30,6)) AS VARCHAR) AS trail_1h_sum
+    FROM events
+    """,
+)
+def q_window_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding aggregate via a RANGE window frame: per
+    event, the exact decimal sum of the same user's values in the
+    trailing hour (inclusive). RANGE frames treat equal timestamps as
+    peers on both engines, so the result is order-insensitive even
+    under ts collisions — no tiebreaker column needed.
+
+    Plan: one window partitioned by user_id ordered by event time with
+    a value-bounded frame — WindowExec keeps only the trailing-hour
+    buffer per key (bounded state), the streaming-compatible shape.
+    The decimal result is surfaced as a pinned-scale string (driver
+    hash canonicalization, VERDICT r1 #1)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("decimal(30,6)")
+        .cast("string")
+        .alias("trail_1h_sum"),
+    )

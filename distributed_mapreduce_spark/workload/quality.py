@@ -291,3 +291,51 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+@query(
+    "text_token_gini",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents),
+           unnest(toks) AS u(tok)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(floor((sum(tf)*sum(tf) - sum(tf*tf)) * 10000.0
+                      / (sum(tf)*sum(tf))) AS BIGINT) AS gini_bp
+    FROM tf GROUP BY doc_id
+    """,
+)
+def q_text_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity score per document: Gini impurity of the
+    token distribution, 1 - Σ(tf/n)², in exact integer basis points
+    ((n² - Σtf²)·10000 // n²) — a repetition-complementary quality
+    signal (low gini = document dominated by few tokens).
+
+    Plan: one exploded hash aggregate to (doc, term) tf, then a per-doc
+    re-aggregate — same two-level wordcount skeleton as the vocabulary,
+    all integer arithmetic."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("tf")).alias("sum_sq"),
+    )
+    n = F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_terms",
+        "n_tokens",
+        F.floor((n * n - F.col("sum_sq")).cast("double") * 10000.0 / (n * n).cast("double"))
+        .cast("long")
+        .alias("gini_bp"),
+    )

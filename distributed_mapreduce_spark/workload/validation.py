@@ -1,0 +1,169 @@
+"""Data-quality validation and snapshot-diff workload — the
+constraint-checking and change-detection passes a warehouse runs on
+every load.
+
+Reference parity note: the reference's only integrity mechanism is
+the SDFS replication check (`file_server/fileserver.py` re-replication
+on membership change); these queries are the *data*-level analogue:
+declared constraints evaluated as aggregates, and a two-snapshot diff
+in one plan.
+
+Scale notes (100 TB):
+- Every constraint is an aggregate or anti-join that reduces to a
+  single counter — the shuffles carry keys only, and all checks scan
+  each table once (the per-table checks share one scan via a single
+  aggregate projection where possible).
+- The YoY diff is a full-outer self-join of two *aggregated* per-key
+  relations (one row per customer each side), not of raw facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+
+YOY_YEAR_A = 1996
+YOY_YEAR_B = 1997
+
+
+@query(
+    "dq_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+    UNION ALL
+    SELECT 'orders_price_positive',
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_totalprice <= 0 OR o_totalprice IS NULL
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+    UNION ALL
+    SELECT 'ship_before_order',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate < o.o_orderdate
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite: PK uniqueness, FK integrity
+    (anti-joins), domain membership, range checks, and a cross-table
+    temporal sanity rule — one (check_name, n_violations) row each.
+
+    Plan: per-table rule groups share a scan; FK checks are left-anti
+    joins (shuffle carries keys only); the cross-table rule is an
+    equi-join filtered before aggregation. Every branch reduces to one
+    row, so the union is driver-cheap regardless of table size."""
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer")
+
+    pk = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("n_violations")
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "n_violations")
+    fk_oc = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("orders_fk_customer").alias("check_name"), "n_violations")
+    )
+    fk_lo = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("lineitem_fk_orders").alias("check_name"), "n_violations")
+    )
+    dom = (
+        orders.filter(~F.col("o_orderstatus").isin("F", "O", "P"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("orders_status_domain").alias("check_name"), "n_violations")
+    )
+    price = (
+        orders.filter((F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("orders_price_positive").alias("check_name"), "n_violations")
+    )
+    qty = (
+        lineitem.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("lineitem_qty_range").alias("check_name"), "n_violations")
+    )
+    temporal = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("ship_before_order").alias("check_name"), "n_violations")
+    )
+    return pk.unionAll(fk_oc).unionAll(fk_lo).unionAll(dom).unionAll(price).unionAll(qty).unionAll(temporal)
+
+
+@query(
+    "yoy_customer_orders",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_a
+      FROM orders WHERE year(o_orderdate) = {YOY_YEAR_A} GROUP BY 1
+    ), b AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_b
+      FROM orders WHERE year(o_orderdate) = {YOY_YEAR_B} GROUP BY 1
+    )
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+           coalesce(a.n_a, 0) AS n_{YOY_YEAR_A},
+           coalesce(b.n_b, 0) AS n_{YOY_YEAR_B},
+           coalesce(b.n_b, 0) - coalesce(a.n_a, 0) AS delta,
+           CASE WHEN a.o_custkey IS NULL THEN 'new'
+                WHEN b.o_custkey IS NULL THEN 'lost'
+                ELSE 'retained' END AS cohort
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def q_yoy_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: per-customer order counts in {YOY_YEAR_A} vs
+    {YOY_YEAR_B}, the delta, and a new/lost/retained classification —
+    the CDC-style comparison shape (two aggregated snapshots,
+    full-outer joined on the business key).
+
+    Plan: both snapshots are year-pruned aggregates of the same scan
+    lineage (one row per customer each), full-outer joined on custkey —
+    the join input is already reduced, so the shuffle is key+counter
+    wide only."""
+    orders = table(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.year("o_orderdate") == YOY_YEAR_A)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        orders.filter(F.year("o_orderdate") == YOY_YEAR_B)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias(f"n_{YOY_YEAR_A}"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias(f"n_{YOY_YEAR_B}"),
+        (F.coalesce(F.col("n_b"), F.lit(0)) - F.coalesce(F.col("n_a"), F.lit(0)))
+        .cast("long")
+        .alias("delta"),
+        F.when(F.col("a.o_custkey").isNull(), "new")
+        .when(F.col("b.o_custkey").isNull(), "lost")
+        .otherwise("retained")
+        .alias("cohort"),
+    )

@@ -295,3 +295,64 @@ def test_stream_stream_join_matches_batch_range_join(spark, events_dir):
         for r in batch.select("purchase_id", "click_id").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_multi_grain_counts_match_batch(spark, events_dir):
+    from distributed_mapreduce_spark.streaming.events_stream import multi_grain_counts
+
+    from pyspark.sql import functions as F
+
+    hourly, by_type = multi_grain_counts(read_events_stream(spark, events_dir))
+    run_to_memory(hourly, "mg_hourly", output_mode="append")
+    run_to_memory(by_type, "mg_type", output_mode="complete")
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    batch_hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events")
+    )
+    got_h = {tuple(r) for r in spark.table("mg_hourly").collect()}
+    want_h = {tuple(r) for r in batch_hourly.collect()}
+    # Append mode emits only watermark-closed windows; every emitted
+    # window must match batch exactly and the final tail may be held
+    # back. availableNow advances the watermark to max(ts)-2h.
+    assert got_h <= want_h
+    assert len(got_h) > 0
+    got_t = {tuple(r) for r in spark.table("mg_type").collect()}
+    want_t = {
+        tuple(r)
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_t == want_t
+
+
+def test_stratified_sample_stream_equals_batch_gate(spark, events_dir):
+    from distributed_mapreduce_spark.streaming.events_stream import (
+        stratified_sample_stream,
+    )
+    from distributed_mapreduce_spark.workload.events import SAMPLE_BP
+
+    from pyspark.sql import functions as F
+
+    sampled = stratified_sample_stream(
+        read_events_stream(spark, events_dir), dict(SAMPLE_BP)
+    )
+    run_to_memory(sampled.select("event_id"), "strat_sample", output_mode="append")
+    got = {r.event_id for r in spark.table("strat_sample").collect()}
+    from distributed_mapreduce_spark.workload import QUERIES
+
+    batch_counts = {
+        r.event_type: r.n_sampled
+        for r in QUERIES["events_stratified_sample"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    got_counts = (
+        ev.filter(F.col("event_id").isin(got) if got else F.lit(False))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r.event_type, r.n) for r in got_counts.collect()} == set(
+        batch_counts.items()
+    )
