@@ -206,3 +206,113 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_ws", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS curr_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, curr_type, n_transitions,
+           CAST(floor(n_transitions * 10000.0 /
+                      sum(n_transitions) OVER (PARTITION BY prev_type))
+                AS BIGINT) AS prob_bp
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: counts of
+    consecutive event-type pairs per user timeline, with row-normalized
+    transition probabilities in exact basis points.
+
+    Plan: one lag window partitioned by user_id (bounded state), a hash
+    aggregate to the |types|² matrix, and a normalizing window over the
+    *aggregated* matrix rows (≤25 rows — the benign global-window
+    class)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("curr_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "curr_type",
+        "n_transitions",
+        F.floor(
+            F.col("n_transitions") * 10000.0 / F.sum("n_transitions").over(wn)
+        )
+        .cast("long")
+        .alias("prob_bp"),
+    )
+
+
+@query(
+    "ab_split_metrics",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id, event_type, value,
+             CASE WHEN ('0x' || substr(md5('ab_' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM events
+    )
+    SELECT arm,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases,
+           CAST(floor(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      * 10000.0 / count(*)) AS BIGINT) AS purchase_bp,
+           CAST(CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(18,6)) END)
+                     AS DECIMAL(30,6)) AS VARCHAR) AS purchase_value
+    FROM assigned GROUP BY arm
+    """,
+)
+def q_ab_split_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users hash-assigned to
+    arms (md5 gate — order-independent, re-derivable, the same property
+    the sampling family relies on), per-arm exposure and conversion
+    metrics, exact decimal purchase value surfaced as a pinned-scale
+    string.
+
+    Plan: a stateless projection assigns arms, one hash aggregate per
+    arm; count(DISTINCT) rewrites to a two-level aggregate — no raw
+    event ever leaves its partition unaggregated."""
+    ev = table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab_"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    assigned = ev.select("user_id", "event_type", "value", arm.alias("arm"))
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return assigned.groupBy("arm").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(is_p).cast("long").alias("n_purchases"),
+        F.floor(F.sum(is_p) * 10000.0 / F.count(F.lit(1))).cast("long").alias("purchase_bp"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,6)"))
+        )
+        .cast("decimal(30,6)")
+        .cast("string")
+        .alias("purchase_value"),
+    )

@@ -1,0 +1,194 @@
+"""Distributed probabilistic-filter construction with an exact oracle:
+a Bloom filter built as a relational aggregate, then probed and scored
+against ground truth in-plan.
+
+The portable-hash trick from the dedup family (md5-derived uint32,
+`workload/dedup.py`) makes the filter bit-for-bit reproducible on both
+engines, so even this "probabilistic" structure is differentially
+testable: same keys → same bit positions → same words → same
+false-positive set.
+
+Words are 32 bits wide (not 64) because DuckDB raises on `1::BIGINT
+<< 63` (overflow) while Spark wraps — 32-bit masks keep every shift
+well inside BIGINT range on both engines.
+
+Scale notes (100 TB):
+- The build is explode(K positions) → groupBy(word) → bit_or: shuffle
+  carries (word, partial mask) pairs — at most BLOOM_BITS/32 rows
+  survive per partition regardless of input size (map-side bit_or
+  partials), so the filter materializes in O(filter size), not O(keys).
+- The probe is an equi-join on word index against the tiny filter
+  relation (broadcast by size), then an all-bits-set per-key check —
+  the exact shape a join-pruning bloom pushdown uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+
+#: Filter geometry: 1024 bits as 32 × 32-bit words; 3 hash functions.
+BLOOM_BITS = 1024
+WORD_BITS = 32
+BLOOM_K = 3
+
+#: Build-side membership predicate: customers in nations 0..4.
+MEMBER_NATION_LT = 5
+
+
+def _pos(key: Column, j: int) -> Column:
+    """j-th bit position of a key: md5-derived uint32 % BLOOM_BITS."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bl{j}_"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+def _sql_pos(key: str, j: int) -> str:
+    return (
+        f"(('0x' || substr(md5('bl{j}_' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {BLOOM_BITS})"
+    )
+
+
+_BUILD_SQL = f"""
+    SELECT CAST(p // {WORD_BITS} AS BIGINT) AS word_idx,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % {WORD_BITS} AS INTEGER))
+                AS BIGINT) AS bits
+    FROM (
+      SELECT unnest([{', '.join(_sql_pos('c_custkey', j) for j in range(BLOOM_K))}]) AS p
+      FROM customer WHERE c_nationkey < {MEMBER_NATION_LT}
+    )
+    GROUP BY 1
+"""
+
+
+def _bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") < MEMBER_NATION_LT
+    )
+    key = F.col("c_custkey")
+    pos = cust.select(
+        F.explode(F.array(*[_pos(key, j) for j in range(BLOOM_K)])).alias("p")
+    )
+    return (
+        pos.select(
+            (F.col("p") / WORD_BITS).cast("long").alias("word_idx"),
+            # F.shiftleft only accepts a literal shift amount; expr()
+            # reaches the variable-shift form of the same JVM function.
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {WORD_BITS} AS INT))").alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").cast("long").alias("bits"))
+    )
+
+
+@query("bloom_build", oracle=_BUILD_SQL)
+def q_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a {BLOOM_BITS}-bit Bloom filter of the member-customer key
+    set as a relational aggregate: K={BLOOM_K} portable hash positions
+    per key, exploded and bit_or-folded into {BLOOM_BITS // WORD_BITS}
+    words. Deterministic hashes make the filter itself oracle-exact."""
+    return _bloom_build(spark, sf_dir)
+
+
+@query(
+    "bloom_probe_stats",
+    oracle=f"""
+    WITH filt AS ({_BUILD_SQL}),
+    probes AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    expanded AS (
+      SELECT key, u.j,
+             CASE u.j {' '.join(f"WHEN {j} THEN {_sql_pos('key', j)}" for j in range(BLOOM_K))} END AS p
+      FROM probes, unnest(generate_series(0, {BLOOM_K - 1})) AS u(j)
+    ),
+    hits AS (
+      SELECT e.key,
+             CASE WHEN f.bits IS NOT NULL
+                       AND (f.bits & (CAST(1 AS BIGINT) << CAST(e.p % {WORD_BITS} AS INTEGER)))
+                           = (CAST(1 AS BIGINT) << CAST(e.p % {WORD_BITS} AS INTEGER))
+                  THEN 1 ELSE 0 END AS hit
+      FROM expanded e LEFT JOIN filt f ON e.p // {WORD_BITS} = f.word_idx
+    ),
+    verdicts AS (
+      SELECT key, CASE WHEN sum(hit) = {BLOOM_K} THEN 1 ELSE 0 END AS maybe
+      FROM hits GROUP BY key
+    ),
+    truth AS (
+      SELECT v.key, v.maybe,
+             CASE WHEN c.c_nationkey < {MEMBER_NATION_LT} THEN 1 ELSE 0 END AS is_member
+      FROM verdicts v JOIN customer c ON v.key = c.c_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(maybe) AS BIGINT) AS n_maybe,
+           CAST(sum(is_member) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           CAST(sum(CASE WHEN maybe = 0 AND is_member = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_neg,
+           CAST(floor(sum(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                      * 10000.0
+                      / nullif(count(*) - sum(is_member), 0)) AS BIGINT) AS fp_bp
+    FROM truth
+    """,
+)
+def q_bloom_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe every distinct order customer key against the built filter
+    and score it against exact ground truth in the same plan: probe
+    count, maybe-count, true members, false positives (rate in bp) and
+    false negatives (provably 0 — asserted by the oracle match).
+
+    Plan: probes explode to K (key, position) rows, equi-join the
+    {BLOOM_BITS // WORD_BITS}-word filter (broadcast by size), reduce
+    to an all-bits-set verdict per key, join truth, aggregate once."""
+    filt = _bloom_build(spark, sf_dir)
+    probes = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    key = F.col("key")
+    expanded = probes.select(
+        "key", F.explode(F.array(*[_pos(key, j) for j in range(BLOOM_K)])).alias("p")
+    )
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {WORD_BITS} AS INT))")
+    hits = (
+        expanded.withColumn("word_idx", (F.col("p") / WORD_BITS).cast("long"))
+        .join(F.broadcast(filt), "word_idx", "left")
+        .select(
+            "key",
+            F.when(
+                F.col("bits").isNotNull() & ((F.col("bits").bitwiseAND(mask)) == mask), 1
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    verdicts = hits.groupBy("key").agg(
+        F.when(F.sum("hit") == BLOOM_K, 1).otherwise(0).alias("maybe")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.when(F.col("c_nationkey") < MEMBER_NATION_LT, 1).otherwise(0).alias("is_member"),
+    )
+    truth = verdicts.join(cust, "key")
+    fp = F.sum(F.when((F.col("maybe") == 1) & (F.col("is_member") == 0), 1).otherwise(0))
+    return truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("maybe").cast("long").alias("n_maybe"),
+        F.sum("is_member").cast("long").alias("n_true"),
+        fp.cast("long").alias("n_false_pos"),
+        F.sum(F.when((F.col("maybe") == 0) & (F.col("is_member") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+        F.floor(
+            fp * 10000.0
+            / F.nullif(F.count(F.lit(1)) - F.sum("is_member"), F.lit(0))
+        )
+        .cast("long")
+        .alias("fp_bp"),
+    )
