@@ -1,0 +1,128 @@
+"""Robust statistics and rolling engagement metrics — winsorized
+aggregates (outlier-clipped stats) and exact sliding-window distinct
+counts.
+
+Scale notes (100 TB):
+- Winsorization needs per-group exact percentiles: Spark's
+  `percentile` is a single-pass typed aggregate per group (no sort of
+  the full relation), then the clip+sum is a second aggregate over the
+  same shuffle key — two passes, both map-side-partial.
+- The rolling-WAU explode (×7 per user-day) replaces an inequality
+  range join with an equi-group: shuffle carries (day, user) pairs,
+  count-distinct rewrites to a two-level aggregate. Fan-out is fixed
+  (window length), independent of scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+
+#: Winsorization clip quantiles.
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+#: Rolling engagement window length in days (inclusive).
+ROLLING_DAYS = 7
+
+
+@query(
+    "winsorized_price_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, {WINSOR_LO}) AS lo,
+             quantile_cont(o_totalprice, {WINSOR_HI}) AS hi
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           b.lo AS p05, b.hi AS p95,
+           CAST(CAST(sum(CAST(least(greatest(o.o_totalprice, b.lo), b.hi)
+                              AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS VARCHAR)
+             AS winsorized_sum
+    FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus
+    GROUP BY o.o_orderstatus, b.lo, b.hi
+    """,
+)
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-value stats per status: clip each price to its
+    group's exact [p05, p95] band, then aggregate — the outlier-robust
+    mean/sum a metrics pipeline prefers over raw averages.
+
+    Plan: per-group exact percentiles (single-pass aggregate — Spark
+    `percentile` ≡ DuckDB `quantile_cont`, bit-identical interpolation),
+    joined back on the group key (same shuffle partitioning), clipped
+    with comparison-only float ops, decimal-summed and surfaced as a
+    pinned-scale string."""
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    j = orders.join(bounds, "o_orderstatus")
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        j.groupBy("o_orderstatus", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(clipped.cast("decimal(18,4)"))
+            .cast("decimal(30,4)")
+            .cast("string")
+            .alias("winsorized_sum"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.col("lo").alias("p05"),
+            F.col("hi").alias("p95"),
+            "winsorized_sum",
+        )
+    )
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), contrib AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                                         CAST(d AS TIMESTAMP) + INTERVAL {ROLLING_DAYS - 1} DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM ud
+    ), observed AS (
+      SELECT DISTINCT d AS day FROM ud
+    )
+    SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users
+    FROM contrib c JOIN observed o ON c.day = o.day
+    GROUP BY c.day
+    """,
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-{ROLLING_DAYS}-day active users (WAU) per
+    observed day — the sliding-distinct metric that resists window
+    aggregation (distinct doesn't decompose), solved by the
+    contribute-forward explode: a user active on day d counts toward
+    windows ending on d..d+{ROLLING_DAYS - 1}.
+
+    Plan: distinct (user, day) → fixed ×{ROLLING_DAYS} fan-out →
+    semi-join to observed days (drops phantom future windows) → count
+    distinct per day (two-level aggregate). No inequality join, no
+    per-day rescan."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), ROLLING_DAYS - 1))
+        ).alias("day"),
+    )
+    observed = ud.select(F.col("d").alias("day")).distinct()
+    return (
+        contrib.join(observed, "day", "semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )

@@ -660,3 +660,58 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc"))
     )
+
+
+@query(
+    "packing_efficiency",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_sql_tokens('text')}) AS n_tokens FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM t
+    ), packs AS (
+      SELECT CAST((c - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+             CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      FROM cum GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(pack_tokens) * 1.0 / {PACK_BUDGET}) AS BIGINT)
+             AS optimal_packs,
+           CAST(floor(sum(pack_tokens) * 10000.0 / (count(*) * {PACK_BUDGET}))
+                AS BIGINT) AS fill_bp
+    FROM packs
+    """,
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality readout for `text_packing`: pack count vs the
+    information-theoretic optimum (ceil(total/budget)) and the mean
+    fill rate in basis points — the metric that tells a pretraining
+    pipeline whether its batch packing wastes compute.
+
+    Plan: same cumulative-binning lineage as `text_packing`, reduced to
+    a single summary row; the global cumsum window is the documented
+    deterministic parity form (a production packer shards it)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = t.select("n_tokens", F.sum("n_tokens").over(w).alias("c"))
+    packs = (
+        cum.select(
+            F.floor((F.col("c") - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
+            "n_tokens",
+        )
+        .groupBy("pack_id")
+        .agg(F.sum("n_tokens").cast("long").alias("pack_tokens"))
+    )
+    return packs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        F.ceil(F.sum("pack_tokens") * 1.0 / PACK_BUDGET).cast("long").alias("optimal_packs"),
+        F.floor(F.sum("pack_tokens") * 10000.0 / (F.count(F.lit(1)) * PACK_BUDGET))
+        .cast("long")
+        .alias("fill_bp"),
+    )
