@@ -47,6 +47,14 @@ HEADLINE = [
     "approx_distinct_counts",
     "text_scrub_pii",
     "table_checksum",
+    # round-2 second wave: corpus quality/vocab, graph, clustering,
+    # journey, sketches
+    "quality_repetition",
+    "vocab_build",
+    "graph_triangle_counts",
+    "kmeans_assign",
+    "events_funnel",
+    "bloom_probe_stats",
 ]
 
 

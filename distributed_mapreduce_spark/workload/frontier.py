@@ -1,0 +1,190 @@
+"""Pareto frontier (skyline) and best-representative selection — the
+multi-objective filtering shapes (cheapest-and-largest part, best doc
+per duplicate group) that don't reduce to a single ORDER BY.
+
+Scale notes (100 TB):
+- The skyline uses the two-phase local-frontier plan: points are
+  hash-split into G groups, each group computes its local frontier
+  with a partitioned window (a point dominated within ANY subset is
+  globally dominated — safe to drop), and only the union of local
+  frontiers (expected O(G · log n) for non-adversarial data) passes
+  to the final global window. The global window therefore runs over
+  candidates, not raw rows — same "benign class" as pct-of-total.
+- Keep-best dedup is one window per duplicate group (bounded per-key
+  state) — the standard representative-selection pass after exact
+  fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+from distributed_mapreduce_spark.workload.text import _sql_tokens, _tokens
+
+#: Hash groups for the local-frontier phase.
+SKYLINE_GROUPS = 16
+
+
+@query(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT p_retailprice AS price, p_size AS psize FROM part
+    ), ranked AS (
+      SELECT price, psize,
+             max(psize) OVER (ORDER BY price ASC, psize DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_prev
+      FROM pts
+    ), frontier AS (
+      SELECT price, psize FROM ranked
+      WHERE best_prev IS NULL OR best_prev < psize
+    )
+    SELECT f.price, f.psize, CAST(count(*) AS BIGINT) AS n_parts
+    FROM frontier f JOIN part p
+      ON p.p_retailprice = f.price AND p.p_size = f.psize
+    GROUP BY f.price, f.psize
+    """,
+)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of parts under (minimize retail price, maximize size):
+    the distinct (price, size) points no other point weakly dominates,
+    with the number of parts sitting on each frontier point.
+
+    Correctness of the window form: over DISTINCT points ordered
+    (price asc, size desc), every preceding row has price < p, or
+    price = p with size > s — so ANY preceding row with size ≥ s
+    strictly dominates, and `running max(size) < s` is exactly
+    non-dominance.
+
+    Plan (two-phase): points hash into {SKYLINE_GROUPS} groups; a
+    partitioned window drops locally-dominated points (any dominator
+    anywhere proves global dominance, so survivors ⊇ true frontier);
+    the global window then runs over the small candidate union only —
+    no raw-relation global sort at any stage."""
+    part = table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
+    ).distinct()
+    grp = F.pmod(F.hash("price", "psize"), F.lit(SKYLINE_GROUPS))
+    w_local = (
+        Window.partitionBy("g")
+        .orderBy(F.asc("price"), F.desc("psize"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        pts.withColumn("g", grp)
+        .withColumn("best_prev", F.max("psize").over(w_local))
+        .filter(F.col("best_prev").isNull() | (F.col("best_prev") < F.col("psize")))
+        .drop("g", "best_prev")
+    )
+    w_global = Window.orderBy(F.asc("price"), F.desc("psize")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        local.withColumn("best_prev", F.max("psize").over(w_global))
+        .filter(F.col("best_prev").isNull() | (F.col("best_prev") < F.col("psize")))
+        .drop("best_prev")
+    )
+    return (
+        part.join(
+            frontier,
+            (part.p_retailprice == frontier.price) & (part.p_size == frontier.psize),
+        )
+        .groupBy("price", "psize")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, md5(text) AS fp, len({_sql_tokens('text')}) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, fp, n_tokens,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_tokens DESC, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS group_size
+      FROM scored
+    )
+    SELECT doc_id, fp, CAST(n_tokens AS INTEGER) AS n_tokens, group_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection after exact fingerprinting: within each
+    duplicate group (md5 of the full text) keep the best document
+    (longest, ties by lowest doc_id) and report the group size — the
+    corpus-prep convention of keeping the richest copy rather than an
+    arbitrary one.
+
+    Plan: fingerprint in the scan projection, one window per
+    fingerprint group (shuffle carries fp + two ints per row — never
+    the text)."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    wc = Window.partitionBy("fp")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp", "n_tokens", "group_size")
+    )
+
+
+@query(
+    "partial_agg_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS VARCHAR)
+             AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic-aggregate mergeability, demonstrated in-plan: the
+    event stream is split into two disjoint shards (even/odd event_id —
+    standing in for yesterday's materialized partials + today's delta),
+    each aggregated separately, and the PARTIALS are merged by
+    re-aggregation (sum of sums, sum of counts, min of mins, max of
+    maxes). The oracle aggregates the full table directly — equality IS
+    the merge-correctness proof (the combiner property the reference's
+    juice phase relies on, `juice_wordcount.py`).
+
+    Plan: both shards prune at the scan; the merge step re-aggregates
+    ≤2 rows per key — this is exactly how incremental view maintenance
+    avoids reprocessing history."""
+    ev = table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
+            F.min("value").alias("pmin"),
+            F.max("value").alias("pmax"),
+        )
+
+    even = partial(ev.filter(F.col("event_id") % 2 == 0))
+    odd = partial(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        even.unionAll(odd)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("psum").cast("decimal(30,6)").cast("string").alias("sum_value"),
+            F.min("pmin").alias("min_value"),
+            F.max("pmax").alias("max_value"),
+        )
+    )

@@ -107,16 +107,24 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     wordcount skeleton of the reference's `maple_wordcount.py` applied
     per-document.
     """
-    docs = table(spark, sf_dir, "documents")
+    # The harness parquet is a single row group → one input task; the
+    # n-gram build is CPU-bound, so spread it across cores first (same
+    # treatment as dedup's shingle_table). Each branch materializes
+    # only the array it needs — tri stats never build the bigram array
+    # and vice versa.
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = _tokens(F.col("text"))
-    base = docs.select("doc_id", _ngrams(toks, 3).alias("tri"), _ngrams(toks, 2).alias("bi"))
-    tri_stats = base.select(
+    tri_stats = docs.select(
+        "doc_id", _ngrams(toks, 3).alias("tri")
+    ).select(
         "doc_id",
         F.size("tri").alias("tri_total"),
         F.size(F.array_distinct("tri")).alias("tri_distinct"),
     )
     bi_stats = (
-        base.select("doc_id", F.explode("bi").alias("gram"))
+        docs.select("doc_id", F.explode(_ngrams(toks, 2)).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
