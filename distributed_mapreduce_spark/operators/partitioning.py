@@ -150,3 +150,53 @@ def row_range_shard_scalable(
         shard_col,
         ((rn - F.lit(1)) * num_shards / F.col("_total")).cast("long").cast("int"),
     ).drop("_pid", "_lrn", "_off", "_total")
+
+
+def global_rank(
+    df: DataFrame,
+    order_exprs: list,
+    rank_col: str = "rank",
+    total_col: str = "total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global rank (1-based, dense in row count) in the
+    total order given by ``order_exprs`` (Column expressions; may use
+    ``.desc()``), plus the total row count — the same
+    range-shuffle + per-partition-offset plan as
+    :func:`row_range_shard_scalable`, exposed as a reusable primitive
+    so rank-derived operators (ntile, top-percent, median split) never
+    need a single-task global sort.
+
+    ``order_exprs`` must be a total order for a deterministic result.
+    """
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, *order_exprs).sortWithinPartitions(*order_exprs)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    out_schema = StructType(
+        with_pid.schema.fields + [StructField("_lrn", LongType(), False)]
+    )
+
+    def attach_local_rn(batches):
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_lrn"] = range(seen + 1, seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    numbered = with_pid.mapInPandas(attach_local_rn, schema=out_schema)
+    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy()).alias("_total"),
+    )
+    joined = numbered.join(F.broadcast(offsets), "_pid")
+    return (
+        joined.withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .withColumn(total_col, F.col("_total").cast("long"))
+        .drop("_pid", "_lrn", "_off", "_total")
+    )

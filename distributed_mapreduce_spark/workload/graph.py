@@ -160,7 +160,10 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregated per endpoint pair; the global top-k is a
     TakeOrdered (per-partition top-k then merge on the driver — no
     global sort shuffle)."""
-    e = _edges(spark, sf_dir)
+    # Cache the derived edge set: the wedge join reads the undirected
+    # incidence list twice (w1, w2) — without the cache the
+    # lineitem self-join would run twice.
+    e = _edges(spark, sf_dir).cache()
     und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
         e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )

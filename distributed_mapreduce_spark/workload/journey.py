@@ -316,3 +316,149 @@ def q_ab_split_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("purchase_value"),
     )
+
+
+@query(
+    "funnel_latency_stats",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT 'view_to_click' AS hop,
+             date_diff('microsecond', s1.t_view, s2.t_click) AS us
+      FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+      UNION ALL
+      SELECT 'click_to_purchase',
+             date_diff('microsecond', s2.t_click, s3.t_purchase)
+      FROM s2 JOIN s3 ON s2.user_id = s3.user_id
+    )
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(us) AS BIGINT) AS min_us,
+           quantile_cont(us, 0.5) AS median_us,
+           quantile_cont(us, 0.9) AS p90_us,
+           CAST(max(us) AS BIGINT) AS max_us
+    FROM lat GROUP BY hop
+    """,
+)
+def q_funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution per funnel hop: exact
+    min/median/p90/max of the microsecond gap between consecutive
+    completed stages (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    bit-identical interpolation over integer micros).
+
+    Plan: reuses the funnel's staged min-aggregates (all shuffles on
+    user_id), derives per-hop latencies with a same-key join, then one
+    small aggregate per hop."""
+    ev = table(spark, sf_dir, "events")
+    view, click, purchase = FUNNEL_STAGES
+    s1 = ev.filter(F.col("event_type") == view).groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == click)
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == purchase)
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    hop1 = (
+        s1.join(s2, "user_id")
+        .select(
+            F.lit("view_to_click").alias("hop"),
+            (F.unix_micros("t_click") - F.unix_micros("t_view")).alias("us"),
+        )
+    )
+    hop2 = (
+        s2.join(s3, "user_id")
+        .select(
+            F.lit("click_to_purchase").alias("hop"),
+            (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("us"),
+        )
+    )
+    return (
+        hop1.unionAll(hop2)
+        .groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("us").cast("long").alias("min_us"),
+            F.percentile("us", F.lit(0.5)).alias("median_us"),
+            F.percentile("us", F.lit(0.9)).alias("p90_us"),
+            F.max("us").cast("long").alias("max_us"),
+        )
+    )
+
+
+@query(
+    "ntile_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                       AS DECIMAL(30,4)) AS VARCHAR) AS total_spend,
+             CAST(ntile(4) OVER (ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,4))) DESC,
+                                 o_custkey) AS INTEGER) AS quartile
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT quartile, CAST(count(*) AS BIGINT) AS n_customers,
+           min(total_spend) AS lo_spend_str, max(total_spend) AS hi_spend_str
+    FROM spend GROUP BY quartile
+    """,
+)
+def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles via ntile(4) over exact decimal spend
+    (total order applied: spend desc, custkey), rolled up to quartile
+    summaries. min/max of the pinned-scale spend STRINGS are reported —
+    string comparison, engine-identical, sidesteps decimal-surface
+    hashing entirely.
+
+    Plan: per-customer aggregate first (shuffle on custkey); the
+    customer relation SCALES with SF, so the quartile assignment does
+    NOT use a global ntile window (single-task sort — the round-1
+    anti-pattern). Instead `operators.partitioning.global_rank` gives a
+    distributed rank (range shuffle + per-partition offsets) and the
+    exact ntile bucketing formula is applied per-row: the first
+    n mod 4 buckets take one extra row, matching ntile(4) bit-for-bit."""
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sp")
+    )
+    ranked = global_rank(
+        spend, [F.col("sp").desc(), F.col("o_custkey").asc()], "rank", "total"
+    )
+    # ntile(k): sizes base+1 for the first extra=n%k buckets, base after.
+    k = 4
+    base = F.expr(f"total div {k}")
+    extra = F.col("total") % k
+    in_big = F.col("rank") <= (base + 1) * extra
+    bucket = F.when(in_big, F.expr(f"(rank - 1) div (total div {k} + 1)")).otherwise(
+        extra + F.expr(f"(rank - 1 - (total div {k} + 1) * (total % {k})) div (total div {k})")
+    )
+    q = ranked.select(
+        F.col("sp").cast("decimal(30,4)").cast("string").alias("total_spend"),
+        (bucket + 1).cast("int").alias("quartile"),
+    )
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("total_spend").alias("lo_spend_str"),
+        F.max("total_spend").alias("hi_spend_str"),
+    )
