@@ -462,3 +462,77 @@ def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("total_spend").alias("lo_spend_str"),
         F.max("total_spend").alias("hi_spend_str"),
     )
+
+
+@query(
+    "events_debounce",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM seq
+    WHERE prev_ts IS NULL
+       OR date_diff('microsecond', prev_ts, ts) > 300000000
+    """,
+)
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop an event when the same user emitted the same
+    event type within the previous 5 minutes — the batch twin of
+    streaming `dropDuplicatesWithinWatermark`-style redelivery
+    suppression (keep the first of each burst, microsecond-exact gap).
+
+    Plan: one lag window partitioned by (user_id, event_type) —
+    bounded per-key state, shuffle on the dedup key only."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", prev.alias("prev_ts"), gap_us.alias("g"))
+        .filter(F.col("prev_ts").isNull() | (F.col("g") > 300_000_000))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "top_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS e3,
+             lag(event_type, 1) OVER w AS e2,
+             lag(event_type, 2) OVER w AS e1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE e1 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 10
+    """,
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavior paths (event-type trigrams along each
+    user's timeline) — the path-analysis query behind "what do users do
+    before purchasing".
+
+    Plan: two lags in one window pass per user (bounded state), hash
+    aggregate to the ≤|types|³ path table, TakeOrdered for the
+    deterministic top-k (total order: count desc then path)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e3"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.lag("event_type", 2).over(w).alias("e1"),
+    ).filter(F.col("e1").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(10)
+    )

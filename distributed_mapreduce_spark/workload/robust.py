@@ -126,3 +126,47 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
     )
+
+
+@query(
+    "mad_price_stats",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS m
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderstatus,
+           med.m AS median_price,
+           quantile_cont(abs(o.o_totalprice - med.m), 0.5) AS mad,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN med ON o.o_orderstatus = med.o_orderstatus
+    GROUP BY o.o_orderstatus, med.m
+    """,
+)
+def q_mad_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    measure (insensitive to the outliers that inflate stddev): exact
+    median, then exact median of absolute deviations from it.
+
+    Plan: two aggregation passes over the same shuffle key (group
+    medians joined back on o_orderstatus, deviations re-aggregated) —
+    MAD is not algebraic, two passes is the correct distributed shape.
+    abs/subtract are exact IEEE ops; `percentile` ≡ `quantile_cont`."""
+    orders = table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
+    )
+    j = orders.join(med, "o_orderstatus")
+    return (
+        j.groupBy("o_orderstatus", "m")
+        .agg(
+            F.percentile(F.abs(F.col("o_totalprice") - F.col("m")), F.lit(0.5)).alias("mad"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("m").alias("median_price"),
+            "mad",
+            "n_orders",
+        )
+    )
