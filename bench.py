@@ -58,6 +58,27 @@ HEADLINE = [
 ]
 
 
+#: Timed trials per query; the reported figure is the per-query MIN, so a
+#: background burst inflates at most the trial it lands on, not the
+#: artifact (round-2's recorded bench was ~1.35x ambient-load noise).
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+#: 1-minute loadavg above this (machine already busy before we start)
+#: triggers a bounded settle wait.
+LOAD_GUARD = float(os.environ.get("SPARK_GRAFT_BENCH_MAXLOAD", "8.0"))
+
+
+def wait_for_quiet(max_wait_s: float = 120.0) -> float:
+    """Best-effort ambient-load guard: wait (bounded) for the 1-minute
+    loadavg to drop below LOAD_GUARD before timing starts. Returns the
+    loadavg observed when timing begins."""
+    deadline = time.monotonic() + max_wait_s
+    load = os.getloadavg()[0]
+    while load > LOAD_GUARD and time.monotonic() < deadline:
+        time.sleep(5.0)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -74,12 +95,17 @@ def main() -> None:
     # Warm up the JVM/IO path once (not timed): tiny scan + shuffle.
     QUERIES["flagship_pct"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    load_at_start = round(wait_for_quiet(), 2)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
-        df = QUERIES[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, TRIALS)):
+            df = QUERIES[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -90,6 +116,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "trials": TRIALS,
+                "loadavg_at_start": load_at_start,
             }
         )
     )

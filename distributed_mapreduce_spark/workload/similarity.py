@@ -454,10 +454,15 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_normalize",
     oracle=f"""
     SELECT vec_id,
-           CASE WHEN {_sql_dot('embedding', 'embedding')} = 0 THEN embedding
-                ELSE list_transform(embedding,
-                       x -> CAST(x AS DOUBLE) / sqrt({_sql_dot('embedding', 'embedding')}))
-           END AS unit,
+           array_to_string(
+             list_transform(
+               CASE WHEN {_sql_dot('embedding', 'embedding')} = 0
+                    THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+                    ELSE list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) / sqrt({_sql_dot('embedding', 'embedding')}))
+               END,
+               x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT) AS VARCHAR)),
+             ',') AS unit_u,
            CAST(floor(sqrt({_sql_dot('embedding', 'embedding')}) * 1000000.0) AS BIGINT) AS norm_u
     FROM embeddings
     """,
@@ -467,14 +472,23 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot shortcuts and before LSH/IVF bucketing on unit vectors). Pure
     higher-order array expressions — the norm is the same explicit left
     fold as every other dot product in this module, so the doubles are
-    bit-identical across engines; zero vectors pass through unchanged."""
+    bit-identical across engines; zero vectors pass through unchanged.
+
+    Surface: the unit vector is reported as a comma-joined string of
+    per-component micro-units (floor(x*1e6) as BIGINT) rather than a raw
+    array<double> — the driver's pandas canonicalizer hashes scalar
+    cells only (r2 verdict #1), and the components are bit-identical
+    doubles in both engines so the integer scaling is exact."""
     emb = table(spark, sf_dir, "embeddings")
     nrm2 = dot(F.col("embedding"), F.col("embedding"))
-    unit = F.when(nrm2 == 0, F.col("embedding")).otherwise(
-        F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(nrm2))
+    unit = F.when(
+        nrm2 == 0, F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ).otherwise(F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(nrm2)))
+    unit_u = F.concat_ws(
+        ",", F.transform(unit, lambda x: F.floor(x * 1_000_000.0).cast("long").cast("string"))
     )
     return emb.select(
         "vec_id",
-        unit.alias("unit"),
+        unit_u.alias("unit_u"),
         F.floor(F.sqrt(nrm2) * 1000000.0).cast("long").alias("norm_u"),
     )
