@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 
 def partition_hash(df: DataFrame, key_col: str, num_partitions: int) -> DataFrame:
@@ -137,12 +137,7 @@ def row_range_shard_scalable(
     numbered = with_pid.mapInPandas(attach_local_rn, schema=out_schema)
 
     counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(Window.partitionBy()).alias("_total"),
-    )
+    offsets = _partition_offsets(counts, "_cnt")
 
     joined = numbered.join(F.broadcast(offsets), "_pid")
     rn = F.col("_off") + F.col("_lrn")
@@ -150,6 +145,101 @@ def row_range_shard_scalable(
         shard_col,
         ((rn - F.lit(1)) * num_shards / F.col("_total")).cast("long").cast("int"),
     ).drop("_pid", "_lrn", "_off", "_total")
+
+
+def _partition_offsets(counts: DataFrame, cnt_col: str) -> DataFrame:
+    """Exclusive prefix offsets + grand total over the tiny per-partition
+    counts relation (one row per partition, so P rows ≈ hundreds even on
+    a 1000-executor cluster).
+
+    Computed with an explicit `coalesce(1)` + one Arrow pass rather than
+    an unpartitioned window: the single partition is a deliberate choice
+    on deliberately-tiny data (Spark folds any constant partition key
+    out of a window spec and re-raises the WindowExec single-partition
+    warning, which drowns out genuine scale hazards in the logs).
+
+    Returns columns `_pid`, `_off` (sum of counts of lower pids),
+    `_total` (sum of all counts).
+    """
+    import pandas as pd
+
+    schema = StructType(
+        [
+            StructField("_pid", IntegerType(), False),
+            StructField("_off", LongType(), False),
+            StructField("_total", LongType(), False),
+        ]
+    )
+
+    def offs(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values("_pid")
+        c = pdf[cnt_col].astype("int64")
+        yield pd.DataFrame(
+            {
+                "_pid": pdf["_pid"].astype("int32"),
+                "_off": c.cumsum() - c,
+                "_total": int(c.sum()),
+            }
+        )
+
+    return counts.coalesce(1).mapInPandas(offs, schema=schema)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_exprs: list,
+    value_col: str,
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed running sum of ``value_col`` in the total order given
+    by ``order_exprs`` — the prefix-sum sibling of :func:`global_rank`,
+    for running-total operators (sequence packing, cumulative budgets)
+    that must never fall back to an unpartitioned
+    ``Window.orderBy`` (single-task sort over every row).
+
+    Plan (two-pass prefix sum):
+
+    1. `repartitionByRange` on the order expressions (sampled bounds —
+       the parallel sort) + `sortWithinPartitions`.
+    2. One Arrow `mapInPandas` pass attaches the partition-local running
+       sum — narrow, order-preserving, no shuffle.
+    3. Per-partition value sums (one row per partition) become exclusive
+       cumulative offsets via a window over that P-row relation.
+    4. A broadcast join adds the offset: global cumsum = offset + local.
+
+    ``order_exprs`` must be a total order for a deterministic result;
+    ``value_col`` must be integral (the running sum is carried as long).
+    """
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, *order_exprs).sortWithinPartitions(*order_exprs)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    out_schema = StructType(
+        with_pid.schema.fields + [StructField("_lcs", LongType(), False)]
+    )
+
+    def attach_local_cumsum(batches):
+        running = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            s = pdf[value_col].astype("int64").cumsum() + running
+            pdf["_lcs"] = s
+            if len(pdf):
+                running = int(s.iloc[-1])
+            yield pdf
+
+    numbered = with_pid.mapInPandas(attach_local_cumsum, schema=out_schema)
+    sums = with_pid.groupBy("_pid").agg(F.sum(value_col).cast("long").alias("_psum"))
+    offsets = _partition_offsets(sums, "_psum")
+    joined = numbered.join(F.broadcast(offsets), "_pid")
+    return joined.withColumn(
+        cumsum_col, (F.col("_off") + F.col("_lcs")).cast("long")
+    ).drop("_pid", "_lcs", "_off", "_total")
 
 
 def global_rank(
@@ -188,12 +278,7 @@ def global_rank(
 
     numbered = with_pid.mapInPandas(attach_local_rn, schema=out_schema)
     counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(Window.partitionBy()).alias("_total"),
-    )
+    offsets = _partition_offsets(counts, "_cnt")
     joined = numbered.join(F.broadcast(offsets), "_pid")
     return (
         joined.withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))

@@ -8,9 +8,11 @@ quadratic per-order pair fan-out). Edges are stored once, oriented
 ``src < dst`` — the standard de-duplicated representation that makes
 each triangle appear exactly once as (a < b < c).
 
-Reference parity note: the reference's graph-ish workloads are the
-maple/juice join jobs (`maple_join.py` / `juice_join.py`); these
-queries generalize the same shuffle-join skeleton to multi-way
+Reference parity note: the reference ships no join or graph jobs (its
+JOIN query type is a declared-but-dead stub,
+`file_server/fileserver.py:1383-1384`; its maple/juice executables are
+wordcount-shaped, `data/maple-exe.go` / `data/juice-exe.go`). These
+queries extend the reference's shuffle-aggregate skeleton to multi-way
 self-joins (the canonical MapReduce triangle-enumeration algorithm of
 Suri & Vassilvitskii, WWW'11, expressed declaratively).
 

@@ -176,11 +176,20 @@ def _vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("df"),
     )
     kept = counts.filter(F.col("df") >= VOCAB_MIN_DF)
-    # Global window over the *aggregated* vocabulary relation (one row
-    # per surviving token — Heaps'-law small, same benign class as the
-    # pct-of-total family), not over raw corpus rows.
-    w = Window.orderBy(F.desc("tf_corpus"), F.asc("token"))
-    return kept.withColumn("vocab_id", F.row_number().over(w).cast("long"))
+    # Dense id assignment in (tf_corpus desc, token) order via the
+    # distributed global_rank (range shuffle + per-partition offsets,
+    # operators/partitioning.py). The vocabulary is aggregated and
+    # Heaps'-law sublinear, but a web-scale corpus still yields 1e8+
+    # tokens — a single-partition row_number window would be the
+    # bottleneck, so the id assignment is distributed too.
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+
+    return global_rank(
+        kept,
+        [F.col("tf_corpus").desc(), F.col("token").asc()],
+        rank_col="vocab_id",
+        total_col="_vocab_total",
+    ).drop("_vocab_total")
 
 
 @query("vocab_build", oracle=_VOCAB_SQL)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from distributed_mapreduce_spark.operators.partitioning import global_cumsum
 from distributed_mapreduce_spark.workload.registry import query, table
 
 #: Stopword list for quality scoring (tiny, deterministic).
@@ -593,16 +594,15 @@ def q_text_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs (in stable doc_id order) to
     ~512-token training packs by cumulative-token binning —
     the throughput trick that keeps pretraining batches dense. The
-    running sum is a window in doc order; pack boundaries are pure
-    integer arithmetic, so the oracle is exact. (A production packer
-    would partition the cumsum per shard; the global order here is the
-    deterministic parity form.)"""
+    running sum is the distributed two-pass prefix sum
+    (`operators/partitioning.py::global_cumsum`: range shuffle +
+    per-partition local cumsum + broadcast P-row offsets), NOT an
+    unpartitioned window — no single-task global sort at any scale.
+    Pack boundaries are pure integer arithmetic, so the oracle is
+    exact."""
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = t.select(
-        "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("c")
-    )
+    cum = global_cumsum(t, [F.col("doc_id")], "n_tokens", cumsum_col="c")
     return (
         cum.select(
             F.floor((F.col("c") - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
@@ -693,12 +693,11 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline whether its batch packing wastes compute.
 
     Plan: same cumulative-binning lineage as `text_packing`, reduced to
-    a single summary row; the global cumsum window is the documented
-    deterministic parity form (a production packer shards it)."""
+    a single summary row; the running sum uses the distributed
+    `global_cumsum` prefix-sum (no unpartitioned window)."""
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = t.select("n_tokens", F.sum("n_tokens").over(w).alias("c"))
+    cum = global_cumsum(t, [F.col("doc_id")], "n_tokens", cumsum_col="c")
     packs = (
         cum.select(
             F.floor((F.col("c") - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
