@@ -22,8 +22,9 @@ Scale notes (100 TB):
 - Triangle enumeration is two shuffle equi-joins on edge endpoints.
   Worst-case intermediate is the wedge count Σ_b d(b)²; the id
   orientation (src < dst) halves it and AQE handles residual skew.
-  For a power-law 100 TB graph you would re-orient by degree
-  (compact-forward) — noted, not needed at harness skew.
+  For a power-law 100 TB graph, `graph_triangles_degree_ordered`
+  re-orients by (degree, id) (compact-forward), bounding the wedge
+  intermediate by O(m^1.5) independent of hub degree.
 - All outputs are exact integers — no float drift in the oracle.
 """
 
@@ -105,6 +106,85 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def _triangle_counts_degree_ordered(e: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge set (columns
+    ``src``/``dst``, stored once per edge), using the compact-forward
+    (degree-ordered) orientation: each edge points from its
+    lower-(degree, id) endpoint to the higher one, so every wedge is
+    enumerated at its LOWEST-degree corner. Worst-case intermediate
+    drops from Σ d(v)² (id orientation — quadratic in hub degree on a
+    power-law graph) to O(m^1.5) [Chiba–Nishizeki / Latapy bound] —
+    the variant that survives 100× skew.
+
+    Node order key: deg·2³² + id (single long — degrees and ids both
+    fit 32 bits at any realistic scale; ties broken by id so the order
+    is total and the enumeration exact)."""
+    deg = (
+        e.select(F.col("src").alias("n"))
+        .unionAll(e.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        e.join(deg.withColumnsRenamed({"n": "src", "d": "ds"}), "src")
+        .join(deg.withColumnsRenamed({"n": "dst", "d": "dd"}), "dst")
+        .select(
+            "src",
+            "dst",
+            (F.col("ds").cast("long") * (1 << 32) + F.col("src")).alias("ks"),
+            (F.col("dd").cast("long") * (1 << 32) + F.col("dst")).alias("kd"),
+        )
+    )
+    fwd = keyed.select(
+        F.when(F.col("ks") < F.col("kd"), F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(F.col("ks") < F.col("kd"), F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.greatest("ks", "kd").alias("kv"),
+    )
+    a = fwd.alias("a")
+    b = fwd.alias("b")
+    # Wedge at the lowest corner u; the closing edge, if present, is
+    # oriented a.v -> b.v because k(a.v) < k(b.v).
+    wedges = a.join(
+        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.kv") < F.col("b.kv"))
+    ).select(F.col("a.u").alias("x"), F.col("a.v").alias("y"), F.col("b.v").alias("z"))
+    closing = fwd.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@query(
+    "graph_triangles_degree_ordered",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e1.dst = e2.src
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def q_triangles_degree_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same per-node triangle counts as `graph_triangle_counts`
+    (identical oracle — the orientation changes the join plan, never
+    the answer), enumerated with the compact-forward degree ordering:
+    wedges materialize only at each triangle's lowest-degree corner,
+    bounding the intermediate by O(m^1.5) instead of the hub-quadratic
+    Σ d(v)² — the 100×-skew-safe variant the id-oriented plan
+    documents as its scale follow-up."""
+    return _triangle_counts_degree_ordered(_edges(spark, sf_dir).cache())
 
 
 @query(

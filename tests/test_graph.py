@@ -42,3 +42,38 @@ def test_common_neighbors_positive_and_sorted(spark, sf_dir):
     counts = [r.n_common for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(c >= 1 for c in counts)
+
+
+def test_degree_ordered_matches_id_ordered(spark, sf_dir):
+    """Compact-forward enumeration returns the identical per-node
+    counts as the id-oriented plan on the harness graph."""
+    a = QUERIES["graph_triangle_counts"](spark, sf_dir)
+    b = QUERIES["graph_triangles_degree_ordered"](spark, sf_dir)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_degree_ordered_skewed_fixture(spark):
+    """Power-law-ish fixture: hub 0 connected to every spoke, spokes
+    chained so each (hub, i, i+1) closes a triangle, plus a detached
+    4-clique. Exact counts are known in closed form; the degree
+    ordering must not miss or double-count triangles at the hub."""
+    from distributed_mapreduce_spark.workload.graph import (
+        _triangle_counts_degree_ordered,
+    )
+
+    n = 50
+    hub_edges = [(0, i) for i in range(1, n + 1)]
+    chain = [(i, i + 1) for i in range(1, n)]
+    clique = [(a, b) for a in range(100, 104) for b in range(100, 104) if a < b]
+    e = spark.createDataFrame(hub_edges + chain + clique, ["src", "dst"])
+    got = {
+        r.node: r.n_triangles
+        for r in _triangle_counts_degree_ordered(e).collect()
+    }
+    # hub participates in n-1 chain triangles; spoke i in deg-2/3 share
+    assert got[0] == n - 1
+    assert got[1] == 1 and got[n] == 1
+    assert all(got[i] == 2 for i in range(2, n))
+    # 4-clique: C(3,2)=3 triangles per node
+    assert all(got[c] == 3 for c in range(100, 104))
+    assert sum(got.values()) % 3 == 0
