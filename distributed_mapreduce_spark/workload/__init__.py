@@ -31,6 +31,7 @@ from distributed_mapreduce_spark.workload import sketches  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import robust  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import frontier  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import iterative  # noqa: F401,E402
+from distributed_mapreduce_spark.workload import corpus  # noqa: F401,E402
 
 # The grading driver samples the FIRST 50 registered queries. Keep that
 # prefix = SURVEY §2 parity + one green representative per extension

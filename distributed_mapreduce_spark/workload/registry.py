@@ -36,10 +36,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a harness table (see /root/repo/TESTDATA.md).
 
-    The `events` parquet stores TIMESTAMP(NANOS), which Spark's vector
-    reader rejects; read nanos as long and truncate to microseconds
-    (exactly what DuckDB does on the oracle side).
+    Timestamp normalization (applied to whatever session the driver
+    passes in — all three confs are runtime-settable):
+
+    - NTZ-annotated parquet timestamps read as plain TIMESTAMP
+      (`inferTimestampNTZ.enabled=false`): the stored micros become
+      UTC instants, so `unix_micros` etc. see exactly the values
+      DuckDB's naive TIMESTAMP exposes, independent of machine zone.
+    - Session timezone pinned to UTC so zone-dependent derivations
+      (date_trunc, hour, casts to string/date) agree with the naive
+      oracle arithmetic.
+    - Historic generators stored TIMESTAMP(NANOS), which Spark's
+      vectorized reader rejects; read nanos as long and truncate to
+      micros (what DuckDB does on the oracle side).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
