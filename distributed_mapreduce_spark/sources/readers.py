@@ -88,3 +88,25 @@ def scan_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     dirs, wasteful on huge static tables (there, declare the schema).
     """
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def scan_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read newline-delimited JSON (the interchange format LLM corpora
+    actually ship in — one document object per line).
+
+    JSONL is splittable exactly like the reference's line model (the
+    record separator is the newline), so a 100 TB corpus parallelizes
+    per input split with no coordination. ALWAYS pass `schema` at
+    scale: without it Spark runs a full inference pass first, and
+    schema drift across files silently widens columns. Malformed lines
+    surface in `_corrupt_record` (PERMISSIVE default) instead of
+    failing the job — filter or count them as a data-quality signal.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -33,3 +33,16 @@ def sink_merged_csv(df: DataFrame, path: str, header: bool = True, mode: str = "
 def sink_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     """Parallel (multi-file) CSV write."""
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def sink_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """Parallel newline-delimited JSON write — the export format for
+    handing a prepared corpus to a training framework. One JSON object
+    per line, one file per task; compose with `partition_by` (e.g.
+    split/source) so downstream loaders read only the shard they need."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

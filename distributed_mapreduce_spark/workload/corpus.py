@@ -37,7 +37,16 @@ from pyspark.sql import functions as F
 from distributed_mapreduce_spark.workload.dedup import _hash_u32, _sql_hash_u32
 from distributed_mapreduce_spark.workload.quality import _ngrams, _sql_ngrams
 from distributed_mapreduce_spark.workload.registry import query, table
-from distributed_mapreduce_spark.workload.text import BPE_REGEX, _sql_tokens, _tokens
+from distributed_mapreduce_spark.workload.text import (
+    BPE_REGEX,
+    STOPWORDS,
+    _bp,
+    _count_in,
+    _sql_bp,
+    _sql_count_in,
+    _sql_tokens,
+    _tokens,
+)
 
 #: Deterministic eval-set gate: ~1% of docs stand in for the benchmark
 #: suite (doc_id % DECON_EVAL_MOD == 0).
@@ -216,4 +225,144 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_chars_sum * 10000) DIV n_bpe_tokens")
         .cast("long")
         .alias("chars_per_token_bp"),
+    )
+
+
+#: Incremental-dedup batch gate: the top decile of doc_ids stands in
+#: for "today's crawl"; everything else is the existing corpus.
+INCR_BATCH_MOD, INCR_BATCH_REM = 10, 9
+
+_INCR_SQL = f"""
+    WITH fp AS (
+      SELECT doc_id, md5(text) AS fp,
+             doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM} AS is_new
+      FROM documents
+    ), corpus AS (
+      SELECT DISTINCT fp FROM fp WHERE NOT is_new
+    ), batch AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fp WHERE is_new
+    )
+    SELECT b.doc_id,
+           CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.rn > 1 THEN 'dup_within_batch'
+                ELSE 'new' END AS status
+    FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+"""
+
+
+@query("dedup_incremental", oracle=_INCR_SQL)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape a daily ingestion run executes:
+    classify each NEW document (deterministic batch gate) as a
+    duplicate of the existing corpus, a duplicate within its own
+    batch, or genuinely new.
+
+    Plan: fingerprints only (md5, never text) on both sides; the
+    corpus side collapses to DISTINCT hashes before the join (at real
+    scale this relation IS the persisted fingerprint index a pipeline
+    maintains); within-batch firsts use a window partitioned by
+    fingerprint — bounded per-key state, no global sort."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        (F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM).alias("is_new"),
+    )
+    corpus = fp.filter(~F.col("is_new")).select("fp").distinct().withColumn(
+        "in_corpus", F.lit(True)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch = fp.filter(F.col("is_new")).withColumn("rn", F.row_number().over(w))
+    return batch.join(corpus, "fp", "left").select(
+        "doc_id",
+        F.when(F.col("in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+        .when(F.col("rn") > 1, F.lit("dup_within_batch"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )
+
+
+#: Filter thresholds (Gopher-rule-shaped, tuned to the harness corpus):
+#: bit 1 too-short, bit 2 punctuation-heavy, bit 4 stopword-poor,
+#: bit 8 repetitive (duplicate-trigram mass).
+QF_MIN_TOKENS = 20
+QF_MAX_PUNCT_BP = 1500
+QF_MIN_STOPWORD_BP = 200
+QF_MAX_DUP_TRI_BP = 2000
+
+
+@query(
+    "quality_filter_reasons",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_sql_tokens('text')} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             {_sql_bp("length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))",
+                      'length(text)')} AS punct_bp,
+             {_sql_bp(_sql_count_in('toks', STOPWORDS), 'len(toks)')} AS stopword_bp,
+             {_sql_bp(f"len({_sql_ngrams('toks', 3)}) - len(list_distinct({_sql_ngrams('toks', 3)}))",
+                      f"len({_sql_ngrams('toks', 3)})")} AS dup_tri_bp
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 1 ELSE 0 END
+              + CASE WHEN punct_bp > {QF_MAX_PUNCT_BP} THEN 2 ELSE 0 END
+              + CASE WHEN stopword_bp < {QF_MIN_STOPWORD_BP} THEN 4 ELSE 0 END
+              + CASE WHEN dup_tri_bp > {QF_MAX_DUP_TRI_BP} THEN 8 ELSE 0 END
+             AS INTEGER) AS reason_mask,
+           (n_tokens >= {QF_MIN_TOKENS} AND punct_bp <= {QF_MAX_PUNCT_BP}
+            AND stopword_bp >= {QF_MIN_STOPWORD_BP}
+            AND dup_tri_bp <= {QF_MAX_DUP_TRI_BP}) AS kept
+    FROM s
+    """,
+)
+def q_quality_filter_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainable quality filtering: per document, a bitmask of WHICH
+    Gopher-style rules rejected it (too short / punctuation-heavy /
+    stopword-poor / repetitive) plus the keep verdict — the audit
+    artifact a corpus pipeline ships alongside the filtered output so
+    rejection rates per rule can be monitored per source.
+
+    Pure per-row columnar expressions (token array reused across all
+    four signals in one projection), zero shuffle — the filter itself
+    is free at any scale; only the audit aggregate costs anything."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_chars = F.length(F.col("text"))
+    punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    tri = _ngrams(F.col("toks"), 3)
+    s = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        _bp(punct, n_chars).alias("punct_bp"),
+        _bp(_count_in(toks, STOPWORDS), F.size(toks)).alias("stopword_bp"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "punct_bp",
+        "stopword_bp",
+        _bp(F.size(tri) - F.size(F.array_distinct(tri)), F.size(tri)).alias("dup_tri_bp"),
+    )
+    mask = (
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, 1).otherwise(0)
+        + F.when(F.col("punct_bp") > QF_MAX_PUNCT_BP, 2).otherwise(0)
+        + F.when(F.col("stopword_bp") < QF_MIN_STOPWORD_BP, 4).otherwise(0)
+        + F.when(F.col("dup_tri_bp") > QF_MAX_DUP_TRI_BP, 8).otherwise(0)
+    )
+    return s.select(
+        "doc_id",
+        mask.cast("int").alias("reason_mask"),
+        (
+            (F.col("n_tokens") >= QF_MIN_TOKENS)
+            & (F.col("punct_bp") <= QF_MAX_PUNCT_BP)
+            & (F.col("stopword_bp") >= QF_MIN_STOPWORD_BP)
+            & (F.col("dup_tri_bp") <= QF_MAX_DUP_TRI_BP)
+        ).alias("kept"),
     )

@@ -154,3 +154,50 @@ def test_union_all_by_name(spark):
     b = spark.createDataFrame([("y", 2)], ["v", "k"])  # reordered columns
     got = {(r["k"], r["v"]) for r in union_all(a, b).collect()}
     assert got == {(1, "x"), (2, "y")}
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    """documents → JSONL → documents round-trips values and schema
+    (explicit schema on read — the at-scale contract)."""
+    from distributed_mapreduce_spark.sources.readers import scan_jsonl
+    from distributed_mapreduce_spark.sources.sinks import sink_jsonl
+    from distributed_mapreduce_spark.workload.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    sink_jsonl(docs, out)
+    back = scan_jsonl(spark, out, schema=docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_jsonl_corrupt_record_surface(spark, tmp_path):
+    """Malformed lines land in _corrupt_record instead of failing the
+    read (the data-quality contract scan_jsonl documents)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from distributed_mapreduce_spark.sources.readers import scan_jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        _json.dumps({"doc_id": 1, "text": "ok"})
+        + "\n{not json at all\n"
+        + _json.dumps({"doc_id": 2, "text": "also ok"})
+        + "\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = scan_jsonl(spark, str(p), schema=schema).cache()
+    assert df.count() == 3
+    assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+    assert df.filter("doc_id IS NOT NULL").count() == 2
+    df.unpersist()
