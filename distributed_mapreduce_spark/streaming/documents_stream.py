@@ -77,3 +77,97 @@ def dedup_docs_stream(docs: DataFrame) -> DataFrame:
     return fps.groupBy("fp").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def lsh_band_keys(docs: DataFrame) -> DataFrame:
+    """Stateless projection doc → (doc_id, band, h0..h{rows-1}): hashed
+    shingles → minhash signature → per-band keys, exploded. Exactly the
+    band construction of the batch `minhash_candidate_pairs`
+    (`workload/dedup.py`) — same hash family, same constants — so the
+    streaming and batch candidate sets are comparable term-for-term.
+    Composes with batch and streaming inputs alike (no state, no
+    shuffle)."""
+    from distributed_mapreduce_spark.workload.dedup import (
+        MH_A,
+        MH_B,
+        MH_PRIME,
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        _hash_u32,
+        shingles,
+    )
+
+    bh = F.array_distinct(
+        F.transform(shingles(F.col("text")), lambda s: _hash_u32(s, "mh_"))
+    )
+    base = F.col("bh")
+
+    def affine(j):
+        return lambda x: (F.lit(MH_A[j]) * x + F.lit(MH_B[j])) % F.lit(MH_PRIME)
+
+    k = MINHASH_BANDS * MINHASH_ROWS
+    sig = [
+        F.coalesce(F.array_min(F.transform(base, affine(j))), F.lit(2**62))
+        for j in range(k)
+    ]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    sig[b * MINHASH_ROWS + r].alias(f"h{r}")
+                    for r in range(MINHASH_ROWS)
+                ],
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return (
+        docs.select("doc_id", bh.alias("bh"))
+        .select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", "bk.*")
+    )
+
+
+def lsh_candidates_stream(docs: DataFrame) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate candidates: keyed state per
+    band bucket holds the doc_ids seen so far; each arriving doc emits
+    a candidate pair against every doc already in its bucket — the
+    streaming twin of the batch band-bucket self-join
+    (`minhash_candidate_pairs`), certified equal on a closed corpus in
+    tests/test_streaming.py.
+
+    Scale shape: state is partitioned by the band key like a shuffle;
+    per-bucket state is the bucket's doc_id list — the same skew
+    exposure as the batch self-join's largest bucket, with the same
+    remedy (cap or sub-band oversized buckets; production also ages
+    out old ids with a TTL when the dedup horizon allows)."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from distributed_mapreduce_spark.workload.dedup import MINHASH_ROWS
+
+    key_cols = ["band"] + [f"h{r}" for r in range(MINHASH_ROWS)]
+    out_schema = "doc_a bigint, doc_b bigint"
+    state_schema = "ids array<bigint>"
+
+    def fn(key, pdfs, state):
+        (ids,) = state.get if state.exists else ([],)
+        ids = list(ids)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for doc in pdf["doc_id"].astype("int64"):
+                d = int(doc)
+                for prev in ids:
+                    lo, hi = (prev, d) if prev < d else (d, prev)
+                    if lo != hi:
+                        out_a.append(lo)
+                        out_b.append(hi)
+                ids.append(d)
+        state.update((ids,))
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b}, dtype="int64")
+
+    return lsh_band_keys(docs).groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -401,3 +401,34 @@ def test_streaming_dedup_matches_batch_dedup_exact(spark, docs_dir):
     # carried across micro-batches (same key touched in >1 batch) OR
     # every key arrived once; either way the four batches ran.
     assert n_emissions >= len(got)
+
+
+def test_streaming_lsh_candidates_match_batch(spark, docs_dir):
+    """Union of streamed candidate pairs (distinct) == the batch
+    MinHash-LSH candidate set on the same closed corpus."""
+    from distributed_mapreduce_spark.streaming.documents_stream import (
+        lsh_candidates_stream,
+        read_documents_stream,
+    )
+    from distributed_mapreduce_spark.workload.dedup import (
+        minhash_candidate_pairs,
+        shingle_table,
+    )
+
+    stream = lsh_candidates_stream(
+        read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
+    )
+    run_to_memory(stream, "lsh_stream", output_mode="append")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.table("lsh_stream").collect()
+    }
+
+    docs = spark.read.parquet(docs_dir)
+    sh = shingle_table(docs)
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(sh).collect()
+    }
+    sh.unpersist()
+    assert got == expected and len(got) > 0
