@@ -45,8 +45,17 @@ _DEMOTE = [
     "text_top_terms",  # variant of vocab_build
     "ann_bruteforce_pandas",  # same oracle as ann_bruteforce (Arrow path)
     "dedup_simhash_pairs",  # variant of dedup_simhash
+    "text_rolling_hash",  # variant of text_fingerprint (same family head stays)
+    "dedup_cluster_hops",  # bounded-hop variant of dedup_clusters
 ]
-_PROMOTE = ["maplejuice_flagship", "multimodal_features"]
+_PROMOTE = [
+    "maplejuice_flagship",
+    "multimodal_features",
+    # round-3 family representatives: iterative fixed-point loops and
+    # corpus decontamination have no driver row yet.
+    "pagerank_converge",
+    "decontam_ngram_overlap",
+]
 _names = [n for n in QUERIES if n not in _DEMOTE and n not in _PROMOTE]
 _cut = _names.index("text_scrub_pii") + 1
 for _n in _names[:_cut] + _PROMOTE + _names[_cut:] + _DEMOTE:
