@@ -366,3 +366,62 @@ def q_quality_filter_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_tri_bp") <= QF_MAX_DUP_TRI_BP)
         ).alias("kept"),
     )
+
+
+#: Passage width (tokens) for cross-document boilerplate detection.
+PASSAGE_N = 3
+
+
+@query(
+    "dedup_repeated_passages",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_sql_ngrams(_sql_tokens('text'), PASSAGE_N)}) AS grams
+      FROM documents
+    ), g AS (
+      SELECT doc_id, {_sql_hash_u32('gram', 'pp_')} AS gh
+      FROM t, unnest(grams) AS u(gram)
+    ), idx AS (
+      SELECT gh, count(*) AS nd FROM g GROUP BY gh
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(count(*) FILTER (idx.nd > 1) AS BIGINT) AS n_shared,
+           {_sql_bp('count(*) FILTER (idx.nd > 1)', 'count(*)')} AS boilerplate_bp
+    FROM g JOIN idx USING (gh)
+    GROUP BY g.doc_id
+    """,
+)
+def q_dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage mass: per document, how many of
+    its distinct {PASSAGE_N}-token passages also occur in OTHER
+    documents (in basis points) — the boilerplate/template signal a
+    corpus pipeline uses to strip navigation chrome, license headers,
+    and mirrored text (the passage-level complement of whole-doc
+    dedup).
+
+    Plan: per-doc DISTINCT passage hashes (strings never leave the
+    projection); one hash aggregate builds the corpus passage index
+    (gh → doc count, the Heaps'-sublinear relation); one equi-join
+    back + per-doc aggregate. Map-side partials throughout, no
+    self-join of the raw corpus."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    g = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_ngrams(_tokens(F.col("text")), PASSAGE_N))
+            ).alias("gram"),
+        )
+        .select("doc_id", _hash_u32(F.col("gram"), "pp_").alias("gh"))
+    )
+    idx = g.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
+    joined = g.join(idx, "gh")
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        shared.cast("long").alias("n_shared"),
+        F.floor(shared * 10000 / F.count(F.lit(1))).cast("long").alias("boilerplate_bp"),
+    )

@@ -1,0 +1,60 @@
+"""Invariants for the corpus-prep operators (decontamination, LM
+counts, fertility, incremental dedup, filter reasons, passages)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload import QUERIES
+from distributed_mapreduce_spark.workload.corpus import (
+    DECON_EVAL_MOD,
+    INCR_BATCH_MOD,
+    INCR_BATCH_REM,
+)
+from distributed_mapreduce_spark.workload.registry import table
+
+
+def test_decontam_excludes_eval_docs(spark, sf_dir):
+    df = QUERIES["decontam_ngram_overlap"](spark, sf_dir)
+    assert df.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).count() == 0
+    assert df.filter("n_shared < 1").count() == 0
+
+
+def test_lm_bigram_cond_bp_bounded(spark, sf_dir):
+    df = QUERIES["lm_bigram_counts"](spark, sf_dir)
+    assert df.filter("cond_bp < 0 OR cond_bp > 10000").count() == 0
+    # a bigram can't outnumber its first token's occurrences
+    assert df.filter("n_bigram > n_unigram").count() == 0
+
+
+def test_tokenizer_fertility_totals(spark, sf_dir):
+    rows = QUERIES["tokenizer_fertility"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        # BPE splitting never merges words: fertility >= 1x
+        assert r.fertility_bp >= 10000
+
+
+def test_dedup_incremental_covers_batch(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n_batch = docs.filter(
+        F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM
+    ).count()
+    df = QUERIES["dedup_incremental"](spark, sf_dir)
+    assert df.count() == n_batch
+    statuses = {r.status for r in df.select("status").distinct().collect()}
+    assert statuses <= {"new", "dup_of_corpus", "dup_within_batch"}
+
+
+def test_quality_filter_mask_consistent_with_kept(spark, sf_dir):
+    df = QUERIES["quality_filter_reasons"](spark, sf_dir)
+    assert df.filter("(reason_mask = 0) <> kept").count() == 0
+    assert df.filter("reason_mask < 0 OR reason_mask > 15").count() == 0
+    assert df.count() == table(spark, sf_dir, "documents").count()
+
+
+def test_repeated_passages_bounds(spark, sf_dir):
+    df = QUERIES["dedup_repeated_passages"](spark, sf_dir)
+    assert df.filter("n_shared > n_passages").count() == 0
+    assert df.filter("boilerplate_bp < 0 OR boilerplate_bp > 10000").count() == 0
