@@ -425,3 +425,73 @@ def q_dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.cast("long").alias("n_shared"),
         F.floor(shared * 10000 / F.count(F.lit(1))).cast("long").alias("boilerplate_bp"),
     )
+
+
+#: Priority-sample size (uniform-without-replacement via hash order).
+PRIO_K = 100
+#: Per-source quota for the balanced annotation subset.
+QUOTA_PER_SOURCE = 5
+
+
+@query(
+    "priority_sample_k",
+    oracle=f"""
+    SELECT doc_id, source,
+           {_sql_hash_u32("CAST(doc_id AS VARCHAR)", 'prio_')} AS prio
+    FROM documents
+    ORDER BY prio, doc_id
+    LIMIT {PRIO_K}
+    """,
+)
+def q_priority_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample (priority sampling): every doc
+    gets an md5 priority, the k smallest win — statistically a uniform
+    without-replacement sample, but reproducible across engines, runs,
+    and cluster sizes (rand()-based sampling is none of those). The
+    eval-subset / human-annotation selection shape.
+
+    Plan: TakeOrderedAndProject — per-partition top-k then a k-row
+    driver merge; no global sort, no full shuffle, at any corpus
+    size."""
+    docs = table(spark, sf_dir, "documents")
+    prio = _hash_u32(F.col("doc_id").cast("string"), "prio_")
+    return (
+        docs.select("doc_id", "source", prio.alias("prio"))
+        .orderBy("prio", "doc_id")
+        .limit(PRIO_K)
+    )
+
+
+@query(
+    "stratified_quota_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_sql_hash_u32("CAST(doc_id AS VARCHAR)", 'quota_')}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {QUOTA_PER_SOURCE}
+    """,
+)
+def q_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced subset: exactly {QUOTA_PER_SOURCE} docs per source
+    (fewer only if the source is smaller), chosen by hash priority
+    within each source — the class-balanced eval/annotation sampler
+    (quota complement of the rate-based `corpus_mixture_sample`).
+
+    Plan: one window per source partition (bounded per-key state —
+    never a global sort); the hash priority makes the per-group pick
+    order-independent and reproducible."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    prio = _hash_u32(F.col("doc_id").cast("string"), "quota_")
+    w = Window.partitionBy("source").orderBy(prio, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("rn"))
+    )
