@@ -55,6 +55,12 @@ HEADLINE = [
     "kmeans_assign",
     "events_funnel",
     "bloom_probe_stats",
+    # round-3 additions: iterative fixed-point, corpus decontamination,
+    # distributed prefix-sum packing, cross-doc passage index
+    "pagerank_converge",
+    "decontam_ngram_overlap",
+    "text_packing",
+    "dedup_repeated_passages",
 ]
 
 
