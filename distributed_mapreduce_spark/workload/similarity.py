@@ -492,3 +492,66 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit_u.alias("unit_u"),
         F.floor(F.sqrt(nrm2) * 1000000.0).cast("long").alias("norm_u"),
     )
+
+
+_RECALL_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS cell, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_sql_cos_u('q.qv', 'e.embedding')} DESC, e.vec_id) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      ) WHERE rnk <= {TOP_K}
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_sql_cos_u('q.qv', 'e.embedding')} DESC, e.vec_id) AS rnk
+        FROM q JOIN embeddings e
+          ON e.label = q.cell AND e.vec_id <> q.query_id
+      ) WHERE rnk <= {TOP_K}
+    ), hits AS (
+      SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM bf JOIN ivf USING (query_id, neighbor_id)
+      GROUP BY bf.query_id
+    )
+    SELECT qq.query_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 10000 // {TOP_K} AS BIGINT) AS recall_bp
+    FROM (SELECT DISTINCT query_id FROM bf) qq
+    LEFT JOIN hits h ON qq.query_id = h.query_id
+"""
+
+
+@query("ann_recall_audit", oracle=_RECALL_SQL)
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVF probe against the brute-force exact
+    answer, per query, in basis points — the certification every
+    approximate index needs before it replaces the exact path (same
+    pattern as `approx_distinct_counts`' in-query error bound: the
+    driver's exact-match harness ends up verifying an approximate
+    operator's quality metric).
+
+    Plan: both rankings reuse their production plans (broadcast query
+    set; cell equi-join for IVF), the intersection is an equi-join on
+    (query_id, neighbor_id), and the per-query roll-up is a tiny
+    aggregate — measuring recall costs one extra join over running the
+    two searches."""
+    bf = q_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = bf.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.expr(f"(coalesce(n_hits, 0) * 10000) DIV {TOP_K}")
+        .cast("long")
+        .alias("recall_bp"),
+    )
