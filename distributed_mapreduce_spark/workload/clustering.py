@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.workload.registry import query, table
-from distributed_mapreduce_spark.workload.similarity import _sql_dot, dot
+from distributed_mapreduce_spark.workload.similarity import (
+    N_QUERIES as _N_QUERIES,
+)
+from distributed_mapreduce_spark.workload.similarity import TOP_K as _TOP_K
+from distributed_mapreduce_spark.workload.similarity import _sql_cos_u, _sql_dot, dot
 
 #: Number of clusters; centroids seed from vec_id < KMEANS_K.
 KMEANS_K = 8
@@ -244,3 +248,68 @@ def lloyd_iterations(spark: SparkSession, sf_dir: str, n_iter: int = 3) -> list[
             .localCheckpoint()
         )
     return inertias
+
+
+_TRAINED_IVF_SQL = f"""
+    WITH a AS (
+      SELECT vec_id, cid, embedding FROM (
+        SELECT e.vec_id, c.vec_id AS cid, e.embedding,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_sqdist('e.embedding', 'c.embedding')}, c.vec_id
+               ) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < {KMEANS_K}) c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, cid AS cell, embedding AS qv
+      FROM a WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             {_sql_cos_u('q.qv', 'a.embedding')} AS cos_u
+      FROM q JOIN a ON a.cid = q.cell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_u, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_u DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_TOP_K}
+"""
+
+
+@query("ann_ivf_trained", oracle=_TRAINED_IVF_SQL)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: the inverted-file cells are
+    the k-means assignment (broadcast K-row centroid argmin) instead of
+    `ann_ivf`'s pre-labeled column — the composition a production
+    vector index actually runs (train quantizer → assign corpus →
+    probe query's cell).
+
+    Plan: one broadcast argmin pass labels corpus and queries alike
+    (the assignment relation is computed once and reused for both
+    sides via cache), then the probe is the same cell equi-join +
+    per-query window top-k as `ann_ivf` — cost scales with cell size,
+    not corpus size."""
+    from distributed_mapreduce_spark.workload.similarity import (
+        cosine_u,
+        topk_per_query,
+    )
+
+    a = _assignment(spark, sf_dir).select("vec_id", "cid", "embedding").cache()
+    q = a.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("cell"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = a.join(
+        F.broadcast(q),
+        (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_u(F.col("qv"), F.col("embedding")).alias("cos_u"),
+    )
+    return topk_per_query(scored, _TOP_K).select(
+        "query_id", "neighbor_id", "cos_u", "rnk"
+    )
