@@ -79,3 +79,39 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    df: DataFrame,
+    out_dir: str,
+    target_rows_per_file: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a dataset into
+    ceil(rows / target_rows_per_file) parquet files, optionally
+    clustered on ``sort_cols`` so row-group min/max stats stay
+    selective after the rewrite.
+
+    The streaming landing path (foreachBatch per micro-batch) and
+    over-parallel writers both produce file counts that grow without
+    bound; listing and opening millions of tiny files then dominates
+    scan time (the classic small-files problem). Compaction is the
+    maintenance pass every table format schedules (Delta/Iceberg
+    OPTIMIZE) — here as a plain parquet rewrite.
+
+    Row count is one metadata-cheap aggregate; the rewrite is a single
+    repartition (range repartition when clustering, so files hold
+    contiguous key ranges). Returns the file count written.
+    """
+    import math
+
+    n = df.count()
+    files = max(1, math.ceil(n / max(1, target_rows_per_file)))
+    if sort_cols:
+        out = df.repartitionByRange(files, *[F.col(c) for c in sort_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(files)
+    out.write.mode(mode).parquet(out_dir)
+    return files

@@ -91,3 +91,39 @@ def test_zorder_files_have_tight_minmax_footers(spark, tmp_path):
     avg_dx = sum(r["dx"] for r in spans) / len(spans)
     avg_dy = sum(r["dy"] for r in spans) / len(spans)
     assert avg_dx < 600 and avg_dy < 600
+
+
+def test_compact_small_files_reduces_count_and_preserves_rows(spark, sf_dir, tmp_path):
+    from distributed_mapreduce_spark.sources.layout import compact_small_files
+    from distributed_mapreduce_spark.workload.registry import table
+
+    frag_dir = str(tmp_path / "fragmented")
+    orders = table(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(frag_dir)  # simulate landing debris
+    import glob
+
+    assert len(glob.glob(f"{frag_dir}/part-*.parquet")) == 64
+
+    out_dir = str(tmp_path / "compacted")
+    n = orders.count()
+    files = compact_small_files(
+        spark.read.parquet(frag_dir), out_dir, target_rows_per_file=n // 3,
+        sort_cols=["o_orderdate"],
+    )
+    produced = glob.glob(f"{out_dir}/part-*.parquet")
+    assert len(produced) == files <= 5
+    back = spark.read.parquet(out_dir)
+    assert back.count() == n
+    # clustering kept: each file's o_orderdate range is disjoint-ish —
+    # min/max stats prune: a narrow date filter must not read all files
+    from pyspark.sql import functions as F
+
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )
+    spans = sorted([(r.lo, r.hi) for r in per_file])
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo  # contiguous, non-interleaved ranges
