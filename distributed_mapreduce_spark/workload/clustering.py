@@ -9,7 +9,8 @@ left-fold on both engines, and every aggregated surface is integer
 reaches the comparator.
 
 Reference parity note: the reference's iterative story is re-running
-maple/juice jobs from the client (`mp3_client.py` loops); one Lloyd
+maple/juice jobs (driver-side command loop over the fileserver's
+maple/juice handlers, `file_server/fileserver.py`); one Lloyd
 iteration is the canonical such loop body, expressed here as a single
 declarative plan per stage.
 
@@ -198,7 +199,8 @@ def lloyd_iterations(spark: SparkSession, sf_dir: str, n_iter: int = 3) -> list[
     """Run ``n_iter`` full Lloyd iterations (assign → recompute
     centroids) and return the fixed-point inertia after each
     assignment — the iterative driver loop the reference runs by
-    re-submitting maple/juice jobs (`mp3_client.py`), expressed as a
+    re-submitting maple/juice commands to the fileserver
+    (`file_server/fileserver.py`), expressed as a
     DataFrame loop with `localCheckpoint` lineage truncation (same
     treatment as connected components; without it the plan nests every
     iteration).

@@ -2,8 +2,9 @@
 iteration to a convergence readout.
 
 Reference parity note: the reference runs iterative algorithms by
-re-submitting maple/juice jobs from the client driver loop
-(`mp3_client.py`); each Spark iteration here is one join + aggregate
+re-submitting maple/juice commands to the fileserver
+(`file_server/fileserver.py`, per MP4-RUN-Command.txt); each Spark
+iteration here is one join + aggregate
 over the edge list — the same Pregel superstep, with
 `localCheckpoint()` truncating lineage per round (without it the plan
 nests every iteration; cf. connected components and the k-means Lloyd
