@@ -4,7 +4,7 @@ string/array/map/date suites in `workload/relational.py`.
 
 Reference parity note: the reference's scalar repertoire is the four
 Go helpers (split/trim/replace/empty-check) invoked per line
-(`maple_exe.go`); SURVEY §2.10 upgrades that to a full library. Each
+(`data/maple-exe.go`); SURVEY §2.10 upgrades that to a full library. Each
 suite here is one projection over a harness table so every function
 is exercised JVM-side inside whole-stage codegen and differentially
 checked value-exact against DuckDB.
