@@ -315,3 +315,135 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(scored, _TOP_K).select(
         "query_id", "neighbor_id", "cos_u", "rnk"
     )
+
+
+#: Lloyd iterations in the driver-checkable convergence query.
+LLOYD_ITERS = 3
+
+
+def _sql_int_sqdist(a: str, b: str) -> str:
+    """Integer squared L2 between BIGINT micro arrays — exact in any
+    engine, no IEEE considerations at all."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+
+
+def _lloyd_oracle(iters: int) -> str:
+    ctes = [
+        f"""e AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT)) AS vm
+          FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS cid, vm AS cm FROM e WHERE vec_id < {KMEANS_K}
+        )"""
+    ]
+    for k in range(1, iters + 1):
+        prev = f"c{k - 1}"
+        ctes.append(
+            f""", a{k} AS (
+              SELECT vec_id, cid, d FROM (
+                SELECT e.vec_id, c.cid,
+                       {_sql_int_sqdist('e.vm', 'c.cm')} AS d,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY {_sql_int_sqdist('e.vm', 'c.cm')}, c.cid
+                       ) AS rn
+                FROM e CROSS JOIN {prev} c
+              ) WHERE rn = 1
+            ), i{k} AS (
+              SELECT CAST({k} AS INTEGER) AS iter,
+                     CAST(count(*) AS BIGINT) AS n_vectors,
+                     CAST(sum(d) AS DECIMAL(38,0)) AS inertia_sq_micro
+              FROM a{k}
+            ), c{k} AS (
+              SELECT cid, list(cmv ORDER BY dim) AS cm FROM (
+                SELECT a.cid, i AS dim,
+                       CAST(floor(CAST(sum(e.vm[i]) AS DOUBLE) / count(*)) AS BIGINT)
+                         AS cmv
+                FROM a{k} a
+                JOIN e ON a.vec_id = e.vec_id,
+                     unnest(generate_series(1, len(e.vm))) AS u(i)
+                GROUP BY a.cid, i
+              ) GROUP BY cid
+            )"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM i{k}" for k in range(1, iters + 1))
+    return "WITH " + "".join(ctes) + "\n" + union
+
+
+@query("kmeans_lloyd_converge", oracle=_lloyd_oracle(LLOYD_ITERS))
+def q_kmeans_lloyd_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd LOOP as a driver-checkable query: {LLOYD_ITERS}
+    assign→update rounds over ALL-INTEGER micro coordinates (vectors
+    and centroids both live as floor-micro BIGINT arrays, distances
+    are integer squared L2 — zero IEEE surface anywhere), returning
+    one row per iteration with the exact inertia. Inertia is
+    nonincreasing across rounds — the convergence readout — and the
+    oracle is the same recurrence unrolled CTE-per-iteration (the
+    pagerank_converge treatment applied to Lloyd).
+
+    Plan per round: broadcast K-row centroid table → per-vector argmin
+    window (K-bounded state) → posexplode fan-out → (cid, dim) hash
+    aggregate with map-side partials → K×dims relation re-assembled
+    into arrays; `localCheckpoint` truncates lineage so the plan stays
+    O(1) in iteration count. Inertia is summed as DECIMAL(38,0) —
+    overflow-proof at any corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    vm = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * MICRO).cast("long"),
+    )
+    e = emb.select("vec_id", vm.alias("vm")).persist()
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("vm").alias("cm")
+    )
+
+    def int_sqdist(a, b):
+        diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    readouts: list[DataFrame] = []
+    for k in range(1, LLOYD_ITERS + 1):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", "vm", int_sqdist(F.col("vm"), F.col("cm")).alias("d")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "vm", "d")
+            .localCheckpoint()
+        )
+        readouts.append(
+            assigned.agg(
+                F.lit(k).cast("int").alias("iter"),
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.sum(F.col("d").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias("inertia_sq_micro"),
+            )
+        )
+        upd = (
+            assigned.select("cid", F.posexplode("vm").alias("dim0", "v"))
+            .groupBy("cid", "dim0")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cmv")
+            )
+        )
+        cents = (
+            upd.groupBy("cid")
+            .agg(F.sort_array(F.collect_list(F.struct("dim0", "cmv"))).alias("ps"))
+            .select("cid", F.transform("ps", lambda s: s["cmv"]).alias("cm"))
+            .localCheckpoint()
+        )
+
+    out = readouts[0]
+    for r in readouts[1:]:
+        out = out.unionAll(r)
+    return out

@@ -55,3 +55,16 @@ def test_lloyd_iterations_monotone_inertia(spark, sf_dir):
     for a, b in zip(inertias, inertias[1:]):
         assert b <= a * 1.001
     assert inertias[-1] < inertias[0]
+
+
+def test_lloyd_converge_query_monotone(spark, sf_dir):
+    """The driver-checkable Lloyd loop's inertia is nonincreasing
+    across iterations and the vector count is constant."""
+    rows = (
+        QUERIES["kmeans_lloyd_converge"](spark, sf_dir).orderBy("iter").collect()
+    )
+    assert [r.iter for r in rows] == list(range(1, len(rows) + 1))
+    inertias = [int(r.inertia_sq_micro) for r in rows]
+    assert all(b <= a for a, b in zip(inertias, inertias[1:]))
+    assert inertias[-1] < inertias[0]
+    assert len({r.n_vectors for r in rows}) == 1
