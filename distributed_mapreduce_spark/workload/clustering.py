@@ -447,3 +447,95 @@ def q_kmeans_lloyd_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in readouts[1:]:
         out = out.unionAll(r)
     return out
+
+
+#: Cells probed per query in the multi-probe trained IVF.
+IVF_NPROBE = 2
+
+_TRAINED_IVF_NPROBE_SQL = f"""
+    WITH a AS (
+      SELECT vec_id, cid, embedding FROM (
+        SELECT e.vec_id, c.vec_id AS cid, e.embedding,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_sqdist('e.embedding', 'c.embedding')}, c.vec_id
+               ) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < {KMEANS_K}) c
+      ) WHERE rn = 1
+    ), qcells AS (
+      SELECT vec_id AS query_id, cid AS cell, embedding AS qv FROM (
+        SELECT e.vec_id, c.vec_id AS cid, e.embedding,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_sqdist('e.embedding', 'c.embedding')}, c.vec_id
+               ) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < {KMEANS_K}) c
+        WHERE e.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ), scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             {_sql_cos_u('q.qv', 'a.embedding')} AS cos_u
+      FROM qcells q JOIN a ON a.cid = q.cell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_u, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_u DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_TOP_K}
+"""
+
+
+@query("ann_ivf_trained_nprobe", oracle=_TRAINED_IVF_NPROBE_SQL)
+def q_ann_ivf_trained_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe trained IVF: each query probes its {IVF_NPROBE}
+    nearest k-means cells instead of one — THE recall/latency knob of
+    a production IVF index (recall rises with nprobe, cost stays
+    bounded at nprobe × cell size, independent of corpus size).
+
+    Plan: corpus assignment is the rn=1 argmin; query cells keep
+    rn <= {IVF_NPROBE} of the same broadcast-K window; the probe is
+    one cell equi-join (a corpus vector lives in exactly one cell, so
+    the union of probes needs no dedup) + per-query window top-k."""
+    from pyspark.sql import Window as W
+
+    from distributed_mapreduce_spark.workload.similarity import (
+        cosine_u,
+        topk_per_query,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    a = _assignment(spark, sf_dir).select("vec_id", "cid", "embedding")
+    qscored = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("cell"),
+            F.col("embedding").alias("qv"),
+            _sqdist(F.col("embedding"), F.col("cvec")).alias("d"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy("d", "cell")
+    qcells = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "cell", "qv")
+    )
+    scored = a.join(
+        F.broadcast(qcells),
+        (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_u(F.col("qv"), F.col("embedding")).alias("cos_u"),
+    )
+    return topk_per_query(scored, _TOP_K).select(
+        "query_id", "neighbor_id", "cos_u", "rnk"
+    )
