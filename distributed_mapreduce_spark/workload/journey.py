@@ -536,3 +536,104 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+_SCD2_ASOF_SQL = """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                       OR lag(o_orderstatus) OVER w <> o_orderstatus
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), isl AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate,
+             CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+      FROM ordered
+    ), dim AS (
+      SELECT o_custkey AS custkey, island_id, o_orderstatus AS status,
+             min(o_orderdate) AS valid_from
+      FROM isl GROUP BY o_custkey, island_id, o_orderstatus
+    ), fact AS (
+      SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), matched AS (
+      SELECT l_orderkey, l_linenumber, status FROM (
+        SELECT f.l_orderkey, f.l_linenumber, d.status,
+               row_number() OVER (
+                 PARTITION BY f.l_orderkey, f.l_linenumber
+                 ORDER BY d.valid_from DESC, d.island_id DESC
+               ) AS rn
+        FROM fact f
+        JOIN dim d ON d.custkey = f.custkey AND d.valid_from <= f.l_shipdate
+      ) WHERE rn = 1
+    )
+    SELECT status AS status_at_ship,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM matched GROUP BY status
+"""
+
+
+@query("scd2_asof_status", oracle=_SCD2_ASOF_SQL)
+def q_scd2_asof_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) join of a fact table to an SCD-2 dimension:
+    each lineitem picks the customer's status interval in effect at
+    its ship date (latest valid_from <= l_shipdate) — the canonical
+    warehouse pattern for joining facts to slowly-changing dimensions,
+    rolled up by matched status.
+
+    Plan: the SCD-2 intervals reuse `scd2_status_islands`' bounded
+    per-customer windows; the temporal match is a custkey equi-join
+    (fan-out bounded by the customer's interval count) + a per-fact-row
+    window keeping the latest applicable interval — no interval
+    cross product, no global sort."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderstatus").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("o_orderstatus")), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.sum(chg).over(run).cast("long").alias("island_id"),
+    )
+    dim = (
+        isl.groupBy("o_custkey", "island_id", "o_orderstatus")
+        .agg(F.min("o_orderdate").alias("valid_from"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "island_id",
+            F.col("o_orderstatus").alias("status"),
+            "valid_from",
+        )
+    )
+    fact = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_custkey").alias("custkey"),
+        "l_shipdate",
+    )
+    joined = fact.join(
+        dim,
+        (dim["custkey"] == fact["custkey"])
+        & (F.col("valid_from") <= F.col("l_shipdate")),
+    )
+    wf = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.col("valid_from").desc(), F.col("island_id").desc()
+    )
+    matched = (
+        joined.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "status")
+    )
+    return matched.groupBy(F.col("status").alias("status_at_ship")).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
