@@ -440,3 +440,66 @@ def q_window_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("trail_1h_sum"),
     )
+
+
+#: Anomaly gate: trailing window length (hours) and minimum history.
+ANOM_WIN, ANOM_MIN_N = 24, 8
+
+
+@query(
+    "events_hourly_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, h, cnt,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS s1,
+             CAST(coalesce(sum(cnt * cnt) OVER w, 0) AS BIGINT) AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h, cnt, n, s1, s2
+    FROM s
+    WHERE n >= {ANOM_MIN_N}
+      AND (n * cnt - s1) * (n * cnt - s1) > 9 * (n * s2 - s1 * s1)
+    """,
+)
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-count anomaly detection per event type: flag hours whose
+    count deviates more than 3 trailing standard deviations from the
+    previous {ANOM_WIN}-hour mean — computed ENTIRELY in integers via
+    the cross-multiplied form (n·x − s1)² > 9(n·s2 − s1²), so no
+    float mean/stddev ever exists and the oracle is exact (a float
+    z-score would drift between engines).
+
+    Plan: one hash aggregate to hourly grain (map-side partials), one
+    bounded ROWS window per event_type over the tiny hourly relation —
+    the raw events are never windowed."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-ANOM_WIN, -1)
+    )
+    s = hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias("s1"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0))
+        .cast("long")
+        .alias("s2"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s1")
+    return s.filter(
+        (F.col("n") >= ANOM_MIN_N)
+        & (dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+    )
