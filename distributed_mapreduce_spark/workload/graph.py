@@ -261,3 +261,72 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return wedge.orderBy(F.desc("n_common"), "a", "c").limit(COMMON_NEIGHBOR_TOP_K)
+
+
+#: k-core parameters: peel nodes with degree < KCORE_K, fixed rounds.
+KCORE_K = 4
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    ctes = [f"WITH e0 AS ({_EDGES_SQL})"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f""", n{r} AS (
+              SELECT node FROM (
+                SELECT node, count(*) AS d FROM (
+                  SELECT src AS node FROM e{p}
+                  UNION ALL SELECT dst FROM e{p}
+                ) GROUP BY node
+              ) WHERE d >= {k}
+            ), e{r} AS (
+              SELECT e.src, e.dst FROM e{p} e
+              JOIN n{r} a ON e.src = a.node
+              JOIN n{r} b ON e.dst = b.node
+            ), r{r} AS (
+              SELECT CAST({r} AS INTEGER) AS round,
+                     (SELECT CAST(count(*) AS BIGINT) FROM n{r}) AS n_nodes,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges
+            )"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM r{r}" for r in range(1, rounds + 1))
+    return "".join(ctes) + "\n" + union
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS))
+def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling: each round drops
+    nodes whose CURRENT degree is below {KCORE_K} and the edges that
+    touch them, reporting (round, nodes remaining, edges remaining) —
+    the community-core / spam-subgraph extraction pass, and the third
+    fixpoint-loop shape in the engine (monotone shrink, vs PageRank's
+    contraction and Lloyd's descent).
+
+    Plan per round: degree hash-aggregate over the current edge set +
+    two semi-join filters (edges keep both endpoints) — all equi-joins
+    on node ids; `localCheckpoint` truncates the loop lineage. The
+    readout unions one 1-row aggregate per round, collected lazily."""
+    e = _edges(spark, sf_dir).localCheckpoint()
+    rows: list[tuple[int, int, int]] = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint()
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "leftsemi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "leftsemi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        # Both relations are checkpointed (materialized); the counts are
+        # 1-value aggregates, the Lloyd-loop readout pattern.
+        rows.append((r, keep.count(), e.count()))
+    return spark.createDataFrame(
+        [(r, n, m) for r, n, m in rows],
+        schema="round int, n_nodes bigint, n_edges bigint",
+    )
