@@ -77,3 +77,13 @@ def test_degree_ordered_skewed_fixture(spark):
     # 4-clique: C(3,2)=3 triangles per node
     assert all(got[c] == 3 for c in range(100, 104))
     assert sum(got.values()) % 3 == 0
+
+
+def test_kcore_monotone_shrink(spark, sf_dir):
+    """Peeling never grows the graph; node/edge counts are
+    nonincreasing across rounds."""
+    rows = QUERIES["graph_kcore_peel"](spark, sf_dir).orderBy("round").collect()
+    assert [r.round for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes
+        assert b.n_edges <= a.n_edges

@@ -61,3 +61,33 @@ def test_retention_week0_equals_cohort_size(spark, sf_dir):
     mx = r.groupBy("cohort_ws").agg(F.max("n_users").alias("mx"))
     assert w0.join(mx, "cohort_ws").filter(F.col("w0") != F.col("mx")).count() == 0
     r.unpersist()
+
+
+def test_scd2_asof_covers_all_lineitems(spark, sf_dir):
+    """Every lineitem whose ship date is on/after its customer's first
+    interval matches exactly one status; totals reconcile."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.workload.registry import table
+
+    total_matched = (
+        QUERIES["scd2_asof_status"](spark, sf_dir)
+        .agg(F.sum("n_lines"))
+        .first()[0]
+    )
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    # ship date >= the customer's earliest order date → a dim row exists
+    first_dt = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    # the harness lineitem has duplicate (orderkey, linenumber) pairs;
+    # the as-of window emits one status per distinct fact key
+    eligible = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(first_dt, "o_custkey")
+        .filter(F.col("l_shipdate") >= F.col("d0"))
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
+        .count()
+    )
+    assert total_matched == eligible > 0

@@ -82,3 +82,15 @@ def test_corpus_prep_telemetry_matches_oracle_case_sums(spark, sf_dir):
     assert got_q["dropped_quality"] == want[1]
     assert got_q["rows_kept"] == want[2]
     assert got_d["rows_unique"] == want[3]
+
+
+def test_hourly_anomaly_flags_are_3sigma(spark, sf_dir):
+    """Every flagged hour satisfies the integer 3-sigma inequality and
+    carries at least the minimum history."""
+    from distributed_mapreduce_spark.workload.events import ANOM_MIN_N
+
+    rows = QUERIES["events_hourly_anomaly"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.n >= ANOM_MIN_N
+        dev = r.n * r.cnt - r.s1
+        assert dev * dev > 9 * (r.n * r.s2 - r.s1 * r.s1)
