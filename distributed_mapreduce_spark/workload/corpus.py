@@ -35,6 +35,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.workload.dedup import _hash_u32, _sql_hash_u32
+from distributed_mapreduce_spark.workload.quality import (
+    VOCAB_MIN_DF as _VOCAB_MIN_DF,
+)
 from distributed_mapreduce_spark.workload.quality import _ngrams, _sql_ngrams
 from distributed_mapreduce_spark.workload.registry import query, table
 from distributed_mapreduce_spark.workload.text import (
@@ -499,4 +502,77 @@ def q_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= QUOTA_PER_SOURCE)
         .select("doc_id", "source", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@query(
+    "corpus_report",
+    oracle=f"""
+    SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+    UNION ALL
+    SELECT 'total_tokens', CAST(sum(len({_sql_tokens('text')})) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_dup_docs',
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'vocab_size', CAST(count(*) AS BIGINT) FROM (
+      SELECT tok FROM (SELECT doc_id, unnest({_sql_tokens('text')}) AS tok
+                       FROM documents)
+      GROUP BY tok HAVING count(DISTINCT doc_id) >= {_VOCAB_MIN_DF}
+    )
+    UNION ALL
+    SELECT 'n_contaminated', CAST(count(*) AS BIGINT) FROM ({_DECON_SQL})
+    WHERE contaminated
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health dashboard in long (metric, value) format: document
+    count, total whitespace tokens, exact-duplicate surplus, surviving
+    vocabulary size, and eval-contaminated doc count — the one-glance
+    readout a data pipeline publishes per snapshot.
+
+    Plan: each metric is an independent aggregate over its own pruned
+    scan, unioned as 1-row relations (long format deliberately avoids
+    joining 1-row aggregates, which would plan as nested-loop
+    products). Each leg inherits its source query's scale posture."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"), "doc_id")
+
+    n_docs = docs.agg(
+        F.lit("n_docs").alias("metric"), F.count(F.lit(1)).cast("long").alias("value")
+    )
+    total_tokens = docs.agg(
+        F.lit("total_tokens").alias("metric"),
+        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("value"),
+    )
+    n_dup = docs.agg(
+        F.lit("n_dup_docs").alias("metric"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col("text"))))
+        .cast("long")
+        .alias("value"),
+    )
+    vocab_size = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _VOCAB_MIN_DF)
+        .agg(
+            F.lit("vocab_size").alias("metric"),
+            F.count(F.lit(1)).cast("long").alias("value"),
+        )
+    )
+    contaminated = (
+        q_decontam_ngram_overlap(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .agg(
+            F.lit("n_contaminated").alias("metric"),
+            F.count(F.lit(1)).cast("long").alias("value"),
+        )
+    )
+    return (
+        n_docs.unionAll(total_tokens)
+        .unionAll(n_dup)
+        .unionAll(vocab_size)
+        .unionAll(contaminated)
     )
