@@ -432,3 +432,73 @@ def test_streaming_lsh_candidates_match_batch(spark, docs_dir):
     }
     sh.unpersist()
     assert got == expected and len(got) > 0
+
+
+def test_streaming_restart_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """Stop-and-restart semantics: drain batch 1, stop, land more
+    files, restart with the SAME checkpoint — the resumed query
+    processes only the new files and the final state equals the batch
+    answer over everything (no duplicates, no loss). Uses the
+    foreachBatch parquet sink (the memory sink cannot recover from a
+    checkpoint)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.documents_stream import (
+        dedup_docs_stream,
+        read_documents_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink_dir = str(tmp_path / "sink")
+
+    def drain():
+        stream = dedup_docs_stream(
+            read_documents_stream(spark, str(landing), max_files_per_trigger=1)
+        )
+
+        def sink(batch_df, batch_id):
+            (
+                batch_df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(sink_dir)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(str(landing))
+    drain()
+    n_batches_first = len(glob.glob(f"{sink_dir}/_batch_id=*"))
+    src.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(str(landing))
+    drain()
+    # the restart resumed batch numbering instead of reprocessing run 1
+    assert len(glob.glob(f"{sink_dir}/_batch_id=*")) > n_batches_first
+
+    got = {}
+    for r in (
+        spark.read.parquet(sink_dir)
+        .groupBy("fp")
+        .agg(F.min("keep_id").alias("k"), F.max("cnt").alias("c"))
+        .collect()
+    ):
+        got[r["fp"]] = (r["k"], r["c"])
+    exp = {
+        r["fp"]: (r["k"], r["c"])
+        for r in src.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("k"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
