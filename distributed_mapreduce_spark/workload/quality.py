@@ -356,3 +356,65 @@ def q_text_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_bp"),
     )
+
+
+#: Power-of-2 rank bands for the Zipf audit (covers ranks to 2^20).
+ZIPF_BANDS = 20
+
+
+def _band_case_sql(rank: str) -> str:
+    whens = " ".join(
+        f"WHEN {rank} < {1 << (b + 1)} THEN {b}" for b in range(ZIPF_BANDS)
+    )
+    return f"CASE {whens} ELSE {ZIPF_BANDS} END"
+
+
+@query(
+    "zipf_rank_bands",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT unnest({_sql_tokens('text')}) AS tok FROM documents)
+      GROUP BY tok
+    ), ranked AS (
+      SELECT tf, row_number() OVER (ORDER BY tf DESC, tok) AS rank
+      FROM counts
+    )
+    SELECT CAST({_band_case_sql('rank')} AS INTEGER) AS band,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_zipf_rank_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit: vocabulary ranked by corpus frequency
+    (total order: tf desc, token), rolled into power-of-2 rank bands
+    (band b = ranks [2^b, 2^(b+1))) with token count and frequency
+    mass per band — the corpus-shape diagnostic (a healthy natural
+    corpus has roughly constant mass per band; a template-heavy crawl
+    does not). Banding is integer comparison, never a float log.
+
+    Plan: explode → hash aggregate → distributed `global_rank` over
+    the aggregated vocabulary (range shuffle + per-partition offsets,
+    no single-task sort) → 20-row aggregate."""
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ranked = global_rank(
+        counts,
+        [F.col("tf").desc(), F.col("tok").asc()],
+        rank_col="rank",
+        total_col="_t",
+    ).drop("_t")
+    band = F.lit(ZIPF_BANDS)
+    for b in reversed(range(ZIPF_BANDS)):
+        band = F.when(F.col("rank") < (1 << (b + 1)), b).otherwise(band)
+    return ranked.groupBy(band.cast("int").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
