@@ -171,3 +171,56 @@ def lsh_candidates_stream(docs: DataFrame) -> DataFrame:
     return lsh_band_keys(docs).groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def corpus_prep_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the batch corpus-prep flagship
+    (`workload/text.py::build_corpus_prep`): PII scrub → quality
+    filter (stateless — identical expressions to the batch plan) →
+    exact dedup via content-hash keyed state carrying the canonical
+    (min) doc_id. Emits one (fp, keep_id) update per touched key per
+    micro-batch; a closed input's final state equals the batch
+    `deduped` relation, so per-split counts computed from it match
+    `pipeline_corpus_prep` exactly (certified in
+    tests/test_streaming.py).
+
+    Streaming cannot chain the dedup agg into a second split-count
+    shuffle in one query (two stateful aggs) — the split roll-up runs
+    over the emitted state downstream, the standard two-stage pattern
+    for multi-agg streaming pipelines."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from distributed_mapreduce_spark.workload.text import (
+        STOPWORDS,
+        _bp,
+        _count_in,
+        _tokens,
+        scrub_pii,
+    )
+
+    toks = _tokens(F.col("text"))
+    scrubbed = docs.select("doc_id", scrub_pii(F.col("text")).alias("text"))
+    kept = scrubbed.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        _bp(_count_in(toks, STOPWORDS), F.size(toks)).alias("stop_bp"),
+    ).filter((F.col("n_tokens") >= 40) & (F.col("stop_bp") >= 300))
+
+    out_schema = "fp string, keep_id bigint"
+    state_schema = "keep_id bigint"
+
+    def fn(key, pdfs, state):
+        (keep,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                keep = m if keep is None else min(keep, m)
+        state.update((keep,))
+        yield pd.DataFrame({"fp": [key[0]], "keep_id": [keep]})
+
+    fps = kept.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+    return fps.groupBy("fp").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

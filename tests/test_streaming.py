@@ -502,3 +502,60 @@ def test_streaming_restart_resumes_from_checkpoint_exactly_once(spark, tmp_path)
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_corpus_prep_stream_matches_batch_pipeline(spark, docs_dir):
+    """Streaming scrub→filter→dedup final state, rolled up by the
+    deterministic split gate, equals the batch pipeline_corpus_prep
+    per-split counts on the same closed corpus."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.documents_stream import (
+        corpus_prep_stream,
+        read_documents_stream,
+    )
+    from distributed_mapreduce_spark.workload import QUERIES
+    from distributed_mapreduce_spark.workload.text import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    stream = corpus_prep_stream(
+        read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
+    )
+    run_to_memory(stream, "prep_stream", output_mode="update")
+    final: dict[str, int] = {}
+    for r in spark.table("prep_stream").collect():
+        final[r["fp"]] = min(final.get(r["fp"], r["keep_id"]), r["keep_id"])
+
+    rows = spark.createDataFrame(
+        [(v,) for v in final.values()], "doc_id long"
+    ).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("b"),
+    )
+    got = {}
+    for r in rows.collect():
+        split = (
+            "train" if r["b"] < SPLIT_TRAIN_PCT
+            else "val" if r["b"] < SPLIT_VAL_PCT
+            else "test"
+        )
+        got[split] = got.get(split, 0) + 1
+
+    expected = {
+        r["split"]: r["n_docs"]
+        for r in QUERIES["pipeline_corpus_prep"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected and sum(got.values()) > 0
