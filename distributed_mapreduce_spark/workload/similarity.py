@@ -555,3 +555,45 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_bp"),
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vm) AS BIGINT) AS sum_micro,
+           CAST(min(vm) AS BIGINT) AS min_micro,
+           CAST(max(vm) AS BIGINT) AS max_micro,
+           CAST(floor(CAST(sum(vm) AS DOUBLE) / count(*)) AS BIGINT) AS mean_micro
+    FROM (
+      SELECT i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    )
+    GROUP BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (count, sum/min/max/mean in
+    floor-micros) — the feature-normalization prep audit (centering,
+    whitening, detecting dead or saturated dimensions) a vector
+    pipeline runs before indexing. Exact integer surfaces throughout.
+
+    Plan: posexplode fan-out (dims× per row) with map-side partial
+    aggregation; the shuffle carries one partial per (task, dim) —
+    constant in corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim0", "val")).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.floor(F.col("val").cast("double") * 1_000_000).cast("long").alias("vm"),
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").cast("long").alias("sum_micro"),
+        F.min("vm").alias("min_micro"),
+        F.max("vm").alias("max_micro"),
+        F.floor(F.sum("vm").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_micro"),
+    )
