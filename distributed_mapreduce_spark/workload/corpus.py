@@ -576,3 +576,51 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(vocab_size)
         .unionAll(contaminated)
     )
+
+
+@query(
+    "quality_percentile_gate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_sql_tokens('text')}) AS n_tokens FROM documents
+    ), b AS (
+      SELECT quantile_cont(n_tokens, 0.10) AS p10,
+             quantile_cont(n_tokens, 0.90) AS p90
+      FROM t
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t, b
+    WHERE n_tokens >= b.p10 AND n_tokens <= b.p90
+    GROUP BY source
+    """,
+)
+def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: keep documents whose token count lies
+    between the corpus's own p10 and p90 — thresholds derived FROM the
+    data rather than fixed constants (the length-outlier trim most
+    corpus pipelines apply before the rule-based filters), rolled up
+    per source.
+
+    Plan: one exact-percentile aggregate (two values), broadcast back
+    over the scan (the legitimate 1-row broadcast, like decile_stats),
+    filter + per-source hash aggregate. Spark's exact `percentile` ≡
+    DuckDB `quantile_cont` bit-for-bit; at 100 TB the boundary step
+    swaps to approx_percentile with the documented error bound."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    bounds = t.agg(
+        F.expr("percentile(n_tokens, 0.10)").alias("p10"),
+        F.expr("percentile(n_tokens, 0.90)").alias("p90"),
+    )
+    kept = t.crossJoin(F.broadcast(bounds)).filter(
+        (F.col("n_tokens") >= F.col("p10")) & (F.col("n_tokens") <= F.col("p90"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )

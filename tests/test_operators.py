@@ -201,3 +201,16 @@ def test_jsonl_corrupt_record_surface(spark, tmp_path):
     assert df.filter("_corrupt_record IS NOT NULL").count() == 1
     assert df.filter("doc_id IS NOT NULL").count() == 2
     df.unpersist()
+
+
+def test_orc_roundtrip_documents(spark, sf_dir, tmp_path):
+    """ORC write/read round-trips values and schema (second columnar
+    format besides parquet; both splittable with predicate pushdown)."""
+    from distributed_mapreduce_spark.workload.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == docs.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
