@@ -503,3 +503,45 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") >= ANOM_MIN_N)
         & (dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
     )
+
+
+@query(
+    "cumulative_new_users",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT d0 AS day, CAST(count(*) AS BIGINT) AS n_new
+      FROM first_day GROUP BY d0
+    )
+    SELECT day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM per_day
+    """,
+)
+def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-acquisition curve: per day, first-seen user count and the
+    running cumulative total — the growth chart every event pipeline
+    publishes. The running total uses the distributed `global_cumsum`
+    prefix sum (`operators/partitioning.py`) over the aggregated day
+    grain: tiny here, but the identical plan holds when the grain is
+    (day × country × app) and the aggregate relation is itself large.
+
+    Plan: per-user min (hash aggregate) → per-day count → distributed
+    prefix sum (range shuffle + broadcast offsets; no unpartitioned
+    window anywhere)."""
+    from distributed_mapreduce_spark.operators.partitioning import global_cumsum
+
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0")
+    )
+    per_day = first_day.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return global_cumsum(
+        per_day, [F.col("day")], "n_new", cumsum_col="cum_users"
+    ).select("day", "n_new", F.col("cum_users").cast("long"))

@@ -170,3 +170,68 @@ def q_mad_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "supplier_return_outliers",
+    oracle="""
+    WITH per_s AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returns
+      FROM lineitem GROUP BY l_suppkey
+    ), g AS (
+      SELECT CAST(sum(n_lines) AS BIGINT) AS big_n,
+             CAST(sum(n_returns) AS BIGINT) AS big_r
+      FROM per_s
+    )
+    SELECT l_suppkey, n_lines, n_returns,
+           CAST(n_returns * 10000 // n_lines AS BIGINT) AS return_bp
+    FROM per_s, g
+    WHERE CAST(big_n AS DECIMAL(38,0))
+          * CAST(big_n * n_returns - n_lines * big_r AS DECIMAL(38,0))
+          * CAST(big_n * n_returns - n_lines * big_r AS DECIMAL(38,0))
+        > CAST(9 AS DECIMAL(38,0))
+          * CAST(n_lines AS DECIMAL(38,0))
+          * CAST(big_r AS DECIMAL(38,0))
+          * CAST(big_n - big_r AS DECIMAL(38,0))
+    """,
+)
+def q_supplier_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical QC: suppliers whose return rate deviates more than
+    3 binomial standard deviations from the corpus-wide rate — the
+    exact inequality N·(N·r_i − n_i·R)² > 9·n_i·R·(N−R) evaluated in
+    DECIMAL(38,0) (no float p̂, no overflow at any scale; the same
+    cross-multiplication trick as `events_hourly_anomaly`).
+
+    Plan: one per-supplier hash aggregate, one 1-row global roll-up
+    broadcast back (legitimate 1-row broadcast), one filter — the
+    whole test is two aggregates regardless of corpus size."""
+    li = table(spark, sf_dir, "lineitem")
+    per_s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returns"),
+    )
+    g = per_s.agg(
+        F.sum("n_lines").cast("long").alias("big_n"),
+        F.sum("n_returns").cast("long").alias("big_r"),
+    )
+    j = per_s.crossJoin(F.broadcast(g))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = F.col("big_n") * F.col("n_returns") - F.col("n_lines") * F.col("big_r")
+    lhs = dec(F.col("big_n")) * dec(dev) * dec(dev)
+    rhs = (
+        dec(F.lit(9))
+        * dec(F.col("n_lines"))
+        * dec(F.col("big_r"))
+        * dec(F.col("big_n") - F.col("big_r"))
+    )
+    return j.filter(lhs > rhs).select(
+        "l_suppkey",
+        "n_lines",
+        "n_returns",
+        F.expr("(n_returns * 10000) DIV n_lines").cast("long").alias("return_bp"),
+    )
