@@ -624,3 +624,73 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").cast("long").alias("min_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+#: Epoch weights in centi-repeats by source tier: heads duplicated
+#: 2.5x, mids kept once, tails down at 0.4x.
+EPOCH_HEAD_CW, EPOCH_MID_CW, EPOCH_TAIL_CW = 250, 100, 40
+
+
+@query(
+    "epoch_repeat_manifest",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN {EPOCH_HEAD_CW}
+                  WHEN CAST(substr(source, 4) AS INTEGER) < 15 THEN {EPOCH_MID_CW}
+                  ELSE {EPOCH_TAIL_CW} END AS cw,
+             ('0x' || substr(md5('epoch_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS h
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source,
+             CAST(cw // 100 + CASE WHEN h < cw % 100 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_repeats
+      FROM w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_repeats) AS BIGINT) AS epoch_copies,
+           CAST(sum(CASE WHEN n_repeats = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM r GROUP BY source
+    """,
+)
+def q_epoch_repeat_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch construction manifest: per-document repeat counts under
+    fractional source weights (floor(w) guaranteed copies + one more
+    with probability frac(w), decided by the deterministic hash gate) —
+    the up-sampling complement of `corpus_mixture_sample`'s
+    down-sampling: curated heads repeat 2.5x per epoch, the crawl tail
+    thins to 0.4x. A re-run on any cluster reproduces the exact same
+    epoch. Rolled up per source for the mixture audit.
+
+    Plan: pure per-row arithmetic + one hash aggregate — free at any
+    scale; the actual materialization is `explode(sequence(1,
+    n_repeats))` downstream when the trainer wants physical copies."""
+    docs = table(spark, sf_dir, "documents")
+    src_n = F.substring(F.col("source"), 4, 10).cast("int")
+    cw = (
+        F.when(src_n < 5, EPOCH_HEAD_CW)
+        .when(src_n < 15, EPOCH_MID_CW)
+        .otherwise(EPOCH_TAIL_CW)
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("epoch_"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    n_repeats = F.floor(cw / 100).cast("long") + F.when(h < cw % 100, 1).otherwise(0)
+    r = docs.select("source", n_repeats.cast("long").alias("n_repeats"))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_repeats").cast("long").alias("epoch_copies"),
+        F.sum(F.when(F.col("n_repeats") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )

@@ -545,3 +545,35 @@ def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_cumsum(
         per_day, [F.col("day")], "n_new", cumsum_col="cum_users"
     ).select("day", "n_new", F.col("cum_users").cast("long"))
+
+
+@query(
+    "latest_event_per_user_agg",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key WITHOUT a window: max_by over a packed
+    (ts, event_id) struct — one hash AGGREGATE with map-side partials
+    (each task keeps one candidate per key before the shuffle), versus
+    the window plan's full shuffle + per-partition sort of every raw
+    row. Same answer as `latest_event_per_user` (identical oracle);
+    at 100 TB the aggregate plan moves one row per (task, key) instead
+    of every event — the better physical strategy for top-1-per-key.
+    Determinism: struct comparison orders by (ts, event_id), a total
+    order."""
+    ev = table(spark, sf_dir, "events")
+    packed = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    agg = ev.groupBy("user_id").agg(F.max(packed).alias("m"))
+    return agg.select(
+        "user_id",
+        F.col("m.event_id").alias("event_id"),
+        F.col("m.ts").alias("ts"),
+        F.col("m.event_type").alias("event_type"),
+    )
