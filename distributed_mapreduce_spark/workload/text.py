@@ -714,3 +714,43 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fill_bp"),
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS lang_true, {_lang_case_sql()} AS lang_pred FROM documents
+    )
+    SELECT lang_true, lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang_true, lang_pred
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality audit: confusion matrix of the declared
+    `lang` label vs the marker-word heuristic's prediction — the
+    model-vs-metadata certification pass (same spirit as
+    `ann_recall_audit`: an approximate component measured by an exact,
+    driver-checkable query). Off-diagonal mass tells the pipeline
+    where the cheap heuristic needs a stronger model.
+
+    Plan: one projection + one hash aggregate; scale-free."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    s = {k: _count_in(toks, v) for k, v in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0) & (s["fr"] == 0),
+            "unknown",
+        )
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        docs.select(F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
