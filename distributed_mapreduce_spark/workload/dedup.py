@@ -655,3 +655,46 @@ def q_dedup_cluster_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return bfs_hops_to_root(pairs)
+
+
+@query(
+    "near_dup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS (
+      {_sql_minhash_pairs() + _SQL_VERIFY_TAIL}
+    ), labeled AS (
+      SELECT least(da.source, db.source) AS source_x,
+             greatest(da.source, db.source) AS source_y
+      FROM pairs
+      JOIN documents da ON da.doc_id = pairs.doc_a
+      JOIN documents db ON db.doc_id = pairs.doc_b
+    )
+    SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM labeled GROUP BY source_x, source_y
+    """,
+)
+def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate density by source pair: verified MinHash pairs
+    joined back to document metadata, rolled up by (canonical) source
+    pair — the audit that tells a corpus pipeline WHICH feeds mirror
+    each other (cross-source mass) and which self-duplicate (diagonal
+    mass), i.e. where to spend dedup budget.
+
+    Plan: reuses the production LSH+verify pipeline, then two
+    metadata equi-joins (doc_id → source; AQE picks broadcast while
+    the pair set is small) and one hash aggregate."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labeled = (
+        pairs.join(
+            docs.withColumnsRenamed({"doc_id": "doc_a", "source": "sa"}), "doc_a"
+        )
+        .join(docs.withColumnsRenamed({"doc_id": "doc_b", "source": "sb"}), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+    )
+    return labeled.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
