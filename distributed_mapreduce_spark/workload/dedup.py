@@ -698,3 +698,77 @@ def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("source_x", "source_y").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+#: Composite (df, hash) sort-key base: df * 2^40 + h (h < 2^32 < 2^40,
+#: so the key is unique per hash and orders by ascending frequency).
+_PF_BASE = 1 << 40
+
+_SQL_PREFIX_CAND = f"""
+    WITH bh AS (
+      SELECT doc_id, {_sql_bh()} AS bh FROM documents
+    ), inv AS (
+      SELECT doc_id, unnest(bh) AS h FROM bh
+    ), freq AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY h
+    ), keyed AS (
+      SELECT inv.doc_id, freq.df * {_PF_BASE} + inv.h AS k
+      FROM inv JOIN freq ON inv.h = freq.h
+    ), lists AS (
+      SELECT doc_id, list_sort(list(k)) AS ks, count(*) AS n
+      FROM keyed GROUP BY doc_id
+    ), pre AS (
+      SELECT doc_id, unnest(ks[1 : CAST(n - (({JACCARD_NUM} * n + {JACCARD_DEN - 1})
+                                           // {JACCARD_DEN}) + 1 AS INTEGER)]) AS k
+      FROM lists
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM pre l JOIN pre r ON l.k = r.k AND l.doc_id < r.doc_id
+    )
+"""
+
+
+@query("dedup_prefix_filter_join", oracle=_SQL_PREFIX_CAND + _SQL_VERIFY_TAIL)
+def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (PPJoin family):
+    order every document's shingle hashes by ascending global
+    frequency (rarest first, composite key df·2⁴⁰+h), index only the
+    first n − ⌈t·n⌉ + 1 of them — if Jaccard(a,b) ≥ t the two
+    prefixes MUST share a key, so candidate generation is provably
+    complete (unlike the df-capped inverted index of
+    `dedup_ngram_jaccard`, which trades a recall bound for hot-key
+    safety). Verification is the shared exact-Jaccard predicate.
+
+    Plan: one frequency aggregate, one equi-join to attach keys, a
+    per-doc sort of its OWN hash list (array_sort inside the row —
+    no global sort), prefix explode (rare keys → small, well-spread
+    join groups; that is the point of rarest-first ordering), then
+    the candidates-only verify join."""
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    inv = sh_df.select("doc_id", F.explode("bh").alias("h"))
+    freq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    keyed = inv.join(freq, "h").select(
+        "doc_id", (F.col("df") * _PF_BASE + F.col("h")).alias("k")
+    )
+    lists = keyed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("k")).alias("ks")
+    )
+    plen = F.expr(
+        f"size(ks) - (({JACCARD_NUM} * size(ks) + {JACCARD_DEN - 1})"
+        f" DIV {JACCARD_DEN}) + 1"
+    ).cast("int")
+    pre = lists.select(
+        "doc_id", F.explode(F.slice(F.col("ks"), F.lit(1), plen)).alias("k")
+    )
+    l, r = pre.alias("l"), pre.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_pairs(sh_df, cand)

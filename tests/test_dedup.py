@@ -118,3 +118,26 @@ def test_connected_components_chain_merges_transitively(spark):
     assert {got[1], got[2], got[3], got[4]} == {1}
     assert got[10] == got[11] == 10
     assert got[20] == got[21] == 20
+
+
+def test_prefix_filter_superset_of_capped_index(spark, sf_dir):
+    """Prefix filtering is provably complete, so its verified pair set
+    must contain every pair the df-capped inverted index finds (and
+    every LSH-found pair — both alternatives can only miss)."""
+    from distributed_mapreduce_spark.workload import QUERIES
+
+    pf = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_prefix_filter_join"](spark, sf_dir).collect()
+    }
+    ngram = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_pairs"](spark, sf_dir).collect()
+    }
+    assert ngram <= pf
+    assert mh <= pf
+    assert len(pf) > 0
