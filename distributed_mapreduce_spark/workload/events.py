@@ -577,3 +577,69 @@ def q_latest_event_per_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.ts").alias("ts"),
         F.col("m.event_type").alias("event_type"),
     )
+
+
+@query(
+    "events_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', ts)) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 'flat'
+                WHEN n * sxy - sx * sy > 0 THEN 'up'
+                WHEN n * sxy - sx * sy < 0 THEN 'down'
+                ELSE 'flat' END AS direction
+    FROM s
+    """,
+)
+def q_events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-drift detection per event type: the least-squares slope
+    of daily counts over epoch-day index, surfaced as the EXACT
+    integer fraction (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) plus its sign —
+    no float regression, so the oracle matches bit-for-bit and the
+    consumer divides (or compares against a threshold fraction) at
+    whatever precision it wants.
+
+    Plan: day-grain hash aggregate, then one tiny per-type roll-up of
+    the five sufficient statistics — sufficient-statistics regression
+    is a pure map-side-combinable aggregate at any scale."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_date(F.date_trunc("day", F.col("ts")).cast("date"))).cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, "flat")
+        .when(num > 0, "up")
+        .when(num < 0, "down")
+        .otherwise("flat")
+        .alias("direction"),
+    )
