@@ -684,3 +684,90 @@ def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_days, 0.5)").cast("double").alias("p50_gap"),
         F.expr("percentile(gap_days, 0.9)").cast("double").alias("p90_gap"),
     )
+
+
+#: CEP window: purchases within this many seconds of a click qualify.
+CEP_WINDOW_S = 3600
+
+
+@query(
+    "funnel_with_exclusion",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT c.user_id, c.click_id, p.purchase_id, c.c_ts, p.p_ts
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.p_ts > c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL {CEP_WINDOW_S} SECONDS
+    ), dirty AS (
+      SELECT DISTINCT pr.click_id, pr.purchase_id
+      FROM pairs pr
+      JOIN events e ON e.user_id = pr.user_id
+       AND e.event_type = 'error'
+       AND e.ts > pr.c_ts AND e.ts < pr.p_ts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) - count(d.click_id) AS BIGINT) AS n_clean,
+           CAST((count(*) - count(d.click_id)) * 10000 // count(*) AS BIGINT)
+             AS clean_bp
+    FROM pairs pr
+    LEFT JOIN dirty d
+      ON pr.click_id = d.click_id AND pr.purchase_id = d.purchase_id
+    """,
+)
+def q_funnel_with_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event pattern with a NEGATIVE condition: click →
+    purchase within {CEP_WINDOW_S}s for the same user, EXCLUDING pairs
+    with an intervening error event — the "A then B within T, no C
+    between" shape plain funnels can't express (MATCH_RECOGNIZE
+    territory, built from joins).
+
+    Plan: both the pair join and the exclusion probe are user-keyed
+    equi-joins with a time-interval refinement (the
+    `range_join_conversions` treatment — per-user fan-out bounded by
+    events-per-user-per-hour, never a time cross product); the
+    exclusion is a LEFT join against the DISTINCT dirty-pair set, so
+    the anti-count is exact even with multiple errors inside one
+    window."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    pairs = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {CEP_WINDOW_S} SECONDS")),
+    ).select("user_id", "click_id", "purchase_id", "c_ts", "p_ts")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    dirty = (
+        pairs.join(
+            err,
+            (F.col("e_user") == F.col("user_id"))
+            & (F.col("e_ts") > F.col("c_ts"))
+            & (F.col("e_ts") < F.col("p_ts")),
+        )
+        .select("click_id", "purchase_id")
+        .distinct()
+        .withColumn("is_dirty", F.lit(1))
+    )
+    joined = pairs.join(dirty, ["click_id", "purchase_id"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.count(F.lit(1)) - F.count("is_dirty")).cast("long").alias("n_clean"),
+        F.expr("((count(1) - count(is_dirty)) * 10000) DIV count(1)")
+        .cast("long")
+        .alias("clean_bp"),
+    )
