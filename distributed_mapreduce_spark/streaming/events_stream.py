@@ -30,11 +30,18 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over a directory of events parquet files
     (new files are discovered per micro-batch — the standard landing-dir
-    ingestion pattern)."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(directory)
+    ingestion pattern). `max_files_per_trigger` throttles files per
+    micro-batch (tests use 1 to force multi-batch state carry-over;
+    the source takes the OLDEST pending files first)."""
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(directory)
 
 
 def windowed_counts(
@@ -267,3 +274,44 @@ def stratified_sample_stream(events: DataFrame, sample_bp: dict[str, int]) -> Da
     for etype, v in sample_bp.items():
         bp = F.when(F.col("event_type") == etype, v).otherwise(bp)
     return events.filter(h < bp)
+
+
+def quota_limit_stream(events: DataFrame, n_per_hour: int = 3) -> DataFrame:
+    """Per-key ingestion quota: keep only the first ``n_per_hour``
+    events per (user, hour), decided by keyed state across
+    micro-batches (`applyInPandasWithState`, append mode — emits the
+    KEPT events themselves, not an aggregate). The rate-limiting /
+    abuse-damping primitive an ingestion edge applies before expensive
+    enrichment.
+
+    Within a batch, events are processed in (ts, event_id) order; the
+    state carries the per-(user, hour) admitted count, so the decision
+    is deterministic whenever arrival order respects event time (the
+    closed-input twin test constructs exactly that, and the batch
+    equivalent is a row_number-over-window rank filter).
+
+    Scale shape: state is one counter per active (user, hour) — add a
+    watermark-driven timeout to retire old hours in production."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, hour timestamp, event_id bigint, ts timestamp"
+    state_schema = "n bigint"
+
+    keyed = events.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+
+    def fn(key, pdfs, state):
+        (n,) = state.get if state.exists else (0,)
+        kept = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                if n < n_per_hour:
+                    n += 1
+                    kept.append((row["user_id"], row["hour"], row["event_id"], row["ts"]))
+        state.update((n,))
+        yield pd.DataFrame(kept, columns=["user_id", "hour", "event_id", "ts"])
+
+    return keyed.groupBy("user_id", "hour").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -559,3 +559,55 @@ def test_corpus_prep_stream_matches_batch_pipeline(spark, docs_dir):
         for r in QUERIES["pipeline_corpus_prep"](spark, "/root/testdata/sf0.001").collect()
     }
     assert got == expected and sum(got.values()) > 0
+
+
+def test_quota_limit_stream_matches_batch_rank(spark, tmp_path):
+    """Keyed-quota admission across two time-ordered micro-batches
+    equals the batch first-N-per-(user, hour) rank rule."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.events_stream import (
+        quota_limit_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+    from distributed_mapreduce_spark.workload.registry import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    early = ev.filter(F.unix_micros("ts") <= cut)
+    late = ev.filter(F.unix_micros("ts") > cut)
+    early.coalesce(1).write.mode("append").parquet(str(landing))
+    stream = quota_limit_stream(read_events_stream(spark, str(landing)), 3)
+    run_to_memory(stream, "quota1", output_mode="append")
+    got = {r["event_id"] for r in spark.table("quota1").collect()}
+    late.coalesce(1).write.mode("append").parquet(str(landing))
+    # second drain continues the same in-memory state via a new query
+    # over the same landing dir: re-running from scratch would re-admit
+    # early events, so instead drain everything in ts order in one go
+    # and assert the union equals the batch rule.
+    # one file per micro-batch; the file source processes oldest file
+    # first, so batch order follows the ts split and the (user, hour)
+    # counters genuinely carry across batches
+    stream2 = quota_limit_stream(
+        read_events_stream(spark, str(landing), max_files_per_trigger=1), 3
+    )
+    run_to_memory(stream2, "quota2", output_mode="append")
+    got_all = {r["event_id"] for r in spark.table("quota2").collect()}
+
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    expected = {
+        r["event_id"]
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .collect()
+    }
+    assert got_all == expected and len(got_all) > 0
+    # the first drain's admissions are a subset decided by the same rule
+    assert got <= expected
