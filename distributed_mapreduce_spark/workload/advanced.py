@@ -516,6 +516,7 @@ def q_parse_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from distributed_mapreduce_spark.sources.layout import (  # noqa: E402
+    _sql_hilbert2_ctes,
     _sql_morton2,
     _sql_quantize,
     morton2,
@@ -799,3 +800,42 @@ def q_bipartite_walk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("share").cast("long").alias("mass"))
     )
     return smass.select(F.col("s").alias("suppkey"), "mass")
+
+
+_HILBERT_BASE = (
+    "SELECT o_orderkey, "
+    + _sql_quantize("o_custkey", _Z_CK[0], _Z_CK[1], _Z_BITS)
+    + " AS qx, "
+    + _sql_quantize("CAST(floor(o_totalprice) AS BIGINT)", _Z_TP[0], _Z_TP[1], _Z_BITS)
+    + " AS qy FROM orders"
+)
+
+
+@query(
+    "hilbert_assign",
+    oracle=f"""
+    WITH {_sql_hilbert2_ctes(_HILBERT_BASE, 'qx', 'qy', _Z_BITS, 'o_orderkey')}
+    SELECT o_orderkey, d AS h FROM hl{_Z_BITS}
+    """,
+)
+def q_hilbert_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key over (o_custkey, o_totalprice) — the
+    locality-preserving upgrade of `zorder_assign`: every curve step
+    moves to an adjacent cell (no Z seams), so box predicates touch
+    fewer contiguous file ranges after clustering by `h`. Same 8-bit
+    quantization geometry as the Morton variant; the xy2d recurrence
+    unrolls one projection per bit level (linear plan, pure integer
+    ops, identical CTE chain in the oracle)."""
+    from distributed_mapreduce_spark.sources.layout import with_hilbert2
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        quantize(F.col("o_custkey"), *_Z_CK, _Z_BITS).alias("qx"),
+        quantize(F.floor(F.col("o_totalprice")).cast("long"), *_Z_TP, _Z_BITS).alias(
+            "qy"
+        ),
+    )
+    return with_hilbert2(base, F.col("qx"), F.col("qy"), _Z_BITS, out_col="h").select(
+        "o_orderkey", "h"
+    )

@@ -127,3 +127,46 @@ def test_compact_small_files_reduces_count_and_preserves_rows(spark, sf_dir, tmp
     spans = sorted([(r.lo, r.hi) for r in per_file])
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi <= b_lo  # contiguous, non-interleaved ranges
+
+
+def _xy2d_ref(n, x, y):
+    """Pure-python reference xy2d (Hilbert distance)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_and_is_a_curve(spark):
+    """with_hilbert2 equals the reference implementation on the full
+    16x16 grid, is a bijection onto [0, 256), and consecutive curve
+    positions are grid-adjacent (the locality property Z-order lacks)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.sources.layout import with_hilbert2
+
+    bits = 4
+    n = 1 << bits
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r.h
+        for r in with_hilbert2(grid, F.col("x"), F.col("y"), bits).collect()
+    }
+    assert got == {
+        (x, y): _xy2d_ref(n, x, y) for x in range(n) for y in range(n)
+    }
+    assert sorted(got.values()) == list(range(n * n))
+    pos = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
