@@ -188,3 +188,47 @@ def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pmax").alias("max_value"),
         )
     )
+
+
+@query(
+    "ivm_retraction",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS VARCHAR)
+             AS sum_value
+    FROM events
+    WHERE event_id % 13 <> 0
+    GROUP BY event_type
+    """,
+)
+def q_ivm_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE side of incremental view maintenance: a materialized
+    per-type aggregate is corrected for a retraction batch (event_id %
+    13 — standing in for late-arriving deletes/GDPR erasure) by
+    SUBTRACTING the batch's partials (count and decimal sum are
+    subtractable group aggregates; min/max are deliberately absent —
+    they are not retractable without re-scanning, the classic IVM
+    distinction). The oracle aggregates the retained rows directly —
+    equality proves base − delta ≡ recompute.
+
+    Plan: two pruned scans + two hash aggregates + a ≤2-rows-per-key
+    merge — history is never reprocessed."""
+    ev = table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("pn"),
+            (F.lit(sign) * F.sum(F.col("value").cast("decimal(18,6)"))).alias("psum"),
+        )
+
+    base = partial(ev, 1)
+    deletes = partial(ev.filter(F.col("event_id") % 13 == 0), -1)
+    return (
+        base.unionAll(deletes)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("psum").cast("decimal(30,6)").cast("string").alias("sum_value"),
+        )
+    )
