@@ -643,3 +643,53 @@ def q_events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("flat")
         .alias("direction"),
     )
+
+
+@query(
+    "daily_spine_zero_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events
+    ), spine AS (
+      SELECT CAST(d AS TIMESTAMP) AS day
+      FROM bounds, unnest(generate_series(bounds.d0, bounds.d1,
+                                          INTERVAL 1 DAY)) AS g(d)
+    ), daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT spine.day, coalesce(daily.n_events, 0) AS n_events,
+           daily.n_events IS NULL AS was_gap
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def q_daily_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar spine with zero-fill: generate every day between
+    the corpus's min and max timestamp and left-join the daily counts,
+    flagging gap days — the other gap treatment next to
+    `events_gap_fill_locf` (dashboards and trend models need dense
+    series; a missing day must read as 0, not as absent).
+
+    Plan: the spine comes from one 2-value aggregate exploded through
+    `sequence()` (rows = days, never data-sized); the join is
+    broadcast-left against the aggregated daily relation."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("was_gap"),
+    )

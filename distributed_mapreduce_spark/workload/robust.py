@@ -235,3 +235,51 @@ def q_supplier_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_returns",
         F.expr("(n_returns * 10000) DIV n_lines").cast("long").alias("return_bp"),
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), cum AS (
+      SELECT price, wt,
+             sum(wt) OVER (ORDER BY price, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             sum(wt) OVER () AS total
+      FROM w
+    )
+    SELECT CAST(min(price) AS VARCHAR) AS weighted_median,
+           CAST(min(total) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * c >= total
+    """,
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (price weighted by quantity) — the
+    robust-statistics op plain `percentile` cannot express, computed
+    scalably: range-sort prices via the distributed `global_cumsum`
+    prefix sum of weights, then keep the first row whose running
+    weight reaches half the total. No unpartitioned window, no
+    driver-side sort — the same two-pass plan at any scale.
+
+    Ties: rows ordered by (price, wt); the crossing row's price is the
+    lower weighted median, identical in both engines. Surfaces as a
+    string (decimal hash-stability, the agg_q1 pattern)."""
+    from distributed_mapreduce_spark.operators.partitioning import global_cumsum
+
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    cum = global_cumsum(w, [F.col("price"), F.col("wt")], "wt", cumsum_col="c")
+    total = cum.agg(F.sum("wt").cast("long").alias("total"))
+    crossed = cum.crossJoin(F.broadcast(total)).filter(
+        2 * F.col("c") >= F.col("total")
+    )
+    return crossed.agg(
+        F.min("price").cast("string").alias("weighted_median"),
+        F.min("total").cast("long").alias("total_weight"),
+    )
