@@ -15,7 +15,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.workload.registry import query, table
@@ -282,4 +282,129 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossed.agg(
         F.min("price").cast("string").alias("weighted_median"),
         F.min("total").cast("long").alias("total_weight"),
+    )
+
+
+@query(
+    "weighted_median_by_flag",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), cum AS (
+      SELECT flag, price, wt,
+             sum(wt) OVER (PARTITION BY flag ORDER BY price, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             sum(wt) OVER (PARTITION BY flag) AS total
+      FROM w
+    )
+    SELECT flag, CAST(min(price) AS VARCHAR) AS weighted_median,
+           CAST(min(total) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * c >= total
+    GROUP BY flag
+    """,
+)
+def q_weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact weighted median (price weighted by quantity,
+    one median per return flag): the grouped sibling of
+    `weighted_median_price`. Here the running weight is a PARTITIONED
+    window (per-key state bounded by the group's rows — the scale-safe
+    window class), crossing at half the group's weight.
+
+    Plan: one shuffle on the group key, per-partition sort, two window
+    passes, then a per-group min over crossing rows."""
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    win = Window.partitionBy("flag").orderBy("price", "wt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.select(
+        "flag",
+        "price",
+        F.sum("wt").over(win).alias("c"),
+        F.sum("wt").over(Window.partitionBy("flag")).alias("total"),
+    )
+    return (
+        cum.filter(2 * F.col("c") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").cast("string").alias("weighted_median"),
+            F.min("total").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "supplier_pareto_8020",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,2))
+               AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ), cum AS (
+      SELECT revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_suppkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c,
+             sum(revenue) OVER () AS total,
+             count(*) OVER () AS n_suppliers
+      FROM rev
+    )
+    SELECT CAST(count(*) FILTER (5 * c < 4 * total) + 1 AS BIGINT)
+             AS n_for_80pct,
+           CAST(min(n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST((count(*) FILTER (5 * c < 4 * total) + 1) * 10000
+                // min(n_suppliers) AS BIGINT) AS concentration_bp
+    FROM cum
+    """,
+)
+def q_supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto 80/20) audit: the number of
+    top-revenue suppliers needed to cover 80% of total revenue, and
+    that count as a share of all suppliers in basis points — the
+    concentration readout behind sourcing-risk and data-skew
+    dashboards. Exact decimal arithmetic; the 80% crossing uses the
+    integer cross-multiplication 5·c ≥ 4·total (no float division).
+
+    Plan: per-supplier hash aggregate first (the relation shrinks to
+    one row per supplier), then the distributed `global_cumsum` over
+    the aggregated relation in descending revenue order; the final
+    count is a 1-row reduce."""
+    from distributed_mapreduce_spark.operators.partitioning import global_cumsum
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(30,2)")
+        .alias("revenue"),
+    )
+    # global_cumsum carries integer sums; scale decimal(30,2) to cents
+    cents = rev.select(
+        "l_suppkey", (F.col("revenue") * 100).cast("long").alias("rev_c")
+    )
+    cum = global_cumsum(
+        cents, [F.col("rev_c").desc(), F.col("l_suppkey").asc()], "rev_c",
+        cumsum_col="c",
+    )
+    tot = cum.agg(
+        F.sum("rev_c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    return j.agg(
+        (
+            F.sum(F.when(5 * F.col("c") < 4 * F.col("total"), 1).otherwise(0)) + 1
+        ).cast("long").alias("n_for_80pct"),
+        F.min("n_suppliers").cast("long").alias("n_suppliers"),
+        F.expr(
+            "((sum(CASE WHEN 5 * c < 4 * total THEN 1 ELSE 0 END) + 1) * 10000)"
+            " DIV min(n_suppliers)"
+        ).cast("long").alias("concentration_bp"),
     )
