@@ -693,3 +693,69 @@ def q_daily_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.col("n_events").isNull().alias("was_gap"),
     )
+
+
+_DAU_WAU_MAU_SQL = """
+    SELECT CASE WHEN GROUPING(date_trunc('day', ts)) = 0 THEN 'day'
+                WHEN GROUPING(date_trunc('week', ts)) = 0 THEN 'week'
+                ELSE 'month' END AS grain,
+           CAST(coalesce(date_trunc('day', ts), date_trunc('week', ts),
+                         date_trunc('month', ts)) AS TIMESTAMP) AS bucket,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', ts)),
+      (date_trunc('week', ts)),
+      (date_trunc('month', ts))
+    )
+"""
+
+
+@query("dau_wau_mau", oracle=_DAU_WAU_MAU_SQL)
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU in ONE pass: distinct active users at day, week and
+    month grain via GROUPING SETS — the engagement triple every
+    product dashboard tracks, without three separate scans (Expand
+    replicates each row once per grain; the distinct then
+    de-duplicates per (grain, bucket, user) with map-side partials
+    before the final count).
+
+    The IDENTICAL SQL text runs on Spark and DuckDB (the verbatim-SQL
+    certification pattern of `sessionize_sql` — GROUPING SETS,
+    GROUPING() and date_trunc share semantics across both dialects),
+    so this also differentially tests Spark's SQL front-end."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_DAU_WAU_MAU_SQL)
+
+
+@query(
+    "export_manifest",
+    oracle="""
+    SELECT event_type AS partition_key,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+               CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|' ||
+               CAST(epoch_us(ts) AS VARCHAR)
+           ), 1, 8))::BIGINT) AS BIGINT) AS checksum
+    FROM events GROUP BY event_type
+    """,
+)
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition export manifest: row count + order-independent
+    content checksum for every output partition — the handoff artifact
+    a pipeline publishes next to its files so the consumer can verify
+    each partition independently (the per-group form of
+    `table_checksum`'s whole-table digest). Commutative md5-derived
+    uint32 sum: identical on any engine, partitioning or row order."""
+    ev = table(spark, sf_dir, "events")
+    enc = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.unix_micros(F.col("ts")).cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(enc), 1, 8), 16, 10).cast("long")
+    return ev.groupBy(F.col("event_type").alias("partition_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(h).cast("long").alias("checksum"),
+    )
