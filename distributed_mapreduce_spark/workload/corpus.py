@@ -694,3 +694,46 @@ def q_epoch_repeat_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+#: Minimum support for a token pair to be reported.
+FP_MIN_SUPPORT = 25
+
+
+@query(
+    "frequent_token_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey, list_distinct({_sql_tokens('p_name')}) AS toks FROM part
+    ), pairs AS (
+      SELECT ua.tok AS tok_a, ub.tok AS tok_b
+      FROM t, unnest(toks) AS ua(tok), unnest(t.toks) AS ub(tok)
+      WHERE ua.tok < ub.tok
+    )
+    SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS support
+    FROM pairs GROUP BY tok_a, tok_b
+    HAVING count(*) >= {FP_MIN_SUPPORT}
+    """,
+)
+def q_frequent_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise frequent-itemset mining over part names: co-occurring
+    token pairs with support >= {FP_MIN_SUPPORT} — the first (and at
+    scale, usually only materialized) level of market-basket / FP
+    analysis. Within-row pair generation is bounded by row arity
+    (names are a few tokens), so the fan-out is a constant factor,
+    not a cross join; the count is one hash aggregate with map-side
+    partials.
+
+    Plan: distinct tokens per row → within-row ordered pair explode →
+    (tok_a, tok_b) hash aggregate + support filter."""
+    part = table(spark, sf_dir, "part")
+    t = part.select(F.array_distinct(_tokens(F.col("p_name"))).alias("toks"))
+    a = t.select(F.explode("toks").alias("tok_a"), "toks")
+    pairs = a.select(
+        "tok_a", F.explode("toks").alias("tok_b")
+    ).filter(F.col("tok_a") < F.col("tok_b"))
+    return (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= FP_MIN_SUPPORT)
+    )

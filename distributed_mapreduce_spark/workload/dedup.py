@@ -772,3 +772,66 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _verify_pairs(sh_df, cand)
+
+
+#: Containment threshold: |A ∩ B| / min(|A|, |B|) >= 9/10.
+CONTAIN_NUM, CONTAIN_DEN = 9, 10
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH bh AS (
+      SELECT doc_id, {_sql_bh()} AS bh FROM documents
+    ), inv AS (
+      SELECT doc_id, unnest(bh) AS gram FROM bh
+    ), rare AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM inv
+      ) WHERE df <= {NGRAM_MAX_DF}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM rare l JOIN rare r ON l.gram = r.gram AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(a.bh, b.bh)) AS BIGINT) AS inter_cnt,
+           CAST(least(len(a.bh), len(b.bh)) AS BIGINT) AS min_cnt
+    FROM cand
+    JOIN bh a ON a.doc_id = doc_a
+    JOIN bh b ON b.doc_id = doc_b
+    WHERE len(list_intersect(a.bh, b.bh)) * {CONTAIN_DEN}
+          >= least(len(a.bh), len(b.bh)) * {CONTAIN_NUM}
+    """,
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT dedup: pairs where the smaller document's
+    shingle set is >= {CONTAIN_NUM}/{CONTAIN_DEN} inside the larger's
+    (|A∩B| / min(|A|,|B|)) — catches truncated or
+    boilerplate-padded copies whose symmetric Jaccard falls below the
+    near-dup threshold (B = A + chrome has high containment, mediocre
+    Jaccard). The asymmetric-similarity complement of
+    `dedup_minhash_pairs`/`dedup_ngram_jaccard`.
+
+    Plan: same rare-shingle candidate index as the Jaccard variant
+    (one inverted index serves every similarity measure), verify join
+    computes the containment predicate on the candidate set only."""
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    cand = ngram_jaccard_pairs(sh_df)
+    sh = sh_df.select("doc_id", "bh")
+    a, b = sh.alias("a"), sh.alias("b")
+    joined = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.bh"), F.col("b.bh")))
+    mn = F.least(F.size(F.col("a.bh")), F.size(F.col("b.bh")))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("inter_cnt"),
+            mn.cast("long").alias("min_cnt"),
+        )
+        .filter(F.col("inter_cnt") * CONTAIN_DEN >= F.col("min_cnt") * CONTAIN_NUM)
+    )
