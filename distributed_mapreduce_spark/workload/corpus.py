@@ -737,3 +737,68 @@ def q_frequent_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= FP_MIN_SUPPORT)
     )
+
+
+@query(
+    "association_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey, list_distinct({_sql_tokens('p_name')}) AS toks FROM part
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows FROM t
+    ), item AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS s1
+      FROM t, unnest(toks) AS u(tok) GROUP BY tok
+    ), pairs AS (
+      SELECT ua.tok AS tok_a, ub.tok AS tok_b, CAST(count(*) AS BIGINT) AS s2
+      FROM t, unnest(toks) AS ua(tok), unnest(t.toks) AS ub(tok)
+      WHERE ua.tok < ub.tok
+      GROUP BY ua.tok, ub.tok
+      HAVING count(*) >= {FP_MIN_SUPPORT}
+    )
+    SELECT p.tok_a AS antecedent, p.tok_b AS consequent, p.s2 AS support,
+           CAST(p.s2 * 10000 // ia.s1 AS BIGINT) AS confidence_bp,
+           CAST(p.s2 * n.n_rows * 10000 // (ia.s1 * ib.s1) AS BIGINT) AS lift_bp
+    FROM pairs p
+    JOIN item ia ON ia.tok = p.tok_a
+    JOIN item ib ON ib.tok = p.tok_b
+    CROSS JOIN n
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a→b from the frequent pairs: exact integer
+    confidence (support(ab)/support(a)) and lift
+    (support(ab)·N / (support(a)·support(b))), both in basis points —
+    the market-basket readout layer over `frequent_token_pairs`
+    (lift > 10000 ⇔ positive association).
+
+    Plan: the item-support and pair-support aggregates, two equi-joins
+    on the single-token key (AQE broadcast while the item table is
+    small), and the 1-row total broadcast — integer floor arithmetic
+    end to end."""
+    part = table(spark, sf_dir, "part")
+    t = part.select(F.array_distinct(_tokens(F.col("p_name"))).alias("toks"))
+    n = t.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    item = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("s1"))
+    )
+    pairs = (
+        t.select(F.explode("toks").alias("tok_a"), "toks")
+        .select("tok_a", F.explode("toks").alias("tok_b"))
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("s2"))
+        .filter(F.col("s2") >= FP_MIN_SUPPORT)
+    )
+    ia = item.withColumnsRenamed({"tok": "tok_a", "s1": "sa"})
+    ib = item.withColumnsRenamed({"tok": "tok_b", "s1": "sb"})
+    j = pairs.join(ia, "tok_a").join(ib, "tok_b").crossJoin(F.broadcast(n))
+    return j.select(
+        F.col("tok_a").alias("antecedent"),
+        F.col("tok_b").alias("consequent"),
+        F.col("s2").alias("support"),
+        F.expr("(s2 * 10000) DIV sa").cast("long").alias("confidence_bp"),
+        F.expr("(s2 * n_rows * 10000) DIV (sa * sb)").cast("long").alias("lift_bp"),
+    )

@@ -330,3 +330,71 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, n, m) for r, n, m in rows],
         schema="round int, n_nodes bigint, n_edges bigint",
     )
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e1.dst = e2.src
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), tcnt AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      GROUP BY node
+    )
+    SELECT deg.node, deg.d AS degree,
+           coalesce(tcnt.n_tri, 0) AS n_triangles,
+           CAST(CASE WHEN deg.d < 2 THEN 0
+                     ELSE coalesce(tcnt.n_tri, 0) * 20000 // (deg.d * (deg.d - 1))
+                END AS BIGINT) AS clustering_bp
+    FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+    """,
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: triangles(v) /
+    C(degree(v), 2) in exact basis points (2·tri·10⁴ // d(d−1)) — the
+    cohesion score that separates community cores from bridge hubs.
+    Composes the triangle enumeration with the degree aggregate; the
+    division is integer floor, so the oracle is exact."""
+    e = _edges(spark, sf_dir).cache()
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = deg.join(tcnt, "node", "left").select(
+        "node",
+        F.col("d").cast("long").alias("degree"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+    return j.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(F.col("degree") < 2, F.lit(0))
+        .otherwise(
+            F.expr("(n_triangles * 20000) DIV (degree * (degree - 1))")
+        )
+        .cast("long")
+        .alias("clustering_bp"),
+    )
