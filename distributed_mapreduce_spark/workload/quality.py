@@ -418,3 +418,70 @@ def q_zipf_rank_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("tf").cast("long").alias("total_tf"),
     )
+
+
+#: Coverage-curve cutoffs (top-K vocabulary ranks).
+COVERAGE_KS = (100, 500, 2000)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT unnest({_sql_tokens('text')}) AS tok FROM documents)
+      GROUP BY tok
+    ), ranked AS (
+      SELECT tf, row_number() OVER (ORDER BY tf DESC, tok) AS rank
+      FROM counts
+    ), tot AS (
+      SELECT CAST(sum(tf) AS BIGINT) AS total FROM ranked
+    )
+    SELECT k, CAST(sum(CASE WHEN rank <= k THEN tf ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           CAST(sum(CASE WHEN rank <= k THEN tf ELSE 0 END) * 10000
+                // min(total) AS BIGINT) AS coverage_bp
+    FROM ranked CROSS JOIN tot
+    CROSS JOIN (VALUES {', '.join(f'({k})' for k in COVERAGE_KS)}) ks(k)
+    GROUP BY k
+    """,
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus token
+    OCCURRENCES the top-K vocabulary entries cover, at K ∈
+    {COVERAGE_KS} — the readout that sizes a tokenizer's vocab (the
+    knee of this curve is where bigger vocabularies stop paying).
+
+    Plan: token counts → distributed `global_rank` over the
+    aggregated vocabulary (no single-task sort) → a constant ×
+    {len(COVERAGE_KS)} cutoff explode and one aggregate; all integer
+    arithmetic."""
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ranked = global_rank(
+        counts, [F.col("tf").desc(), F.col("tok").asc()], rank_col="rank",
+        total_col="_t",
+    ).drop("_t")
+    tot = ranked.agg(F.sum("tf").cast("long").alias("total"))
+    ks = F.explode(F.array(*[F.lit(k) for k in COVERAGE_KS])).alias("k")
+    exploded = ranked.select("tf", "rank", ks).crossJoin(F.broadcast(tot))
+    return (
+        exploded.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rank") <= F.col("k"), F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.expr(
+                "(sum(CASE WHEN rank <= k THEN tf ELSE 0 END) * 10000)"
+                " DIV min(total)"
+            )
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+    )
