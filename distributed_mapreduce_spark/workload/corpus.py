@@ -696,8 +696,9 @@ def q_epoch_repeat_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Minimum support for a token pair to be reported.
-FP_MIN_SUPPORT = 25
+#: Minimum support for a token pair to be reported (low enough to
+#: yield rules even on the sf0.001 fixture's 200 parts).
+FP_MIN_SUPPORT = 5
 
 
 @query(
