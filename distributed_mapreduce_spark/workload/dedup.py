@@ -835,3 +835,42 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("inter_cnt") * CONTAIN_DEN >= F.col("min_cnt") * CONTAIN_NUM)
     )
+
+
+@query(
+    "dedup_cluster_size_hist",
+    oracle=_sql_dedup_clusters().replace(
+        "SELECT s AS doc_id, least(s, min(t)) AS cluster_id\n    FROM reach GROUP BY s",
+        """, clusters AS (
+      SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+      FROM reach GROUP BY s
+    ), sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size""",
+    ),
+)
+def q_dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-effort readout: histogram of near-dup cluster sizes
+    (size → cluster count → docs involved) — tells the pipeline
+    whether duplication is many small pairs (cheap keep-best) or a
+    few giant mirror families (worth upstream source fixes). Composes
+    the connected-components output with two tiny aggregates."""
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    pairs = _verify_pairs(sh_df, minhash_candidate_pairs(sh_df))
+    clusters = connected_components(pairs.select("doc_a", "doc_b"))
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
