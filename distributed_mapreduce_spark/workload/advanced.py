@@ -839,3 +839,70 @@ def q_hilbert_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_hilbert2(base, F.col("qx"), F.col("qy"), _Z_BITS, out_col="h").select(
         "o_orderkey", "h"
     )
+
+
+@query(
+    "column_correlation_audit",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(p_size AS BIGINT) AS x,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS y
+      FROM part
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM v
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CASE WHEN n * sxy - sx * sy > 0 THEN 'positive'
+                WHEN n * sxy - sx * sy < 0 THEN 'negative'
+                ELSE 'none' END AS direction,
+           CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
+                * CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 10000
+                // (CAST(n * sxx - sx * sx AS DECIMAL(38,0))
+                    * CAST(n * syy - sy * sy AS DECIMAL(38,0))) AS BIGINT)
+             AS r2_bp
+    FROM s
+    """,
+)
+def q_column_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pair correlation profiling (p_size vs p_retailprice):
+    covariance sign and r² in basis points, computed ENTIRELY from
+    integer sufficient statistics — r² = (nΣxy−ΣxΣy)² ·10⁴ /
+    ((nΣx²−(Σx)²)(nΣy²−(Σy)²)) in DECIMAL(38,0), no float moments —
+    the CBO / data-profiling statistic that decides whether two
+    columns carry redundant signal.
+
+    Plan: one aggregate of six sufficient statistics (all map-side
+    combinable) + one row of arithmetic — scale-free."""
+    part = table(spark, sf_dir, "part")
+    v = part.select(
+        F.col("p_size").cast("long").alias("x"),
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("y"),
+    )
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return s.select(
+        "n",
+        num.cast("long").alias("cov_num"),
+        F.when(num > 0, "positive").when(num < 0, "negative").otherwise("none").alias(
+            "direction"
+        ),
+        F.floor(dec(num) * dec(num) * 10000 / (dec(dx) * dec(dy)))
+        .cast("long")
+        .alias("r2_bp"),
+    )
