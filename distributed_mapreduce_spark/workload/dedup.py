@@ -874,3 +874,72 @@ def q_dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         "n_docs",
     )
+
+
+def _count_leg(df: DataFrame, method: str) -> DataFrame:
+    return df.agg(
+        F.lit(method).alias("method"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+
+
+@query(
+    "dedup_effectiveness_report",
+    oracle=f"""
+    SELECT 'exact' AS method,
+           CAST(sum(cnt * (cnt - 1) / 2) AS BIGINT) AS n_pairs
+    FROM (SELECT count(*) AS cnt FROM documents GROUP BY md5(text))
+    UNION ALL
+    SELECT 'minhash_lsh',
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM ({_sql_minhash_pairs() + _SQL_VERIFY_TAIL}))
+    UNION ALL
+    SELECT 'ngram_inverted',
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              WITH bh AS (SELECT doc_id, {_sql_bh()} AS bh FROM documents),
+              inv AS (SELECT doc_id, unnest(bh) AS gram FROM bh),
+              rare AS (
+                SELECT doc_id, gram FROM (
+                  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+                  FROM inv
+                ) WHERE df <= {NGRAM_MAX_DF}
+              ), cand AS (
+                SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                FROM rare l JOIN rare r ON l.gram = r.gram AND l.doc_id < r.doc_id
+              )
+              {_SQL_VERIFY_TAIL}))
+    UNION ALL
+    SELECT 'prefix_filter',
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM ({_SQL_PREFIX_CAND + _SQL_VERIFY_TAIL}))
+    """,
+)
+def q_dedup_effectiveness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-strategy scorecard in long format: verified pair counts
+    per method — exact fingerprint pairs (Σ C(group,2)), MinHash-LSH
+    (approximate candidates), the df-capped inverted index, and the
+    provably-complete prefix filter — on the same corpus with the same
+    verify predicate, so the rows directly expose each method's recall
+    (prefix_filter ≥ ngram_inverted ≥/≈ minhash_lsh) and the exact-dup
+    floor. The audit a pipeline runs before picking its dedup budget.
+
+    Plan: each leg reuses its production pipeline; results are 1-row
+    aggregates unioned lazily (never a join of 1-row relations)."""
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    exact = (
+        docs.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.lit("exact").alias("method"),
+            F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("n_pairs"),
+        )
+    )
+    mh = _count_leg(
+        _verify_pairs(sh_df, minhash_candidate_pairs(sh_df)), "minhash_lsh"
+    )
+    ng = _count_leg(
+        _verify_pairs(sh_df, ngram_jaccard_pairs(sh_df)), "ngram_inverted"
+    )
+    pf = _count_leg(q_dedup_prefix_filter_join(spark, sf_dir), "prefix_filter")
+    return exact.unionAll(mh).unionAll(ng).unionAll(pf)
