@@ -861,10 +861,10 @@ def q_hilbert_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n * sxy - sx * sy > 0 THEN 'positive'
                 WHEN n * sxy - sx * sy < 0 THEN 'negative'
                 ELSE 'none' END AS direction,
-           CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
-                * CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 10000
-                // (CAST(n * sxx - sx * sx AS DECIMAL(38,0))
-                    * CAST(n * syy - sy * sy AS DECIMAL(38,0))) AS BIGINT)
+           CAST(CAST(n * sxy - sx * sy AS HUGEINT)
+                * CAST(n * sxy - sx * sy AS HUGEINT) * 10000
+                // (CAST(n * sxx - sx * sx AS HUGEINT)
+                    * CAST(n * syy - sy * sy AS HUGEINT)) AS BIGINT)
              AS r2_bp
     FROM s
     """,
@@ -902,7 +902,23 @@ def q_column_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(num > 0, "positive").when(num < 0, "negative").otherwise("none").alias(
             "direction"
         ),
-        F.floor(dec(num) * dec(num) * 10000 / (dec(dx) * dec(dy)))
-        .cast("long")
-        .alias("r2_bp"),
-    )
+        (dec(num) * dec(num) * 10000).alias("_r2num"),
+        (dec(dx) * dec(dy)).alias("_r2den"),
+    ).withColumn(
+        # exact floor: DIV then remainder-correct (Spark decimal DIV
+        # rounds at scale 6 before truncating)
+        "_q0", F.expr("_r2num DIV _r2den")
+    ).withColumn(
+        "r2_bp",
+        (
+            F.col("_q0")
+            - F.when(
+                F.col("_q0").cast("decimal(38,0)") * F.col("_r2den") > F.col("_r2num"), 1
+            ).otherwise(0)
+            + F.when(
+                (F.col("_q0") + 1).cast("decimal(38,0)") * F.col("_r2den")
+                <= F.col("_r2num"),
+                1,
+            ).otherwise(0)
+        ).cast("long"),
+    ).drop("_r2num", "_r2den", "_q0")

@@ -398,3 +398,106 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("clustering_bp"),
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      GROUP BY node
+    ), ends AS (
+      SELECT da.d AS x, db.d AS y
+      FROM e JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node
+      UNION ALL
+      SELECT db.d, da.d
+      FROM e JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM ends
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CASE WHEN n * sxy - sx * sy > 0 THEN 'assortative'
+                WHEN n * sxy - sx * sy < 0 THEN 'disassortative'
+                ELSE 'neutral' END AS mixing,
+           CAST(CAST(n * sxy - sx * sy AS HUGEINT)
+                * CAST(n * sxy - sx * sy AS HUGEINT) * 10000
+                // (CAST(n * sxx - sx * sx AS HUGEINT)
+                    * CAST(n * syy - sy * sy AS HUGEINT)) AS BIGINT)
+             AS r2_bp
+    FROM s
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity: the correlation between the degrees of
+    edge endpoints (symmetrized over both orientations), as exact
+    integer sufficient statistics — covariance sign classifies the
+    graph as assortative (hubs link hubs — social networks) or
+    disassortative (hubs link leaves — infrastructure/web), r² in
+    basis points bounds its strength. The sufficient-statistics shape
+    of `column_correlation_audit` applied to the degree-joined edge
+    list.
+
+    Plan: degree aggregate, two equi-joins to attach endpoint degrees,
+    one 6-statistic reduce — all map-side-combinable."""
+    e = _edges(spark, sf_dir).cache()
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.withColumnsRenamed({"node": "src", "d": "dx"})
+    db = deg.withColumnsRenamed({"node": "dst", "d": "dy"})
+    j = e.join(da, "src").join(db, "dst")
+    ends = j.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        j.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    s = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx_ = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy_ = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return s.select(
+        "n",
+        num.cast("long").alias("cov_num"),
+        F.when(num > 0, "assortative")
+        .when(num < 0, "disassortative")
+        .otherwise("neutral")
+        .alias("mixing"),
+        (dec(num) * dec(num) * 10000)
+        .alias("_r2num"),
+        (dec(dx_) * dec(dy_)).alias("_r2den"),
+    ).withColumn(
+        # Spark's decimal DIV rounds the scale-6 quotient before
+        # truncating (off-by-one when the true quotient sits within
+        # 1e-6 of an integer); correct with the exact remainder test.
+        "_q0", F.expr("_r2num DIV _r2den")
+    ).withColumn(
+        "r2_bp",
+        (
+            F.col("_q0")
+            - F.when(
+                F.col("_q0").cast("decimal(38,0)") * F.col("_r2den") > F.col("_r2num"), 1
+            ).otherwise(0)
+            + F.when(
+                (F.col("_q0") + 1).cast("decimal(38,0)") * F.col("_r2den")
+                <= F.col("_r2num"),
+                1,
+            ).otherwise(0)
+        ).cast("long"),
+    ).drop("_r2num", "_r2den", "_q0")

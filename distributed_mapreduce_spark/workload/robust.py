@@ -189,13 +189,13 @@ def q_mad_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, n_lines, n_returns,
            CAST(n_returns * 10000 // n_lines AS BIGINT) AS return_bp
     FROM per_s, g
-    WHERE CAST(big_n AS DECIMAL(38,0))
-          * CAST(big_n * n_returns - n_lines * big_r AS DECIMAL(38,0))
-          * CAST(big_n * n_returns - n_lines * big_r AS DECIMAL(38,0))
-        > CAST(9 AS DECIMAL(38,0))
-          * CAST(n_lines AS DECIMAL(38,0))
-          * CAST(big_r AS DECIMAL(38,0))
-          * CAST(big_n - big_r AS DECIMAL(38,0))
+    WHERE CAST(big_n AS HUGEINT)
+          * CAST(big_n * n_returns - n_lines * big_r AS HUGEINT)
+          * CAST(big_n * n_returns - n_lines * big_r AS HUGEINT)
+        > CAST(9 AS HUGEINT)
+          * CAST(n_lines AS HUGEINT)
+          * CAST(big_r AS HUGEINT)
+          * CAST(big_n - big_r AS HUGEINT)
     """,
 )
 def q_supplier_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
