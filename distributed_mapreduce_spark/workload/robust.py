@@ -408,3 +408,66 @@ def q_supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV min(n_suppliers)"
         ).cast("long").alias("concentration_bp"),
     )
+
+
+@query(
+    "nation_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rc
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    )
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(rc AS HUGEINT) * CAST(rc AS HUGEINT)) * 10000
+                // (CAST(sum(rc) AS HUGEINT) * CAST(sum(rc) AS HUGEINT))
+              AS BIGINT) AS hhi_bp
+    FROM rev GROUP BY s_nationkey
+    """,
+)
+def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    within each nation, in basis points (Σ share_i² · 10⁴ =
+    Σr_i² · 10⁴ // (Σr_i)² — 10000 = monopoly, → 0 = atomized): the
+    sourcing-concentration audit, computed with exact integer cents
+    and the remainder-corrected floor division (wide products in
+    DECIMAL(38,0) on Spark, HUGEINT in the oracle — the hardened
+    pattern from the assortativity audit).
+
+    Plan: per-(nation, supplier) revenue aggregate, then one
+    per-nation reduce of the squared-sum statistics."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(sup.select("s_suppkey", "s_nationkey"),
+                li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rc")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(dec(F.col("rc")) * dec(F.col("rc"))).alias("_sq"),
+        F.sum("rc").cast("long").alias("_tot"),
+    )
+    s = s.withColumn("_num", (F.col("_sq") * 10000).cast("decimal(38,0)")).withColumn(
+        "_den", dec(F.col("_tot")) * dec(F.col("_tot"))
+    )
+    s = s.withColumn("_q0", F.expr("_num DIV _den"))
+    return s.withColumn(
+        "hhi_bp",
+        (
+            F.col("_q0")
+            - F.when(dec(F.col("_q0")) * F.col("_den") > F.col("_num"), 1).otherwise(0)
+            + F.when(
+                dec(F.col("_q0") + 1) * F.col("_den") <= F.col("_num"), 1
+            ).otherwise(0)
+        ).cast("long"),
+    ).select("s_nationkey", "n_suppliers", "hhi_bp")
