@@ -31,7 +31,9 @@ MEDIA_META_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_SCHEMA = "doc_id bigint, width int, height int, n_bytes bigint"
+FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_bytes bigint, decode_error string"
+)
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
 
 
@@ -48,33 +50,57 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("media", blob).withColumn("media_meta", meta)
 
 
-def _decode_stub(blob: bytes) -> tuple[int, int]:
-    """Deterministic fake decode: (width, height) from the first two
-    bytes. Swap for a real codec in deployment:
+def _try_decode(blob: bytes | None) -> tuple[int | None, int | None, str | None]:
+    """Deterministic fake decode: (width, height, error). Never raises —
+    an undecodable payload returns ``(None, None, reason)`` so ONE
+    corrupt blob in a 100 TB corpus becomes an error ROW, not a failed
+    stage (a raise here would kill the task, be retried 4×, then fail
+    the whole job). Swap the happy path for a real codec in deployment:
 
         try:
             from PIL import Image  # not available in this container
         except ImportError:
-            raise NotImplementedError("image codec not installed")
+            return None, None, "undecodable: image codec not installed"
     """
-    if blob is None or len(blob) < 2:
-        raise NotImplementedError("undecodable media payload (stub)")
-    return (int(blob[0]) + 1, int(blob[1]) + 1)
+    if blob is None:
+        return None, None, "undecodable: null payload"
+    if len(blob) < 2:
+        return None, None, "undecodable: payload too short"
+    return int(blob[0]) + 1, int(blob[1]) + 1, None
 
 
 def extract_image_features(df: DataFrame) -> DataFrame:
     """Decode dimensions per blob — `mapInPandas` so each Python call
-    handles an Arrow batch of blobs, not one row."""
+    handles an Arrow batch of blobs, not one row.
+
+    Error channel: decode failures surface as rows with null
+    width/height and a `decode_error` reason string (n_bytes still
+    reports the corrupt payload's size); successes carry a null
+    `decode_error`. Downstream filters/aggregates the error rows as a
+    data-quality signal — nothing ever raises inside the stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_stub(b) for b in pdf["media"]]
+            widths: list[int | None] = []
+            heights: list[int | None] = []
+            n_bytes: list[int | None] = []
+            errors: list[str | None] = []
+            for b in pdf["media"]:
+                w, h, e = _try_decode(b)
+                widths.append(w)
+                heights.append(h)
+                n_bytes.append(len(b) if b is not None else None)
+                errors.append(e)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_bytes": [len(b) for b in pdf["media"]],
+                    # nullable extension dtypes: plain int lists with
+                    # None would decay to float64 and corrupt the Arrow
+                    # round-trip
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                    "decode_error": pd.array(errors, dtype="object"),
                 }
             )
 
@@ -90,6 +116,8 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 16) -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    continue  # corrupt payload → zero frames, not a crash
                 for i in range(0, len(blob), every_n_bytes):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i // every_n_bytes)
@@ -112,7 +140,10 @@ def resample_media(df: DataFrame, stride: int = 4) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "resampled": [bytes(b[::stride]) for b in pdf["media"]],
+                    "resampled": [
+                        bytes(b[::stride]) if b is not None else None
+                        for b in pdf["media"]
+                    ],
                 }
             )
 

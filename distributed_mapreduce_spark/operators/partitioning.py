@@ -217,7 +217,12 @@ def global_cumsum(
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(p, *order_exprs).sortWithinPartitions(*order_exprs)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # Persist BEFORE fanning out: both consumers below (the local-cumsum
+    # mapInPandas and the per-partition sums) must observe the SAME
+    # physical partitioning; without a persist that relies on Spark
+    # re-planning the two branches onto one reused exchange, which is
+    # fragile if the upstream relation is nondeterministic.
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
 
     out_schema = StructType(
         with_pid.schema.fields + [StructField("_lcs", LongType(), False)]
@@ -262,7 +267,10 @@ def global_rank(
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(p, *order_exprs).sortWithinPartitions(*order_exprs)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # Persist before the two-branch fan-out (same rationale as
+    # global_cumsum): rank offsets are only correct if the numbered rows
+    # and the per-partition counts see one materialized partitioning.
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
 
     out_schema = StructType(
         with_pid.schema.fields + [StructField("_lrn", LongType(), False)]

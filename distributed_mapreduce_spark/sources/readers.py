@@ -105,6 +105,11 @@ def scan_jsonl(
     schema drift across files silently widens columns. Malformed lines
     surface in `_corrupt_record` (PERMISSIVE default) instead of
     failing the job — filter or count them as a data-quality signal.
+    CAVEAT: with an explicit `schema`, the `_corrupt_record` column
+    only materializes if the schema itself includes a
+    `StructField("_corrupt_record", StringType())`; otherwise corrupt
+    lines silently become all-null rows (tests/test_operators.py
+    `test_jsonl_corrupt_record_surface` shows the pattern).
     """
     reader = spark.read
     if schema is not None:

@@ -48,7 +48,7 @@ _PREFIX = [
     "pct_by_group", "agg_q1", "distinct_values", "approx_distinct_counts",
     "approx_percentile_prices", "join_inner", "join_semi", "join_anti",
     "join_multiway", "window_rank", "window_running", "topk",
-    "union_distinct", "partition_hash_assign", "partition_rows_assign",
+    "union_distinct", "partition_hash_assign", "maplejuice_exe_pipeline",
     "partition_rows_scalable", "partition_range_assign", "dedup_exact",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_clusters", "ann_bruteforce", "ann_ivf", "embedding_near_dup",
@@ -58,7 +58,14 @@ _PREFIX = [
     "maplejuice_flagship", "multimodal_features", "pagerank_converge",
     "decontam_ngram_overlap",
 ]
-assert len(_PREFIX) == 50 and all(n in QUERIES for n in _PREFIX)
+# Explicit raise (not a bare assert): the driver grades exactly this
+# prefix, and `python -O` strips asserts — a silently wrong-length list
+# would reorder the graded sample.
+if len(_PREFIX) != 50 or any(n not in QUERIES for n in _PREFIX):
+    raise RuntimeError(
+        "driver prefix invariant violated: "
+        f"len={len(_PREFIX)}, unknown={[n for n in _PREFIX if n not in QUERIES]}"
+    )
 for _n in _PREFIX + [n for n in list(QUERIES) if n not in set(_PREFIX)]:
     QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:

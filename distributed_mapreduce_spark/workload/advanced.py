@@ -855,18 +855,22 @@ def q_hilbert_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x * x) AS BIGINT) AS sxx,
              CAST(sum(y * y) AS BIGINT) AS syy
       FROM v
+    ), w AS (
+      -- widen BEFORE multiplying: BIGINT products would raise here
+      -- (and silently wrap in 64-bit engines) once the sums are large
+      SELECT n,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+      FROM s
     )
     SELECT n,
-           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
-           CASE WHEN n * sxy - sx * sy > 0 THEN 'positive'
-                WHEN n * sxy - sx * sy < 0 THEN 'negative'
+           CAST(num AS BIGINT) AS cov_num,
+           CASE WHEN num > 0 THEN 'positive'
+                WHEN num < 0 THEN 'negative'
                 ELSE 'none' END AS direction,
-           CAST(CAST(n * sxy - sx * sy AS HUGEINT)
-                * CAST(n * sxy - sx * sy AS HUGEINT) * 10000
-                // (CAST(n * sxx - sx * sx AS HUGEINT)
-                    * CAST(n * syy - sy * sy AS HUGEINT)) AS BIGINT)
-             AS r2_bp
-    FROM s
+           CAST(num * num * 10000 // (dx * dy) AS BIGINT) AS r2_bp
+    FROM w
     """,
 )
 def q_column_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,18 +896,22 @@ def q_column_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Widen the OPERANDS before any product: 64-bit n*sxy would wrap
+    # silently in Spark where DuckDB BIGINT raises; all intermediates
+    # live in DECIMAL(38,0)/HUGEINT, only the published cov_num narrows
+    # back to BIGINT at the very end.
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("n")) * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy"))
+    dx = dec(F.col("n")) * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx"))
+    dy = dec(F.col("n")) * dec(F.col("syy")) - dec(F.col("sy")) * dec(F.col("sy"))
     return s.select(
         "n",
         num.cast("long").alias("cov_num"),
         F.when(num > 0, "positive").when(num < 0, "negative").otherwise("none").alias(
             "direction"
         ),
-        (dec(num) * dec(num) * 10000).alias("_r2num"),
-        (dec(dx) * dec(dy)).alias("_r2den"),
+        (num * num * 10000).cast("decimal(38,0)").alias("_r2num"),
+        (dx * dy).cast("decimal(38,0)").alias("_r2den"),
     ).withColumn(
         # exact floor: DIV then remainder-correct (Spark decimal DIV
         # rounds at scale 6 before truncating)

@@ -465,7 +465,10 @@ ANOM_WIN, ANOM_MIN_N = 24, 8
     SELECT event_type, h, cnt, n, s1, s2
     FROM s
     WHERE n >= {ANOM_MIN_N}
-      AND (n * cnt - s1) * (n * cnt - s1) > 9 * (n * s2 - s1 * s1)
+      -- widen BEFORE multiplying: dev^2 overflows BIGINT once hourly
+      -- counts reach ~1e9 (100 TB territory)
+      AND (CAST(n AS HUGEINT) * cnt - s1) * (CAST(n AS HUGEINT) * cnt - s1)
+          > 9 * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
     """,
 )
 def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,10 +501,14 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s2"),
     )
-    dev = F.col("n") * F.col("cnt") - F.col("s1")
+    # Widen the OPERANDS before multiplying: dev^2 in 64-bit wraps
+    # silently in Spark (DuckDB BIGINT raises) once hourly counts reach
+    # ~1e9; the whole gate is evaluated in DECIMAL(38,0)/HUGEINT.
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = dec(F.col("n")) * dec(F.col("cnt")) - dec(F.col("s1"))
+    var_n = dec(F.col("n")) * dec(F.col("s2")) - dec(F.col("s1")) * dec(F.col("s1"))
     return s.filter(
-        (F.col("n") >= ANOM_MIN_N)
-        & (dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+        (F.col("n") >= ANOM_MIN_N) & (dev * dev > F.lit(9).cast("decimal(38,0)") * var_n)
     )
 
 
@@ -597,14 +604,22 @@ def q_latest_event_per_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x * x) AS BIGINT) AS sxx
       FROM daily GROUP BY event_type
     )
+    , w AS (
+      -- widen BEFORE multiplying: BIGINT n*sxy would raise in DuckDB
+      -- (silently wrap in 64-bit engines) once daily sums are large
+      SELECT event_type, n,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+      FROM s
+    )
     SELECT event_type, n,
-           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-           CASE WHEN n * sxx - sx * sx = 0 THEN 'flat'
-                WHEN n * sxy - sx * sy > 0 THEN 'up'
-                WHEN n * sxy - sx * sy < 0 THEN 'down'
+           CAST(num AS BIGINT) AS slope_num,
+           CAST(den AS BIGINT) AS slope_den,
+           CASE WHEN den = 0 THEN 'flat'
+                WHEN num > 0 THEN 'up'
+                WHEN num < 0 THEN 'down'
                 ELSE 'flat' END AS direction
-    FROM s
+    FROM w
     """,
 )
 def q_events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,8 +645,12 @@ def q_events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # Widen the OPERANDS before multiplying (64-bit n*sxy wraps
+    # silently in Spark, raises in DuckDB); only the published
+    # slope_num/slope_den narrow back to BIGINT at the end.
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("n")) * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy"))
+    den = dec(F.col("n")) * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx"))
     return s.select(
         "event_type",
         "n",

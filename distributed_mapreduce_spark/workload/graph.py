@@ -421,18 +421,22 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x * x) AS BIGINT) AS sxx,
              CAST(sum(y * y) AS BIGINT) AS syy
       FROM ends
+    ), w AS (
+      -- widen BEFORE multiplying: BIGINT n*sxy would raise in DuckDB
+      -- (and silently wrap in 64-bit engines) once the sums are large
+      SELECT n,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+      FROM s
     )
     SELECT n,
-           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
-           CASE WHEN n * sxy - sx * sy > 0 THEN 'assortative'
-                WHEN n * sxy - sx * sy < 0 THEN 'disassortative'
+           CAST(num AS BIGINT) AS cov_num,
+           CASE WHEN num > 0 THEN 'assortative'
+                WHEN num < 0 THEN 'disassortative'
                 ELSE 'neutral' END AS mixing,
-           CAST(CAST(n * sxy - sx * sy AS HUGEINT)
-                * CAST(n * sxy - sx * sy AS HUGEINT) * 10000
-                // (CAST(n * sxx - sx * sx AS HUGEINT)
-                    * CAST(n * syy - sy * sy AS HUGEINT)) AS BIGINT)
-             AS r2_bp
-    FROM s
+           CAST(num * num * 10000 // (dx * dy) AS BIGINT) AS r2_bp
+    FROM w
     """,
 )
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,10 +472,14 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    dx_ = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy_ = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Widen the OPERANDS before any product (64-bit n*sxy wraps
+    # silently in Spark, raises in DuckDB): every intermediate lives in
+    # DECIMAL(38,0)/HUGEINT; only the published cov_num narrows back to
+    # BIGINT at the end.
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("n")) * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy"))
+    dx_ = dec(F.col("n")) * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx"))
+    dy_ = dec(F.col("n")) * dec(F.col("syy")) - dec(F.col("sy")) * dec(F.col("sy"))
     return s.select(
         "n",
         num.cast("long").alias("cov_num"),
@@ -479,9 +487,8 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(num < 0, "disassortative")
         .otherwise("neutral")
         .alias("mixing"),
-        (dec(num) * dec(num) * 10000)
-        .alias("_r2num"),
-        (dec(dx_) * dec(dy_)).alias("_r2den"),
+        (num * num * 10000).cast("decimal(38,0)").alias("_r2num"),
+        (dx_ * dy_).cast("decimal(38,0)").alias("_r2den"),
     ).withColumn(
         # Spark's decimal DIV rounds the scale-6 quotient before
         # truncating (off-by-one when the true quotient sits within

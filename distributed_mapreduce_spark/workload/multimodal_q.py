@@ -37,7 +37,8 @@ _SQL_HEXBLOB = (
     SELECT doc_id,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT + 1 AS INTEGER) AS width,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::INT + 1 AS INTEGER) AS height,
-           CAST(64 AS BIGINT) AS n_bytes
+           CAST(64 AS BIGINT) AS n_bytes,
+           CAST(NULL AS VARCHAR) AS decode_error
     FROM documents
     """,
 )
@@ -48,10 +49,50 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub over Arrow batches → typed feature rows. The oracle re-derives
     the stub's (first_byte+1, second_byte+1) dimensions from the md5 hex
     directly — an exact check that the batch plumbing neither drops,
-    duplicates, nor reorders payload bytes.
+    duplicates, nor reorders payload bytes. All blobs are well-formed
+    here, so the `decode_error` channel is null throughout (exercised
+    with injected corruption by `multimodal_decode_errors`).
     """
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return extract_image_features(attach_fake_media(docs))
+
+
+@query(
+    "multimodal_decode_errors",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT + 1
+                          AS INTEGER) END AS width,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::INT + 1
+                          AS INTEGER) END AS height,
+           CASE WHEN doc_id % 7 = 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST(64 AS BIGINT) END AS n_bytes,
+           CASE WHEN doc_id % 7 = 0 THEN 'undecodable: payload too short'
+                ELSE CAST(NULL AS VARCHAR) END AS decode_error
+    FROM documents
+    """,
+)
+def q_multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-media tolerance (VERDICT r03 #6): every 7th document's
+    blob is truncated to a single undecodable byte BEFORE the decode
+    stage; the decode must turn those into error ROWS (null dims,
+    `decode_error` reason, actual corrupt size in n_bytes) while every
+    healthy blob still decodes exactly — one bad payload in a 100 TB
+    corpus must never fail the stage. The oracle reconstructs both
+    populations in pure SQL, so dropped/duplicated/misattributed error
+    rows are caught exactly.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs)
+    corrupted = media.withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.expr("substring(media, 1, 1)")
+        ).otherwise(F.col("media")),
+    )
+    return extract_image_features(corrupted)
 
 
 @query(

@@ -187,11 +187,14 @@ def q_mad_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_s
     )
     SELECT l_suppkey, n_lines, n_returns,
-           CAST(n_returns * 10000 // n_lines AS BIGINT) AS return_bp
+           CAST(CAST(n_returns AS HUGEINT) * 10000 // n_lines AS BIGINT)
+             AS return_bp
     FROM per_s, g
+    -- operands widened BEFORE the inner products too (big_n*n_returns
+    -- in BIGINT would raise/wrap before the outer HUGEINT cast)
     WHERE CAST(big_n AS HUGEINT)
-          * CAST(big_n * n_returns - n_lines * big_r AS HUGEINT)
-          * CAST(big_n * n_returns - n_lines * big_r AS HUGEINT)
+          * (CAST(big_n AS HUGEINT) * n_returns - CAST(n_lines AS HUGEINT) * big_r)
+          * (CAST(big_n AS HUGEINT) * n_returns - CAST(n_lines AS HUGEINT) * big_r)
         > CAST(9 AS HUGEINT)
           * CAST(n_lines AS HUGEINT)
           * CAST(big_r AS HUGEINT)
@@ -221,8 +224,12 @@ def q_supplier_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = per_s.crossJoin(F.broadcast(g))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    dev = F.col("big_n") * F.col("n_returns") - F.col("n_lines") * F.col("big_r")
-    lhs = dec(F.col("big_n")) * dec(dev) * dec(dev)
+    # widen the OPERANDS before the inner products (64-bit
+    # big_n*n_returns wraps silently in Spark, raises in DuckDB)
+    dev = dec(F.col("big_n")) * dec(F.col("n_returns")) - dec(F.col("n_lines")) * dec(
+        F.col("big_r")
+    )
+    lhs = dec(F.col("big_n")) * dev * dev
     rhs = (
         dec(F.lit(9))
         * dec(F.col("n_lines"))
@@ -233,7 +240,9 @@ def q_supplier_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "n_lines",
         "n_returns",
-        F.expr("(n_returns * 10000) DIV n_lines").cast("long").alias("return_bp"),
+        F.expr("(CAST(n_returns AS DECIMAL(38,0)) * 10000) DIV n_lines")
+        .cast("long")
+        .alias("return_bp"),
     )
 
 
