@@ -61,6 +61,11 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "text_packing",
     "dedup_repeated_passages",
+    # round-4 additions: heavy-hitter skew pair (same oracle-certified
+    # result, two physical strategies — the delta IS the measured skew
+    # effect; see workload/skew_q.py and README "Skew")
+    "skew_join_plain",
+    "skew_join_salted",
 ]
 
 
@@ -114,19 +119,29 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "trials": TRIALS,
-                "loadavg_at_start": load_at_start,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "trials": TRIALS,
+        "loadavg_at_start": load_at_start,
+    }
+    # Committed round artifacts folded into the bench line so the
+    # driver's BENCH_r{N}.json carries them: the x1-vs-x10 scaling
+    # slope (tools/scaling_bench.py) and the full-registry sf0.01 cost
+    # accounting (tools/check_correctness.py --timing).
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, fname in (("scaling", "SCALING_r04.json"), ("registry_cost", "REGISTRY_COST.json")):
+        p = os.path.join(here, fname)
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    out[key] = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -30,7 +30,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.workload.registry import query, table
-from distributed_mapreduce_spark.workload.text import _sql_bp, _sql_tokens, _tokens
+from distributed_mapreduce_spark.workload.text import (
+    STOPWORDS,
+    _bp,
+    _count_in,
+    _sql_bp,
+    _sql_count_in,
+    _sql_tokens,
+    _tokens,
+)
 
 #: Minimum document frequency for a token to enter the vocabulary.
 VOCAB_MIN_DF = 5
@@ -484,4 +492,65 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("coverage_bp"),
         )
+    )
+
+
+#: Curriculum phases (quartile buckets).
+CURRICULUM_PHASES = 4
+
+_CURRICULUM_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             {_sql_bp(_sql_count_in('toks', STOPWORDS), 'len(toks)')} AS score
+      FROM t
+    ), r AS (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank,
+             CAST(count(*) OVER () AS BIGINT) AS total
+      FROM s
+    )
+    SELECT doc_id, score, rank, total,
+           CAST(((rank - 1) * {CURRICULUM_PHASES}) // total AS INTEGER) AS phase
+    FROM r
+"""
+
+
+@query("curriculum_phase_assign", oracle=_CURRICULUM_SQL)
+def q_curriculum_phase_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: rank every document by a
+    quality proxy (stopword basis points — higher reads as more
+    natural prose) and deal the corpus into {CURRICULUM_PHASES}
+    contiguous phases, best documents first — the data-ordering pass
+    curriculum-learning pipelines run before sharding.
+
+    Plan: the global order comes from the distributed `global_rank`
+    (range shuffle + per-partition offsets) — at 1e9+ documents a
+    row_number() window over the raw corpus would single-task; the
+    oracle's window IS that naive form, which is exactly why the
+    differential matters: the scalable plan must reproduce the naive
+    semantics bit-for-bit."""
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id", _bp(_count_in(toks, STOPWORDS), F.size(toks)).alias("score")
+    )
+    ranked = global_rank(
+        scored,
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        rank_col="rank",
+        total_col="total",
+    )
+    return ranked.select(
+        "doc_id",
+        "score",
+        "rank",
+        "total",
+        F.expr(f"CAST(((rank - 1) * {CURRICULUM_PHASES}) DIV total AS INT)").alias(
+            "phase"
+        ),
     )

@@ -192,3 +192,138 @@ def q_bloom_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fp_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: 3 rows x 1024 counters.
+CMS_D = 3
+CMS_W = 1024
+
+#: Heavy hitters reported (exact top terms by frequency).
+CMS_TOPK = 20
+
+
+def _cms_bucket(term: Column, j: int) -> Column:
+    """Row-j counter index of a term (portable md5-u32 % CMS_W)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{j}_"), term)), 1, 8), 16, 10)
+        .cast("long")
+        % CMS_W
+    )
+
+
+def _sql_cms_bucket(expr: str, j: int) -> str:
+    return f"(('0x' || substr(md5('cm{j}_' || {expr}), 1, 8))::BIGINT % {CMS_W})"
+
+
+_CMS_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_CMS_SQL = f"""
+    WITH toks AS (
+      SELECT unnest({_CMS_TOKS}) AS term FROM documents
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS total FROM toks
+    ), exact AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks
+      GROUP BY term ORDER BY exact_cnt DESC, term LIMIT {CMS_TOPK}
+    ), cnt AS (
+      SELECT j, b, CAST(count(*) AS BIGINT) AS c FROM (
+        {' UNION ALL '.join(
+            f"SELECT {j} AS j, {_sql_cms_bucket('term', j)} AS b FROM toks"
+            for j in range(CMS_D)
+        )}
+      ) GROUP BY j, b
+    ), probe AS (
+      SELECT e.term, e.exact_cnt, p.j,
+             CASE p.j {' '.join(
+                f"WHEN {j} THEN {_sql_cms_bucket('e.term', j)}"
+                for j in range(CMS_D)
+             )} END AS b
+      FROM exact e, (SELECT unnest([{', '.join(str(j) for j in range(CMS_D))}]) AS j) p
+    ), est AS (
+      SELECT probe.term, probe.exact_cnt,
+             CAST(min(c) AS BIGINT) AS cms_estimate
+      FROM probe JOIN cnt USING (j, b) GROUP BY 1, 2
+    )
+    SELECT term, exact_cnt, cms_estimate,
+           CAST(cms_estimate - exact_cnt AS BIGINT) AS overcount,
+           CAST(cms_estimate - exact_cnt AS HUGEINT) * {CMS_W}
+             <= 2 * CAST(n.total AS HUGEINT) AS within_bound
+    FROM est, n
+"""
+
+
+@query("cms_heavy_hitters", oracle=_CMS_SQL)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters, certified in-plan against exact
+    counts (the `ann_recall_audit` methodology applied to the third
+    sketch family next to Bloom and HLL): build a {CMS_D}x{CMS_W}
+    counter grid over the token stream with portable md5-u32 row
+    hashes, probe it for the exact top-{CMS_TOPK} terms, and report
+    estimate, overcount (provably >= 0: CMS never undercounts), and
+    whether each estimate sits inside the 2N/w Markov bound — every
+    number exact and engine-portable, so the oracle checks the sketch
+    bit-for-bit.
+
+    Plan: counters are groupBy(row, bucket) counts — map-side
+    combinable, at most {CMS_D}*{CMS_W} rows survive regardless of
+    corpus size (the CMS compression guarantee, materialized
+    relationally); the probe joins {CMS_TOPK}x{CMS_D} rows against
+    that tiny relation. At 100 TB the counter table is still {CMS_D}x
+    {CMS_W} rows — THE reason one uses a CMS."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")).alias(
+            "term"
+        )
+    ).persist()
+
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+        .limit(CMS_TOPK)
+    )
+    counters = None
+    for j in range(CMS_D):
+        cj = (
+            toks.select(_cms_bucket(F.col("term"), j).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .select(F.lit(j).alias("j"), "b", "c")
+        )
+        counters = cj if counters is None else counters.unionAll(cj)
+    probes = exact.select(
+        "term",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_bucket(F.col("term"), j).alias("b")
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("term", "exact_cnt", F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+    est = (
+        probes.join(counters, ["j", "b"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return est.crossJoin(total).select(
+        "term",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        (
+            dec(F.col("cms_estimate") - F.col("exact_cnt")) * CMS_W
+            <= F.lit(2).cast("decimal(38,0)") * dec(F.col("total"))
+        ).alias("within_bound"),
+    )

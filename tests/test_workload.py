@@ -94,3 +94,20 @@ def test_hourly_anomaly_flags_are_3sigma(spark, sf_dir):
         assert r.n >= ANOM_MIN_N
         dev = r.n * r.cnt - r.s1
         assert dev * dev > 9 * (r.n * r.s2 - r.s1 * r.s1)
+
+
+def test_readme_query_tally_matches_registry():
+    """Doc-drift gate (VERDICT r03 #8): every 'NNN named queries' claim
+    in README.md must equal the live registry size, and every query
+    must carry a DuckDB oracle (the '/NNN, no rows-only entries'
+    claim)."""
+    import re
+    from pathlib import Path
+
+    from distributed_mapreduce_spark.workload import ORACLES, QUERIES
+
+    readme = Path(__file__).resolve().parent.parent / "README.md"
+    claims = [int(m) for m in re.findall(r"(\d+) named queries", readme.read_text())]
+    assert claims, "README no longer states the query tally"
+    assert all(c == len(QUERIES) for c in claims), (claims, len(QUERIES))
+    assert set(ORACLES) == set(QUERIES)

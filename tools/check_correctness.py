@@ -8,7 +8,9 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import json
 import sys
+import time
 from decimal import Decimal
 
 import duckdb
@@ -52,12 +54,17 @@ def main() -> int:
         )
 
     failures = []
+    spark_secs: dict[str, float] = {}
+    families: dict[str, str] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        families[name] = getattr(fn, "__module__", "?").rsplit(".", 1)[-1]
         try:
+            t0 = time.perf_counter()
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
+            spark_secs[name] = round(time.perf_counter() - t0, 3)
             scols = sdf.columns
         except Exception as e:
             failures.append(name)
@@ -90,6 +97,25 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             continue
         print(f"PASS {name} ({len(sc)} rows)")
+
+    # Full-registry cost accounting (VERDICT r03 #8): when the whole
+    # registry ran, persist total + per-family Spark seconds so the
+    # bench artifact (bench.py embeds this file) doubles as a
+    # regression signal for registry growth.
+    if not only:
+        fam_tot: dict[str, float] = {}
+        for n, s in spark_secs.items():
+            fam_tot[families[n]] = round(fam_tot.get(families[n], 0.0) + s, 3)
+        cost = {
+            "sf_dir": sf_dir,
+            "n_queries": len(spark_secs),
+            "total_spark_sec": round(sum(spark_secs.values()), 3),
+            "per_family_sec": dict(sorted(fam_tot.items(), key=lambda kv: -kv[1])),
+        }
+        with open("/root/repo/REGISTRY_COST.json", "w") as f:
+            json.dump(cost, f, indent=2)
+            f.write("\n")
+        print(f"registry cost: {cost['total_spark_sec']} s over {cost['n_queries']} queries")
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0

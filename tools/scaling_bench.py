@@ -1,0 +1,203 @@
+"""Empirical scaling-slope harness (VERDICT r03 #1): measure the
+runtime of the costliest query families at x1 and x10 data volume and
+record sec + sec/row, so the "designed for 100 TB" story has a measured
+slope instead of only plan-shape arguments.
+
+Corpus construction (deterministic, no RNG):
+- Each replica r in 0..9 shifts every id column by ``r * ID_OFFSET``.
+  ID_OFFSET is divisible by 97 (decontam's eval gate) and by every
+  modulus <= 16 used anywhere in the registry, so id-residue gates
+  (l_orderkey % 7, doc_id % 97, ...) keep identical selectivity in
+  every replica.
+- Document text is Caesar-rotated per replica (JVM-side `translate`,
+  letters by r, digits by r mod 10). Replica token/shingle spaces are
+  therefore DISJOINT: dedup/decontam never pair rows across replicas,
+  so the x10 corpus is 10 independent copies of the x1 workload — the
+  correct shape for measuring ENGINE scaling (replicating identical
+  text would instead create a quadratic cross-replica near-dup
+  workload and measure a different problem).
+- Replica 0 is the identity, so the x1 directory is byte-equivalent in
+  content to the source scale factor.
+
+Interpretation: slope = (sec_x10 / sec_x1) / 10 = relative cost per
+row at 10x the data. 1.0 is perfectly linear; < 1 means fixed overhead
+(session/scan setup) still dominates at x10; values well above ~1.3
+indicate a super-linear stage that would not survive 100 TB.
+
+Usage: python tools/scaling_bench.py [src_sf_dir] [out_json]
+Writes the JSON artifact (default SCALING_r04.json) that bench.py
+embeds under its "scaling" key.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+#: divisible by every modulus <= 16 (LCM(1..16) = 720720) and by 97.
+ID_OFFSET = 720720 * 97
+
+FACTOR = 10
+TRIALS = 3
+
+FAMILIES = [
+    "dedup_repeated_passages",
+    "quality_repetition",
+    "decontam_ngram_overlap",
+    "vocab_build",
+    "dedup_minhash_pairs",
+    "graph_triangle_counts",
+]
+
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+UPPER = LOWER.upper()
+DIGITS = "0123456789"
+
+
+def _rot(s: str, k: int) -> str:
+    k %= len(s)
+    return s[k:] + s[:k]
+
+
+def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> dict:
+    """Write documents.parquet and lineitem.parquet at `factor`x volume
+    (disjoint id ranges + per-replica Caesar text)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.workload.registry import table
+
+    out = Path(out_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+
+    docs = table(spark, src_dir, "documents")
+    li = table(spark, src_dir, "lineitem")
+
+    doc_parts = []
+    for r in range(factor):
+        src = LOWER + UPPER + DIGITS
+        dst = _rot(LOWER, r) + _rot(UPPER, r) + _rot(DIGITS, r)
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + r * ID_OFFSET).alias("doc_id"),
+                F.translate(F.col("text"), src, dst).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    docs_x = doc_parts[0]
+    for p in doc_parts[1:]:
+        docs_x = docs_x.unionAll(p)
+    docs_x.repartition(32).write.mode("overwrite").parquet(
+        str(out / "documents.parquet")
+    )
+
+    li_parts = []
+    for r in range(factor):
+        li_parts.append(
+            li.select(
+                (F.col("l_orderkey") + r * ID_OFFSET).alias("l_orderkey"),
+                (F.col("l_partkey") + r * ID_OFFSET).alias("l_partkey"),
+                (F.col("l_suppkey") + r * ID_OFFSET).alias("l_suppkey"),
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+                "l_shipdate",
+            )
+        )
+    li_x = li_parts[0]
+    for p in li_parts[1:]:
+        li_x = li_x.unionAll(p)
+    li_x.repartition(32).write.mode("overwrite").parquet(
+        str(out / "lineitem.parquet")
+    )
+
+    return {
+        "documents": docs_x.count() if factor > 1 else docs.count(),
+        "lineitem": li_x.count() if factor > 1 else li.count(),
+    }
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    """Min-of-TRIALS wall seconds to fully execute the query (noop sink
+    — everything runs, nothing is collected to the driver). One untimed
+    warm-up run per (query, scale) point first, so codegen/JIT/page-cache
+    effects don't masquerade as scaling signal (the first cut of this
+    harness measured vocab_build FASTER at x10 than x1 for exactly that
+    reason)."""
+    from distributed_mapreduce_spark.workload import QUERIES
+
+    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> int:
+    src_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/SCALING_r04.json"
+
+    from distributed_mapreduce_spark.session import get_spark
+
+    spark = get_spark("scaling_bench", cpus=32, shuffle_partitions=32)
+
+    base = "/tmp/spark_graft_scaling"
+    print("building x1 / x10 corpora ...", flush=True)
+    rows_x1 = build_scaled(spark, src_dir, f"{base}/x1", 1)
+    rows_x10 = build_scaled(spark, src_dir, f"{base}/x10", FACTOR)
+    print(f"rows x1={rows_x1} x10={rows_x10}", flush=True)
+
+    input_table = {q: "lineitem" if q.startswith("graph_") else "documents" for q in FAMILIES}
+
+    results = {}
+    for q in FAMILIES:
+        t1 = run_query(spark, q, f"{base}/x1")
+        t10 = run_query(spark, q, f"{base}/x10")
+        n1 = rows_x1[input_table[q]]
+        n10 = rows_x10[input_table[q]]
+        slope = (t10 / n10) / (t1 / n1)
+        results[q] = {
+            "x1_sec": round(t1, 3),
+            "x10_sec": round(t10, 3),
+            "rows_x1": n1,
+            "rows_x10": n10,
+            "sec_per_mrow_x1": round(t1 / n1 * 1e6, 3),
+            "sec_per_mrow_x10": round(t10 / n10 * 1e6, 3),
+            "slope_vs_linear": round(slope, 3),
+        }
+        print(f"{q:28s} x1={t1:6.2f}s x10={t10:6.2f}s slope={slope:5.2f}", flush=True)
+
+    artifact = {
+        "method": (
+            f"{FACTOR}x deterministic replication of {src_dir} "
+            "(disjoint id ranges preserving residue gates, per-replica "
+            "Caesar-rotated text so token spaces are disjoint); "
+            f"1 untimed warm-up + min of {TRIALS} trials per point, "
+            "noop sink, local[32]"
+        ),
+        "src": src_dir,
+        "factor": FACTOR,
+        "trials": TRIALS,
+        "queries": results,
+    }
+    Path(out_json).write_text(json.dumps(artifact, indent=2) + "\n")
+    print(f"wrote {out_json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
