@@ -252,3 +252,28 @@ def test_minmax_retraction_rebuilds_only_affected_groups(spark):
         "c": (3.0, 4.0, False),
         "e": (6.0, 6.0, True),
     }
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    """Versioning primitive: insert/delete/update classification from a
+    full-outer key diff on synthetic snapshots."""
+    from distributed_mapreduce_spark.workload.versioning import snapshot_diff
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    v1 = spark.createDataFrame(
+        [(1, 10, "O", 5.0), (2, 20, "F", 6.0), (3, 30, "O", 7.0)], cols
+    )
+    v2 = spark.createDataFrame(
+        [(1, 10, "O", 5.0),          # unchanged -> absent from diff
+         (2, 20, "P", 6.0),          # status changed -> update
+         (4, 40, "O", 8.0)], cols    # new key -> insert; key 3 -> delete
+    )
+    got = {
+        r["o_orderkey"]: (r["change_type"], r["old_status"], r["new_status"])
+        for r in snapshot_diff(v1, v2).collect()
+    }
+    assert got == {
+        2: ("update", "F", "P"),
+        3: ("delete", "O", None),
+        4: ("insert", None, "O"),
+    }

@@ -24,9 +24,12 @@ row at 10x the data. 1.0 is perfectly linear; < 1 means fixed overhead
 (session/scan setup) still dominates at x10; values well above ~1.3
 indicate a super-linear stage that would not survive 100 TB.
 
-Usage: python tools/scaling_bench.py [src_sf_dir] [out_json]
+Usage: python tools/scaling_bench.py [src_sf_dir] [out_json] [--x100]
 Writes the JSON artifact (default SCALING_r04.json) that bench.py
-embeds under its "scaling" key.
+embeds under its "scaling" key. With --x100, additionally builds a
+100x corpus and re-times the X100_FAMILIES subset (one warm-up + one
+timed run — at 6 GB+ input the run time dwarfs trial noise), recording
+the second decade's slope (x100 vs x10).
 """
 
 from __future__ import annotations
@@ -50,6 +53,13 @@ FAMILIES = [
     "quality_repetition",
     "decontam_ngram_overlap",
     "vocab_build",
+    "dedup_minhash_pairs",
+    "graph_triangle_counts",
+]
+
+#: Second-decade subset (x100): the families whose x10 cost was highest.
+X100_FAMILIES = [
+    "dedup_repeated_passages",
     "dedup_minhash_pairs",
     "graph_triangle_counts",
 ]
@@ -123,9 +133,11 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> dict:
         str(out / "lineitem.parquet")
     )
 
+    # count the WRITTEN parquet (metadata-only) rather than re-running
+    # the replication pipeline a second time
     return {
-        "documents": docs_x.count() if factor > 1 else docs.count(),
-        "lineitem": li_x.count() if factor > 1 else li.count(),
+        "documents": spark.read.parquet(str(out / "documents.parquet")).count(),
+        "lineitem": spark.read.parquet(str(out / "lineitem.parquet")).count(),
     }
 
 
@@ -148,8 +160,10 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 
 
 def main() -> int:
-    src_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_json = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/SCALING_r04.json"
+    args = [a for a in sys.argv[1:] if a != "--x100"]
+    do_x100 = "--x100" in sys.argv[1:]
+    src_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out_json = args[1] if len(args) > 1 else "/root/repo/SCALING_r04.json"
 
     from distributed_mapreduce_spark.session import get_spark
 
@@ -181,12 +195,44 @@ def main() -> int:
         }
         print(f"{q:28s} x1={t1:6.2f}s x10={t10:6.2f}s slope={slope:5.2f}", flush=True)
 
+    if do_x100:
+        print("building x100 corpus ...", flush=True)
+        rows_x100 = build_scaled(spark, src_dir, f"{base}/x100", 100)
+        for q in X100_FAMILIES:
+            # one warm-up + one timed run: at this volume run time
+            # dwarfs trial noise, and 4 full runs would double the
+            # harness cost for no information
+            QUERIES_RUN = f"{base}/x100"
+            from distributed_mapreduce_spark.workload import QUERIES
+
+            QUERIES[q](spark, QUERIES_RUN).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t0 = time.perf_counter()
+            QUERIES[q](spark, QUERIES_RUN).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t100 = time.perf_counter() - t0
+            n100 = rows_x100[input_table[q]]
+            r = results[q]
+            r["x100_sec"] = round(t100, 3)
+            r["rows_x100"] = n100
+            r["sec_per_mrow_x100"] = round(t100 / n100 * 1e6, 3)
+            r["slope_x100_vs_x10"] = round(
+                (t100 / n100) / (r["x10_sec"] / r["rows_x10"]), 3
+            )
+            print(
+                f"{q:28s} x100={t100:7.2f}s slope(x100/x10)={r['slope_x100_vs_x10']:5.2f}",
+                flush=True,
+            )
+
     artifact = {
         "method": (
-            f"{FACTOR}x deterministic replication of {src_dir} "
-            "(disjoint id ranges preserving residue gates, per-replica "
-            "Caesar-rotated text so token spaces are disjoint); "
-            f"1 untimed warm-up + min of {TRIALS} trials per point, "
+            f"{FACTOR}x{' and 100x' if do_x100 else ''} deterministic "
+            f"replication of {src_dir} (disjoint id ranges preserving "
+            "residue gates, per-replica Caesar-rotated text so token "
+            "spaces are disjoint); 1 untimed warm-up + min of "
+            f"{TRIALS} trials per point (x100: warm-up + 1 run), "
             "noop sink, local[32]"
         ),
         "src": src_dir,
