@@ -148,3 +148,74 @@ def resample_media(df: DataFrame, stride: int = 4) -> DataFrame:
             )
 
     return df.select("doc_id", "media").mapInPandas(run, schema=RESAMPLE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, n_samples int, sample_rate int, duration_ms bigint, "
+    "loudness bigint, decode_error string"
+)
+
+#: Fake-audio nominal sample rate (Hz) carried in typed metadata.
+AUDIO_RATE = 16000
+
+
+def attach_fake_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake audio blobs (same md5-derived 64 bytes as
+    `attach_fake_media`) with AUDIO-typed metadata: 16-bit mono PCM at
+    {AUDIO_RATE} Hz — the second modality exercising the same binary
+    column + typed-metadata convention."""
+    h = F.md5(F.col(id_col).cast("string"))
+    blob = F.unhex(F.concat(h, F.reverse(h), h, F.reverse(h)))
+    meta = F.struct(
+        F.lit("audio").alias("media_type"),
+        F.lit("pcm_s16le_fake").alias("codec"),
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.lit(AUDIO_RATE).alias("sample_rate"),
+    )
+    return df.withColumn("media", blob).withColumn("media_meta", meta)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio decode stub over Arrow batches: sample count (2 bytes per
+    16-bit sample), duration at the metadata rate, and an exact integer
+    loudness proxy (sum of payload bytes — stands in for RMS, which a
+    real codec computes; integral so the oracle matches bit-for-bit).
+    Same error-row channel as the image path: undecodable payloads
+    yield null features + a `decode_error` reason, never a raise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_samples: list[int | None] = []
+            duration: list[int | None] = []
+            loud: list[int | None] = []
+            errors: list[str | None] = []
+            for b in pdf["media"]:
+                if b is None or len(b) < 2:
+                    n_samples.append(None)
+                    duration.append(None)
+                    loud.append(None)
+                    errors.append(
+                        "undecodable: null payload"
+                        if b is None
+                        else "undecodable: payload too short"
+                    )
+                    continue
+                ns = len(b) // 2
+                n_samples.append(ns)
+                duration.append(ns * 1000 // AUDIO_RATE)
+                loud.append(int(sum(b)))
+                errors.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": pd.array(n_samples, dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [AUDIO_RATE] * len(pdf), dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(duration, dtype="Int64"),
+                    "loudness": pd.array(loud, dtype="Int64"),
+                    "decode_error": pd.array(errors, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

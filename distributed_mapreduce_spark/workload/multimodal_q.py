@@ -141,3 +141,34 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.lower(F.hex(F.col("resampled"))).alias("resampled_hex")
     )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(32 AS INTEGER) AS n_samples,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(2 AS BIGINT) AS duration_ms,
+           CAST(list_sum(list_transform(range(0, 64),
+               i -> ('0x' || substr({_SQL_HEXBLOB}, i * 2 + 1, 2))::INT))
+             AS BIGINT) AS loudness,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM documents
+    """,
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality decode over the same binary-column convention:
+    64-byte fake PCM → sample count (2 bytes/sample), duration at the
+    typed-metadata rate (32 samples / 16 kHz = 2 ms), and an exact
+    integer loudness (sum of payload bytes, the codec-free stand-in
+    for RMS). The oracle recomputes the byte sum from the md5 hex
+    directly, so any dropped/reordered byte in the Arrow round trip
+    shifts the sum and fails the compare."""
+    from distributed_mapreduce_spark.multimodal import (
+        attach_fake_audio,
+        extract_audio_features,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return extract_audio_features(attach_fake_audio(docs))

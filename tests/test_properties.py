@@ -151,3 +151,69 @@ def test_morton_quantize_matches_python_reference(spark, pts):
         for x, y in pts
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 8),
+)
+def test_salted_join_equals_plain_join(spark, big_rows, salt):
+    """salted_join must be a pure physical rewrite: identical multiset
+    of joined rows for ANY key distribution and salt fan-out."""
+    from distributed_mapreduce_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(big_rows, ["k", "v"])
+    small = spark.createDataFrame([(k, f"d{k}") for k in range(6)], ["k", "payload"])
+    plain = sorted(map(tuple, big.join(small, "k").select("k", "v", "payload").collect()))
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(big, small, "k", salt=salt)
+            .select("k", "v", "payload")
+            .collect(),
+        )
+    )
+    assert plain == salted
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(-50, 50),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_minmax_retraction_equals_recompute(spark, rows):
+    """maintain_minmax_after_delete must equal a full recompute over
+    retained rows for ANY deletion pattern — including extremum
+    deletions, full-group deletions, and no-op batches."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.workload.frontier import (
+        maintain_minmax_after_delete,
+    )
+
+    df = spark.createDataFrame(rows, ["k", "v", "is_del"])
+    got = {
+        r["k"]: (r["min_value"], r["max_value"])
+        for r in maintain_minmax_after_delete(
+            df, F.col("is_del"), key_col="k", value_col="v"
+        ).collect()
+    }
+    expect: dict[str, list[int]] = defaultdict(list)
+    for k, v, is_del in rows:
+        if not is_del:
+            expect[k].append(v)
+    assert got == {k: (min(vs), max(vs)) for k, vs in expect.items() if vs}

@@ -611,3 +611,43 @@ def test_quota_limit_stream_matches_batch_rank(spark, tmp_path):
     assert got_all == expected and len(got_all) > 0
     # the first drain's admissions are a subset decided by the same rule
     assert got <= expected
+
+
+def test_cdc_upsert_stream_reproduces_v2(spark, tmp_path):
+    """Streaming CDC apply (twin of the batch cdc_apply_patch query):
+    land v1 as the state table, write the v1->v2 change feed as 4 files
+    (4 micro-batches via maxFilesPerTrigger=1), drain with availableNow,
+    and assert the final state equals v2 row-for-row. Batch boundaries
+    are arbitrary; each key appears once in the feed, so the final
+    state must be batching-invariant."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.cdc_stream import run_cdc_stream
+    from distributed_mapreduce_spark.workload.registry import table
+    from distributed_mapreduce_spark.workload.versioning import (
+        _snapshot_v1,
+        snapshot_diff,
+    )
+
+    orders = table(spark, "/root/testdata/sf0.001", "orders")
+    v2 = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    v1 = _snapshot_v1(orders)
+
+    state_dir = str(tmp_path / "state")
+    v1.write.mode("overwrite").parquet(state_dir)
+
+    # change feed: diff rows + the full new image for inserts/updates
+    diff = snapshot_diff(v1, v2).select("o_orderkey", "change_type")
+    feed = diff.join(v2, "o_orderkey", "left").select(
+        "o_orderkey", "change_type", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    feed_dir = str(tmp_path / "feed")
+    feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
+
+    run_cdc_stream(
+        spark, feed_dir, state_dir, "o_orderkey", str(tmp_path / "ckpt")
+    )
+
+    got = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
+    want = sorted(map(tuple, v2.collect()))
+    assert got == want
