@@ -89,6 +89,32 @@ def _bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_verdicts(filt: DataFrame, probes: DataFrame) -> DataFrame:
+    """(key, maybe) verdict per probe key: all K bit positions set in
+    the filter relation. Shared by the probe-scoring query and the
+    join-pruning query."""
+    key = F.col("key")
+    expanded = probes.select(
+        "key", F.explode(F.array(*[_pos(key, j) for j in range(BLOOM_K)])).alias("p")
+    )
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {WORD_BITS} AS INT))")
+    hits = (
+        expanded.withColumn("word_idx", (F.col("p") / WORD_BITS).cast("long"))
+        .join(F.broadcast(filt), "word_idx", "left")
+        .select(
+            "key",
+            F.when(
+                F.col("bits").isNotNull() & ((F.col("bits").bitwiseAND(mask)) == mask), 1
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    return hits.groupBy("key").agg(
+        F.when(F.sum("hit") == BLOOM_K, 1).otherwise(0).alias("maybe")
+    )
+
+
 @query("bloom_build", oracle=_BUILD_SQL)
 def q_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a {BLOOM_BITS}-bit Bloom filter of the member-customer key
@@ -151,26 +177,7 @@ def q_bloom_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("key")
     ).distinct()
-    key = F.col("key")
-    expanded = probes.select(
-        "key", F.explode(F.array(*[_pos(key, j) for j in range(BLOOM_K)])).alias("p")
-    )
-    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {WORD_BITS} AS INT))")
-    hits = (
-        expanded.withColumn("word_idx", (F.col("p") / WORD_BITS).cast("long"))
-        .join(F.broadcast(filt), "word_idx", "left")
-        .select(
-            "key",
-            F.when(
-                F.col("bits").isNotNull() & ((F.col("bits").bitwiseAND(mask)) == mask), 1
-            )
-            .otherwise(0)
-            .alias("hit"),
-        )
-    )
-    verdicts = hits.groupBy("key").agg(
-        F.when(F.sum("hit") == BLOOM_K, 1).otherwise(0).alias("maybe")
-    )
+    verdicts = _bloom_verdicts(filt, probes)
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("key"),
         F.when(F.col("c_nationkey") < MEMBER_NATION_LT, 1).otherwise(0).alias("is_member"),
@@ -326,4 +333,104 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.col("cms_estimate") - F.col("exact_cnt")) * CMS_W
             <= F.lit(2).cast("decimal(38,0)") * dec(F.col("total"))
         ).alias("within_bound"),
+    )
+
+
+_PRUNED_JOIN_SQL = f"""
+    WITH filt AS ({_BUILD_SQL}),
+    keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    expanded AS (
+      SELECT key, u.j,
+             CASE u.j {' '.join(f"WHEN {j} THEN {_sql_pos('key', j)}" for j in range(BLOOM_K))} END AS p
+      FROM keys, unnest(generate_series(0, {BLOOM_K - 1})) AS u(j)
+    ),
+    hits AS (
+      SELECT e.key,
+             CASE WHEN f.bits IS NOT NULL
+                       AND (f.bits & (CAST(1 AS BIGINT) << CAST(e.p % {WORD_BITS} AS INTEGER)))
+                           = (CAST(1 AS BIGINT) << CAST(e.p % {WORD_BITS} AS INTEGER))
+                  THEN 1 ELSE 0 END AS hit
+      FROM expanded e LEFT JOIN filt f ON e.p // {WORD_BITS} = f.word_idx
+    ),
+    passing AS (
+      SELECT key FROM hits GROUP BY key HAVING sum(hit) = {BLOOM_K}
+    ),
+    pruned AS (
+      SELECT o.o_custkey, o.o_totalprice FROM orders o
+      JOIN passing ON o.o_custkey = passing.key
+    ),
+    joined AS (
+      SELECT p.o_totalprice FROM pruned p
+      JOIN customer c ON p.o_custkey = c.c_custkey
+      WHERE c.c_nationkey < {MEMBER_NATION_LT}
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM joined) AS n_joined,
+      (SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2))
+                   AS VARCHAR) FROM joined) AS revenue,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_input,
+      (SELECT CAST(count(*) AS BIGINT) FROM pruned) AS n_after_prune,
+      ((SELECT count(*) FROM orders) - (SELECT count(*) FROM pruned)) * 10000
+        // (SELECT count(*) FROM orders) AS pruned_bp
+"""
+
+
+@query("bloom_pruned_join", oracle=_PRUNED_JOIN_SQL)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime semi-join reduction: prune the FACT side (orders) with
+    the member-customer Bloom filter BEFORE the join, then join exactly
+    — the dynamic-filter / runtime-row-group-pruning pattern every
+    warehouse uses to keep a selective dim⋈fact join from shuffling the
+    whole fact table. Bloom false positives survive the prune and are
+    eliminated by the exact join; false negatives cannot exist, so the
+    final (count, decimal revenue) MUST equal the plain join's — which
+    is exactly what the oracle asserts. `pruned_bp` records how much of
+    the fact side the filter dropped pre-shuffle (the 100 TB win: only
+    maybe-member rows ever enter the exchange).
+
+    Plan: filter build is a {BLOOM_BITS // WORD_BITS}-row aggregate;
+    the fact probe is an explode(K)-join against that broadcast
+    relation + a per-key verdict; the surviving rows take the normal
+    equi-join. At scale the verdict join is per DISTINCT key, not per
+    row (done here via the keys relation), so probe cost follows key
+    cardinality."""
+    filt = _bloom_build(spark, sf_dir)
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    keys = orders.select(F.col("o_custkey").alias("key")).distinct()
+    passing = (
+        _bloom_verdicts(filt, keys)
+        .filter(F.col("maybe") == 1)
+        .select(F.col("key").alias("o_custkey"))
+    )
+    pruned = orders.join(passing, "o_custkey", "left_semi")
+    members = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < MEMBER_NATION_LT)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    joined = pruned.join(members, "o_custkey")
+
+    agg_join = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_joined"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(30,2)")
+        .cast("string")
+        .alias("revenue"),
+    )
+    agg_in = orders.agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+    agg_pruned = pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_after_prune")
+    )
+    return (
+        agg_join.crossJoin(agg_in)
+        .crossJoin(agg_pruned)
+        .select(
+            "n_joined",
+            "revenue",
+            "n_input",
+            "n_after_prune",
+            F.expr("((n_input - n_after_prune) * 10000) DIV n_input").alias(
+                "pruned_bp"
+            ),
+        )
     )
