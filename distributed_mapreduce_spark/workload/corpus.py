@@ -803,3 +803,122 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(s2 * 10000) DIV sa").cast("long").alias("confidence_bp"),
         F.expr("(s2 * n_rows * 10000) DIV (sa * sb)").cast("long").alias("lift_bp"),
     )
+
+
+#: Drift gate in basis points of absolute proportion difference.
+DRIFT_BP_MIN = 20
+
+#: Top tokens (by corpus count) screened for drift.
+DRIFT_TOPK = 50
+
+_DRIFT_SQL = f"""
+    WITH toks AS (
+      SELECT source, unnest({_sql_tokens('text')}) AS term FROM documents
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all FROM toks
+    ), topk AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt_all FROM toks
+      GROUP BY term ORDER BY cnt_all DESC, term LIMIT {DRIFT_TOPK}
+    ), per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM toks GROUP BY source
+    ), src_tok AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks
+      GROUP BY source, term
+    ), j AS (
+      SELECT p.source, t.term, coalesce(st.c, 0) AS a,
+             p.n_src, t.cnt_all, n.n_all
+      FROM per_src p CROSS JOIN topk t
+      LEFT JOIN src_tok st ON st.source = p.source AND st.term = t.term
+      CROSS JOIN tot n
+    )
+    SELECT source, term,
+           CAST(a AS BIGINT) AS cnt_src,
+           n_src,
+           CAST(cnt_all - a AS BIGINT) AS cnt_rest,
+           CAST(n_all - n_src AS BIGINT) AS n_rest,
+           CAST(CASE WHEN n_src * (n_all - n_src) = 0 THEN 0
+                ELSE abs(CAST(a AS HUGEINT) * (n_all - n_src)
+                         - CAST(cnt_all - a AS HUGEINT) * n_src) * 10000
+                     // (CAST(n_src AS HUGEINT) * (n_all - n_src)) END AS BIGINT)
+             AS drift_bp,
+           CASE WHEN n_src * (n_all - n_src) = 0 THEN false
+                ELSE abs(CAST(a AS HUGEINT) * (n_all - n_src)
+                         - CAST(cnt_all - a AS HUGEINT) * n_src) * 10000
+                     >= {DRIFT_BP_MIN}
+                        * (CAST(n_src AS HUGEINT) * (n_all - n_src)) END
+             AS drifted
+    FROM j
+"""
+
+
+@query("source_token_drift", oracle=_DRIFT_SQL)
+def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture drift monitor: for every source and every
+    corpus-wide top-{DRIFT_TOPK} token, the EXACT basis-point gap
+    between the token's rate inside the source and its rate in the
+    rest of the corpus — |a/N_src − b/N_rest| cross-multiplied into
+    integers (|a·N_rest − b·N_src|·10⁴ ⫽ N_src·N_rest, operands
+    widened to DECIMAL(38,0)/HUGEINT per the wide-arithmetic policy),
+    with a ≥{DRIFT_BP_MIN} bp drift flag. This is the pipeline alarm
+    that a source's token distribution has shifted (scraper change,
+    contamination, encoding bug) — checked before a new crawl batch
+    joins the training mixture.
+
+    Plan: one explode→(source, term) hash aggregate; per-source totals
+    and the LIMIT-bounded top-k relation are tiny and broadcast (the
+    bounded-hint class); the screen relation is |sources|×{DRIFT_TOPK}
+    regardless of corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(_tokens(F.col("text"))).alias("term"))
+    toks = toks.persist()
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    topk = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_all"))
+        .orderBy(F.desc("cnt_all"), F.asc("term"))
+        .limit(DRIFT_TOPK)
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    src_tok = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    j = (
+        per_src.crossJoin(F.broadcast(topk))
+        .join(src_tok, ["source", "term"], "left")
+        .crossJoin(tot)
+        .select(
+            "source",
+            "term",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("a"),
+            "n_src",
+            "cnt_all",
+            "n_all",
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n_rest = F.col("n_all") - F.col("n_src")
+    b = F.col("cnt_all") - F.col("a")
+    num = F.abs(dec(F.col("a")) * dec(n_rest) - dec(b) * dec(F.col("n_src"))) * 10000
+    den = dec(F.col("n_src")) * dec(n_rest)
+    zero = F.col("n_src") * n_rest == 0
+    return j.select(
+        "source",
+        "term",
+        F.col("a").alias("cnt_src"),
+        "n_src",
+        b.cast("long").alias("cnt_rest"),
+        n_rest.cast("long").alias("n_rest"),
+        F.when(zero, F.lit(0))
+        .otherwise(F.expr(
+            f"CAST(abs(CAST(a AS DECIMAL(38,0)) * (n_all - n_src)"
+            f" - CAST(cnt_all - a AS DECIMAL(38,0)) * n_src) * 10000"
+            f" DIV (CAST(n_src AS DECIMAL(38,0)) * (n_all - n_src)) AS BIGINT)"
+        ))
+        .cast("long")
+        .alias("drift_bp"),
+        F.when(zero, F.lit(False))
+        .otherwise(num >= F.lit(DRIFT_BP_MIN).cast("decimal(38,0)") * den)
+        .alias("drifted"),
+    )

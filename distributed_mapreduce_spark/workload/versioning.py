@@ -255,3 +255,71 @@ def q_partition_merkle_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("long").alias("checksum"),
         )
     )
+
+
+#: Target rows per compacted output file.
+COMPACT_TARGET_ROWS = 12000
+
+
+@query(
+    "compaction_plan",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT CAST(('0x' || substr(md5('mk_' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                  % {MERKLE_BUCKETS} AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT bucket, n_rows,
+             CAST(sum(n_rows) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_rows
+      FROM buckets
+    )
+    SELECT bucket, n_rows, cum_rows,
+           CAST((cum_rows - n_rows) // {COMPACT_TARGET_ROWS} AS BIGINT)
+             AS file_group
+    FROM c
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: treat the {MERKLE_BUCKETS}
+    Merkle buckets as the file inventory (bucket id = file, n_rows =
+    file size) and deal them, in id order, into output files of
+    ~{COMPACT_TARGET_ROWS} rows by running-sum grouping — the
+    maintenance pass that turns a small-file-riddled table back into
+    scan-efficient files. Grouping key is the bucket's STARTING offset
+    ÷ target (the `text_packing` convention), so the plan is a pure
+    function of the inventory.
+
+    Plan: one hash aggregate to the inventory grain, then the
+    distributed `global_cumsum` prefix sum (range shuffle + broadcast
+    offsets) — at a 100 TB table the inventory is millions of files,
+    and this plan never single-tasks it; the oracle's window IS the
+    naive single-partition form, which the scalable plan must
+    reproduce exactly."""
+    from distributed_mapreduce_spark.operators.partitioning import global_cumsum
+
+    li = table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mk_"), F.col("l_orderkey").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MERKLE_BUCKETS
+    ).cast("int")
+    inv = (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    c = global_cumsum(inv, [F.col("bucket")], "n_rows", cumsum_col="cum_rows")
+    return c.select(
+        "bucket",
+        "n_rows",
+        "cum_rows",
+        F.expr(f"(cum_rows - n_rows) DIV {COMPACT_TARGET_ROWS}").alias("file_group"),
+    )
