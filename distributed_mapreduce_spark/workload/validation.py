@@ -223,3 +223,56 @@ def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual",
         (F.col("predicted") == F.col("actual")).alias("consistent"),
     )
+
+
+@query(
+    "embedding_doc_reconcile",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    e AS (SELECT vec_id FROM embeddings)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_vectors,
+      (SELECT CAST(count(*) AS BIGINT) FROM d JOIN e ON d.doc_id = e.vec_id)
+        AS n_matched,
+      (SELECT CAST(count(*) AS BIGINT) FROM d
+       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.vec_id = d.doc_id))
+        AS n_docs_unembedded,
+      (SELECT CAST(count(*) AS BIGINT) FROM e
+       WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = e.vec_id))
+        AS n_orphan_vectors
+    """,
+)
+def q_embedding_doc_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal-table reconciliation: the documents↔embeddings id
+    alignment a training pipeline must verify before embedding-keyed
+    dedup or retrieval — documents still awaiting embedding (pipeline
+    backlog) and orphan vectors whose source text is gone (must be
+    purged, e.g. after a takedown). Inner/anti join counts in one row.
+
+    Plan: key-only projections, one equi-join and two anti joins on
+    the same key — each a single shuffle of ids, no payload movement
+    (embeddings' float arrays are never read: check scan_cols)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id")
+    matched = docs.join(vecs, docs.doc_id == vecs.vec_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    unemb = docs.join(vecs, docs.doc_id == vecs.vec_id, "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_unembedded")
+    )
+    orphans = vecs.join(docs, docs.doc_id == vecs.vec_id, "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphan_vectors")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nv = vecs.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return (
+        nd.crossJoin(nv)
+        .crossJoin(matched)
+        .crossJoin(unemb)
+        .crossJoin(orphans)
+        .select(
+            "n_docs", "n_vectors", "n_matched", "n_docs_unembedded",
+            "n_orphan_vectors",
+        )
+    )

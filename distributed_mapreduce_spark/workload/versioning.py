@@ -173,11 +173,16 @@ def q_cdc_apply_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: diff join + anti join + union + one map-side-combinable
     aggregate; v1's untouched mass streams through the anti join
-    without rewrite."""
-    orders = table(spark, sf_dir, "orders")
-    v2 = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    without rewrite. The 4-column base projection and the diff are
+    persisted: five consumers (v1's two branches, v2, the patch, both
+    checksums) would otherwise each re-scan the fact table — at 100 TB
+    you materialize the change feed once, never re-derive it."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).persist()
+    v2 = orders
     v1 = _snapshot_v1(orders)
-    diff = snapshot_diff(v1, v2)
+    diff = snapshot_diff(v1, v2).persist()
     touched = diff.select(F.col("o_orderkey"))
     new_images = v2.join(
         diff.filter(F.col("change_type").isin("insert", "update")).select("o_orderkey"),
