@@ -434,3 +434,52 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Certification bound for the merged-HLL estimate (percent).
+HLL_BOUND_PCT = 5
+
+
+@query(
+    "hll_merge_audit",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_shards,
+           true AS within_{HLL_BOUND_PCT}pct
+    FROM events
+    """,
+)
+def q_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch architecture, certified: build one HLL sketch
+    of user ids PER event-type shard (the per-partition partial a
+    100 TB pipeline materializes incrementally), merge the shard
+    sketches with `hll_union_agg` — never re-scanning raw data — and
+    certify the merged estimate against the exact distinct count
+    in-plan (|est − exact| ≤ {HLL_BOUND_PCT}% · exact; the sketch is
+    deterministic for a given input, so the flag is stable). The
+    oracle pins the exact count and asserts the bound held — the
+    `ann_recall_audit` / `bloom_probe_stats` certification methodology
+    applied to the third sketch family's MERGE operation (the property
+    that lets yesterday's sketches absorb today's shard without
+    touching history).
+
+    Plan: per-shard sketch aggregate (map-side partials), one
+    |shards|-row union-merge, one exact distinct for certification —
+    at scale you drop the exact branch and keep the sketch path."""
+    ev = table(spark, sf_dir, "events")
+    shard_sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = shard_sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return exact.crossJoin(merged).select(
+        "n_exact",
+        "n_shards",
+        (
+            F.abs(F.col("est") - F.col("n_exact")) * 100
+            <= F.lit(HLL_BOUND_PCT) * F.col("n_exact")
+        ).alias(f"within_{HLL_BOUND_PCT}pct"),
+    )
