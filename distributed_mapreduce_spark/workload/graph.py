@@ -508,3 +508,78 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long"),
     ).drop("_r2num", "_r2den", "_q0")
+
+
+#: Bounded Bellman-Ford rounds for the weighted shortest-path query.
+SSSP_HOPS = 4
+
+
+def _sssp_oracle(hops: int) -> str:
+    ctes = [
+        f"e AS ({_EDGES_SQL})",
+        """, ew AS (
+          SELECT src, dst, CAST(1 + (src + dst) % 5 AS BIGINT) AS w FROM e
+        ), adj AS (
+          SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew
+        ), d0 AS (
+          SELECT (SELECT min(src) FROM adj) AS node, CAST(0 AS BIGINT) AS dist
+        )""",
+    ]
+    for k in range(1, hops + 1):
+        ctes.append(
+            f""", d{k} AS (
+              SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM d{k - 1}
+                UNION ALL
+                SELECT adj.dst, d{k - 1}.dist + adj.w
+                FROM d{k - 1} JOIN adj ON adj.src = d{k - 1}.node
+              ) GROUP BY node
+            )"""
+        )
+    return "WITH " + "".join(ctes) + f"\nSELECT node, dist FROM d{hops}"
+
+
+@query("graph_sssp_bounded", oracle=_sssp_oracle(SSSP_HOPS))
+def q_graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths, bounded to {SSSP_HOPS}
+    relaxation rounds (distances using ≤{SSSP_HOPS} edges) — the
+    weighted sibling of `dedup_cluster_hops`' BFS: per round, every
+    frontier distance relaxes through the adjacency list and per-node
+    minima fold — exactly Pregel Bellman-Ford. Edge weights are the
+    deterministic integer 1 + (src+dst) % 5, source = the minimum node
+    id; everything is integer arithmetic, so the unrolled-CTE oracle
+    matches bit-for-bit.
+
+    Plan (100 TB posture): the adjacency list is hash-partitioned on
+    src once and persisted; each round shuffles only the (node, dist)
+    frontier — state is one row per reached node, orders of magnitude
+    smaller than the edges; `localCheckpoint` keeps the plan O(1) in
+    rounds (the `pagerank_converge` discipline)."""
+    par = spark.sparkContext.defaultParallelism
+    e = _edges(spark, sf_dir)
+    ew = e.select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 5).cast("long").alias("w")
+    )
+    adj = (
+        ew.unionAll(
+            ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        .repartition(par, "src")
+        .persist()
+    )
+    dist = (
+        adj.agg(F.min("src").alias("node"))
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(SSSP_HOPS):
+        relax = dist.join(adj, dist.node == adj.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("node", "dist")

@@ -111,6 +111,9 @@ def main() -> int:
             "n_queries": len(spark_secs),
             "total_spark_sec": round(sum(spark_secs.values()), 3),
             "per_family_sec": dict(sorted(fam_tot.items(), key=lambda kv: -kv[1])),
+            "top_queries_sec": dict(
+                sorted(spark_secs.items(), key=lambda kv: -kv[1])[:15]
+            ),
         }
         with open("/root/repo/REGISTRY_COST.json", "w") as f:
             json.dump(cost, f, indent=2)
