@@ -148,3 +148,50 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
     # only exchange left is the final aggregation's.
     assert "SortMergeJoin" in plan
     assert exchange_count(df) <= 1
+
+
+def test_merkle_checksums_single_aggregation(spark, sf_dir):
+    """The Merkle leaf pass must stay one map-side-combinable
+    aggregate: a single exchange, no join, no window."""
+    from distributed_mapreduce_spark.plans import exchange_count
+
+    df = QUERIES["partition_merkle_checksums"](spark, sf_dir)
+    plan = explain_str(df)
+    assert exchange_count(df) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_skew_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """The salted variant must keep the forced sort-merge join but with
+    the salt in the join key (the whole point: the hot key spreads)."""
+    plan = explain_str(QUERIES["skew_join_salted"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "_salt" in plan
+
+
+def test_cms_counter_relation_is_aggregated_before_probe(spark, sf_dir):
+    """CMS probe must join the aggregated counter grid, not raw tokens:
+    the plan has hash aggregates on both sides of the probe join and no
+    window over the token stream."""
+    plan = explain_str(QUERIES["cms_heavy_hitters"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    # exact top-k lowers to TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_pruned_join_filter_is_broadcast(spark, sf_dir):
+    """The 32-word filter relation must broadcast to the fact probe."""
+    plan = explain_str(QUERIES["bloom_pruned_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sssp_plan_is_iteration_depth_independent(spark, sf_dir):
+    """localCheckpoint must truncate lineage: the final round's plan
+    may not contain the full join tree of all prior rounds (one join
+    per final-frontier relax, not SSSP_HOPS nested joins over scans)."""
+    df = QUERIES["graph_sssp_bounded"](spark, sf_dir)
+    plan = explain_str(df)
+    # the checkpointed frontier appears as an ExistingRDD/LogicalRDD
+    # scan, not as the unrolled lineage of every previous round
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
