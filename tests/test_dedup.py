@@ -141,3 +141,29 @@ def test_prefix_filter_superset_of_capped_index(spark, sf_dir):
     assert ngram <= pf
     assert mh <= pf
     assert len(pf) > 0
+
+
+def test_pointer_jump_cc_converges_logarithmically_on_chain(spark):
+    """A 41-node path is the adversarial shape: plain min-label needs
+    ~40 rounds to drag label 0 to the far end; pointer jumping halves
+    chain length per round, so 10 rounds MUST suffice — if the doubling
+    step were broken this asserts False, not just slow."""
+    from distributed_mapreduce_spark.workload.dedup import (
+        connected_components,
+        connected_components_pointer_jump,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
+    jump = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_pointer_jump(pairs, max_iter=10).collect()
+    }
+    assert jump == {i: 0 for i in range(41)}
+    # and the fixed point matches plain min-label given enough rounds
+    plain = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, max_iter=50).collect()
+    }
+    assert plain == jump
