@@ -651,3 +651,36 @@ def test_cdc_upsert_stream_reproduces_v2(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
     want = sorted(map(tuple, v2.collect()))
     assert got == want
+
+
+def test_cdc_upsert_batch_replay_is_idempotent(spark, tmp_path):
+    """Failure-recovery contract: foreachBatch may REPLAY a batch after
+    a crash-restart; applying the same change batch twice must leave
+    the state table exactly where one application left it (anti-join
+    removes the touched keys, union re-adds identical images)."""
+    from distributed_mapreduce_spark.streaming.cdc_stream import cdc_upsert_sink
+    from distributed_mapreduce_spark.workload.registry import table
+    from distributed_mapreduce_spark.workload.versioning import (
+        _snapshot_v1,
+        snapshot_diff,
+    )
+
+    orders = table(spark, "/root/testdata/sf0.001", "orders")
+    v2 = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    v1 = _snapshot_v1(orders)
+    state_dir = str(tmp_path / "state")
+    v1.write.mode("overwrite").parquet(state_dir)
+
+    diff = snapshot_diff(v1, v2).select("o_orderkey", "change_type")
+    feed = diff.join(v2, "o_orderkey", "left").select(
+        "o_orderkey", "change_type", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    batch = feed.limit(200).cache()
+    batch.count()
+
+    apply_batch = cdc_upsert_sink(state_dir, "o_orderkey")
+    apply_batch(batch, 0)
+    once = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
+    apply_batch(batch, 0)  # replay after simulated crash
+    twice = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
+    assert once == twice

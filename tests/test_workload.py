@@ -111,3 +111,28 @@ def test_readme_query_tally_matches_registry():
     assert claims, "README no longer states the query tally"
     assert all(c == len(QUERIES) for c in claims), (claims, len(QUERIES))
     assert set(ORACLES) == set(QUERIES)
+
+
+def test_compaction_plan_group_sizes_bounded(spark, sf_dir):
+    """Semantic invariant behind the oracle equality: every planned
+    output file's total row count stays under target + one input file
+    (the start-offset grouping rule's worst case), and groups cover
+    all buckets contiguously."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_spark.workload import QUERIES
+    from distributed_mapreduce_spark.workload.versioning import (
+        COMPACT_TARGET_ROWS,
+    )
+
+    rows = QUERIES["compaction_plan"](spark, sf_dir).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["file_group"]].append(r)
+    max_bucket = max(r["n_rows"] for r in rows)
+    for g, members in groups.items():
+        assert sum(r["n_rows"] for r in members) < COMPACT_TARGET_ROWS + max_bucket
+    # contiguity: buckets in a group form one run in bucket order
+    ordered = sorted(rows, key=lambda r: r["bucket"])
+    seen_groups = [r["file_group"] for r in ordered]
+    assert seen_groups == sorted(seen_groups)
