@@ -57,12 +57,8 @@ FAMILIES = [
     "graph_triangle_counts",
 ]
 
-#: Second-decade subset (x100): the families whose x10 cost was highest.
-X100_FAMILIES = [
-    "dedup_repeated_passages",
-    "dedup_minhash_pairs",
-    "graph_triangle_counts",
-]
+#: Second-decade (x100) families — all six (r4 measured every one).
+X100_FAMILIES = list(FAMILIES)
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
