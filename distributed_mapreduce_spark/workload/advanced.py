@@ -930,3 +930,68 @@ def q_column_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long"),
     ).drop("_r2num", "_r2den", "_q0")
+
+
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS p,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber, l_partkey, l_quantity,
+                                l_shipdate) AS rk,
+             count(*) OVER () AS total
+      FROM lineitem
+    )
+    SELECT CAST((rk - 1) * 16 // total AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(p) AS min_price, max(p) AS max_price
+    FROM r GROUP BY 1
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (equal-frequency) 16-bucket histogram of
+    l_extendedprice — the statistics pass an optimizer or a
+    quantile-sharded layout needs, with bucket populations differing by
+    at most one row (unlike `histogram_prices`' equi-WIDTH buckets,
+    which skew with the distribution).
+
+    Plan: the global ordinal comes from `operators.partitioning.
+    global_rank` (range shuffle + per-partition offsets — no
+    single-task global sort; the oracle's `row_number() OVER (ORDER
+    BY)` is the semantics, not the plan), then bucket = floor((rank-1)
+    * B / total) and a hash-agg. Tie-break columns make the order
+    total (lineitem gotcha: no proper subset of these six is unique),
+    though bucket stats are tie-invariant — equal prices split across
+    a boundary leave min/max/count unchanged.
+    """
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("p"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_quantity",
+        "l_shipdate",
+    )
+    ranked = global_rank(
+        li,
+        [
+            F.col("p"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.col("l_quantity"),
+            F.col("l_shipdate"),
+        ],
+    )
+    return (
+        ranked.withColumn("bucket", F.expr("(rank - 1) * 16 div total"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p").alias("min_price"),
+            F.max("p").alias("max_price"),
+        )
+    )

@@ -322,3 +322,74 @@ def maintain_minmax_after_delete(
         .withColumn("rebuilt", F.lit(True))
     )
     return untouched.unionByName(rebuilt)
+
+
+@query(
+    "ivm_join_delta",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_nationkey,
+             (o.o_orderkey % 17 = 0 OR c.c_custkey % 19 = 0) AS is_delta,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(price) AS DECIMAL(30,2)) AS VARCHAR) AS sum_price,
+           CAST(count(*) FILTER (is_delta) AS BIGINT) AS delta_orders
+    FROM j GROUP BY c_nationkey
+    """,
+)
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view under inserts on BOTH
+    sides: with an order insert batch dO (o_orderkey % 17) and a
+    customer insert batch dC (c_custkey % 19), the engine maintains the
+    per-nation revenue view via the bilinear delta rule
+
+        d(O >< C) = dO >< C_old  UNION  O_old >< dC  UNION  dO >< dC
+
+    and merges those delta partials into the old view's materialized
+    partials — the history (O_old >< C_old) is joined once to build the
+    view and never re-joined for the update. The oracle recomputes the
+    view from the full tables; equality proves partials(old) +
+    partials(delta-terms) == recompute. `delta_orders` exposes how many
+    joined rows arrived via the delta terms so the oracle checks the
+    DECOMPOSITION, not just the final values.
+
+    Plan (100 TB): four equi-joins on o_custkey — the three delta terms
+    have at least one small side (the insert batch), which AQE can
+    broadcast at runtime; the expensive old><old join is the one-time
+    view build, amortized across updates in a real deployment. All
+    aggregates are subtractable partials (count / decimal sum), so the
+    same machinery composes with `ivm_retraction` for the delete side.
+    """
+    ords = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    d_o = F.col("o_orderkey") % 17 == 0
+    d_c = F.col("c_custkey") % 19 == 0
+    o_old, o_new = ords.filter(~d_o), ords.filter(d_o)
+    c_old, c_new = cust.filter(~d_c), cust.filter(d_c)
+
+    def partials(o: DataFrame, c: DataFrame, is_delta: bool) -> DataFrame:
+        joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+        return joined.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("psum"),
+            (F.count(F.lit(1)) * int(is_delta)).alias("pdelta"),
+        )
+
+    view_old = partials(o_old, c_old, False)
+    deltas = (
+        partials(o_new, c_old, True)
+        .unionAll(partials(o_old, c_new, True))
+        .unionAll(partials(o_new, c_new, True))
+    )
+    return (
+        view_old.unionAll(deltas)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.sum("psum").cast("decimal(30,2)").cast("string").alias("sum_price"),
+            F.sum("pdelta").cast("long").alias("delta_orders"),
+        )
+    )

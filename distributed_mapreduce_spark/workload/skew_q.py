@@ -111,3 +111,64 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     flattening a heavy hitter no byte-based AQE split will touch."""
     big, small = _skew_inputs(spark, sf_dir)
     return _skew_checksum(salted_join(big, small.hint("merge"), "k", salt=SKEW_SALT))
+
+
+@query(
+    "skew_key_audit",
+    oracle=f"""
+    WITH big AS (
+      SELECT CASE WHEN event_id % 3 < 2 THEN 0
+                  ELSE user_id % {HOT_MOD} END AS k
+      FROM events
+    ), counts AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM big GROUP BY k
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows
+      FROM counts
+    )
+    SELECT c.k, c.cnt,
+           CAST(c.cnt * 10000 // t.n_rows AS BIGINT) AS share_bp,
+           CAST(c.cnt * 100 * t.n_keys // t.n_rows AS BIGINT) AS hot_x100,
+           CAST((c.cnt * 32 + t.n_rows - 1) // t.n_rows AS BIGINT)
+             AS suggested_salt,
+           t.n_keys, t.n_rows
+    FROM counts c, tot t
+    ORDER BY c.cnt DESC, c.k LIMIT 5
+    """,
+)
+def q_skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic over the same skewed join key the
+    benchmark pair exercises: the top keys with their exact share
+    (basis points), hotness factor (x100 multiple of the mean per-key
+    load), and the salt fan-out the salted-join rewrite would need so
+    the hot key's rows spread to no more than an average task's load at
+    32-way parallelism — ceil(cnt * 32 / n_rows), the sizing rule
+    `operators.skew.salted_join` callers use.
+
+    This is the DETECTION half of skew handling (the benchmark pair is
+    the mitigation half): at 100 TB you run the audit first — one
+    hash-agg + a re-agg over the per-key counts (|keys| rows, not raw
+    rows) + a top-k — and only rewrite the joins whose hot_x100 says
+    the key distribution actually needs it.
+    """
+    big, _ = _skew_inputs(spark, sf_dir)
+    counts = big.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows")
+    ).withColumn("j", F.lit(1))
+    return (
+        counts.withColumn("j", F.lit(1))
+        .join(F.broadcast(totals), "j")
+        .select(
+            "k",
+            "cnt",
+            F.expr("cnt * 10000 div n_rows").alias("share_bp"),
+            F.expr("cnt * 100 * n_keys div n_rows").alias("hot_x100"),
+            F.expr("(cnt * 32 + n_rows - 1) div n_rows").alias("suggested_salt"),
+            "n_keys",
+            "n_rows",
+        )
+        .orderBy(F.col("cnt").desc(), "k")
+        .limit(5)
+    )
