@@ -539,3 +539,131 @@ def q_ann_ivf_trained_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(scored, _TOP_K).select(
         "query_id", "neighbor_id", "cos_u", "rnk"
     )
+
+
+#: Product-quantization geometry: M subspaces of SUB_DIM dims each.
+PQ_M = 4
+PQ_SUB = 16  # 64-dim embeddings / PQ_M
+#: Codes per subspace codebook (seeded from vec_id < PQ_K, the same
+#: deterministic seeding rule as the coarse quantizer above).
+PQ_K = 8
+
+_PQ_SQL = f"""
+    WITH cb AS MATERIALIZED (
+      SELECT e.vec_id AS code, t.s,
+             list_slice(e.embedding, t.s*{PQ_SUB}+1, t.s*{PQ_SUB}+{PQ_SUB})
+               AS cvec
+      FROM embeddings e, range(0, {PQ_M}) t(s)
+      WHERE e.vec_id < {PQ_K}
+    ), enc AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT e.vec_id, c.s, c.code,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, c.s
+                 ORDER BY {_sql_sqdist(
+                     f'list_slice(e.embedding, c.s*{PQ_SUB}+1, c.s*{PQ_SUB}+{PQ_SUB})',
+                     'c.cvec')}, c.code
+               ) AS rn
+        FROM embeddings e CROSS JOIN cb c
+      ) WHERE rn = 1
+    ), lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.s, c.code,
+             CAST(floor({_sql_sqdist(
+                 f'list_slice(q.embedding, c.s*{PQ_SUB}+1, c.s*{PQ_SUB}+{PQ_SUB})',
+                 'c.cvec')} * {MICRO}) AS BIGINT) AS d_micro
+      FROM embeddings q CROSS JOIN cb c
+      WHERE q.vec_id < {_N_QUERIES}
+    ), adc AS (
+      SELECT l.query_id, x.vec_id AS neighbor_id,
+             CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+      FROM enc x JOIN lut l ON l.s = x.s AND l.code = x.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_micro, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_micro, neighbor_id) AS rnk
+      FROM adc WHERE neighbor_id <> query_id
+    ) WHERE rnk <= {_TOP_K}
+"""
+
+
+@query("ann_pq_adc", oracle=_PQ_SQL)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC), the memory-side scale technique the IVF/LSH family lacks:
+    vectors are compressed to {PQ_M} one-byte codes (argmin against a
+    per-subspace codebook), and each query scores the WHOLE corpus
+    through a per-query lookup table of subspace distances — the
+    compressed corpus is {PQ_M} ints per vector instead of 64 floats
+    (16x), which is what lets a 100 TB embedding store fit an
+    in-memory scan.
+
+    Exactness contract: per-subspace distances are floored to integer
+    micros BEFORE the cross-subspace sum, so the ADC total is an
+    integer sum (order-independent) — the float fold only ever runs on
+    identical operand sequences in both engines.
+
+    Plan: codebook ({PQ_M}x{PQ_K} rows) and LUT (queries x {PQ_M} x
+    {PQ_K}) are broadcast by construction (fixed-size, SF-independent);
+    encoding is a broadcast argmin over the corpus (one shuffle-free
+    pass; the (vec_id, s, code) long form IS the PQ-compressed
+    column); the ADC scan is encoded-corpus >< broadcast-LUT + an
+    integer hash-agg over (query, vector) — per-query window top-k
+    last, the `ann_bruteforce` shape over compressed codes. At real
+    scale this composes with the IVF cell filter (`ann_ivf_trained`)
+    to avoid the full scan; the full-scan form here is the recall
+    baseline of that composition.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    subs = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s")
+
+    def sub_slice(vec, s):
+        return F.slice(vec, s * PQ_SUB + 1, F.lit(PQ_SUB))
+
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code"), "embedding", subs)
+        .select("code", "s", sub_slice(F.col("embedding"), F.col("s")).alias("cvec"))
+    )
+
+    scored = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "s",
+        "code",
+        _sqdist(sub_slice(F.col("embedding"), F.col("s")), F.col("cvec")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    enc = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+
+    lut = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "code",
+            F.floor(
+                _sqdist(sub_slice(F.col("embedding"), F.col("s")), F.col("cvec"))
+                * MICRO
+            )
+            .cast("long")
+            .alias("d_micro"),
+        )
+    )
+
+    adc = (
+        enc.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_micro").cast("long").alias("adc_micro"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "adc_micro", "rnk")
+    )

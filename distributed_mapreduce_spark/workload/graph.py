@@ -583,3 +583,84 @@ def q_graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select("node", "dist")
+
+
+#: Synchronous label-propagation rounds (unrolled in the oracle).
+LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(k: int) -> str:
+    return f"""
+    v{k} AS MATERIALIZED (
+      SELECT a.u, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+      FROM adj a JOIN l{k} l ON a.v = l.node
+      GROUP BY 1, 2
+    ), l{k + 1} AS MATERIALIZED (
+      SELECT u AS node, lbl FROM (
+        SELECT u, lbl,
+               row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) AS rn
+        FROM v{k}
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_EDGES_SQL}),
+    adj AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL
+      SELECT dst AS u, src AS v FROM e
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, u AS lbl FROM adj
+    ),{",".join(_lpa_round_sql(k) for k in range(LPA_ROUNDS))}
+    SELECT lbl AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node) AS min_node
+    FROM l{LPA_ROUNDS} GROUP BY 1
+    """,
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007), {LPA_ROUNDS} rounds: every node starts
+    labeled with its own id; each round it adopts the label the
+    PLURALITY of its neighbors hold (ties → smallest label, making
+    the synchronous schedule fully deterministic — no random tie
+    coin, no visit-order dependence). Output: surviving communities
+    with size and smallest member.
+
+    Plan (100 TB): one round = adjacency >< labels equi-join, a
+    (node, label) hash-agg with map-side partials, and a per-node
+    plurality window (bounded by each node's distinct neighbor
+    labels) — the Pregel message-combine shape, like
+    `pagerank_converge`, with label frequencies as the combined
+    message. State between rounds is one (node, label) row per node.
+    """
+    e = _edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .persist()
+    )
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            adj.join(labels, adj["v"] == labels["node"])
+            .groupBy("u", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("u").orderBy(F.col("cnt").desc(), "lbl")
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "lbl")
+        )
+    out = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
+    )
+    return out
