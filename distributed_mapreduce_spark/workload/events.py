@@ -778,3 +778,70 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(h).cast("long").alias("checksum"),
     )
+
+
+@query(
+    "events_ewma_trailing",
+    oracle="""
+    WITH fr AS (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS vals
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(floor(
+             list_reduce(
+               list_transform(generate_series(1, len(vals)),
+                 i -> vals[i] * CAST(1 << (7 - (len(vals) - i)) AS DOUBLE)),
+               (x, y) -> x + y)
+             * 1000000 / (256 - (1 << (8 - len(vals))))
+           ) AS BIGINT) AS ewma_micro
+    FROM fr
+    """,
+)
+def q_events_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event exponentially weighted moving average (alpha = 1/2)
+    of `value` over each user's trailing 8 events — the smoothed
+    time-series signal behind rate anomaly detection, computed EXACTLY
+    across engines.
+
+    Exactness contract: the decay weights are powers of two, so each
+    `value * 2^(7-lag)` is a pure IEEE exponent shift (no rounding);
+    the fold runs over the identical frame-ordered sequence in both
+    engines ((ts, event_id) is a total order), and the final
+    scale-and-divide is one multiply + one divide before the floor —
+    bit-identical, no float-drift caveats at any scale.
+
+    Plan: one bounded-frame window per user (8-row state, streaming
+    frame — no per-user materialization) + a within-row fold; shuffle
+    is the single hash partition on user_id.
+
+    NULL caveat: Spark's collect_list drops NULLs while DuckDB's
+    list() keeps them; `value` is non-null in this data (asserted by
+    dq_checks) — a nullable source would need an explicit IS NOT NULL
+    gate on both sides before the frame.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    return (
+        ev.withColumn("vals", F.collect_list("value").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "cast(floor("
+                " aggregate(transform(sequence(1, size(vals)),"
+                "   i -> vals[i-1] * cast(shiftleft(1, 7 - (size(vals) - i))"
+                "        as double)),"
+                "   cast(0.0 as double), (x, y) -> x + y)"
+                " * 1000000 / (256 - shiftleft(1, 8 - size(vals)))"
+                ") as bigint)"
+            ).alias("ewma_micro"),
+        )
+    )

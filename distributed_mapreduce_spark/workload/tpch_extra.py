@@ -581,3 +581,114 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-07-01'
+      AND o.o_orderdate < DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): orders placed in one quarter
+    with at least one late line, counted per priority. The harness
+    lineitem has no l_commitdate/l_receiptdate, so "late" is adapted to
+    l_shipdate >= o_orderdate + 60 days (same adaptation family as
+    `exists_shiplag`); the structure — quarter date window, decorrelated
+    EXISTS, priority rollup — is Q4's.
+
+    Plan: the EXISTS decorrelates to a left-semi join on l_orderkey
+    with the date predicate pushed below it; the orders scan carries
+    the quarter filter into the parquet reader. Completes the TPC-H
+    suite: all 22 queries (Q1 = `agg_q1`, Q4/Q17 adapted to the
+    harness schema) now have oracle-checked rows.
+    """
+    ords = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    WITH pp AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size <= 10
+    ), pavg AS (
+      SELECT l_partkey, sum(l_quantity) AS qsum,
+             CAST(count(*) AS BIGINT) AS qcnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(30,2)) AS VARCHAR) AS sum_price,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                AS BIGINT) // 7 AS BIGINT) AS avg_yearly_cents
+    FROM lineitem l
+    JOIN pp ON pp.p_partkey = l.l_partkey
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    WHERE 5 * l.l_quantity * a.qcnt < a.qsum
+    """,
+)
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost if orders
+    below 20% of a part's average order quantity were no longer taken,
+    over one brand's small parts (the harness part table has no
+    p_container, so the Brand#23/MED BOX gate is adapted to
+    Brand#1/p_size<=10).
+
+    Exactness: the correlated `l_quantity < 0.2 * avg(...)` is
+    rewritten division-free as `5*qty*cnt < sum` — quantities are
+    integral floats, so both sides are exact IEEE integers at any
+    scale, no float-division drift. avg_yearly reported in floor cents
+    (decimal sum -> x100 -> integer // 7) rather than engine-specific
+    decimal division.
+
+    Plan: the correlated scalar subquery decorrelates into a per-part
+    aggregate joined back on l_partkey (one hash-agg + two equi-joins);
+    the brand/size filter reaches the part scan and AQE broadcasts the
+    filtered part side.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pp = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    pavg = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("qsum"), F.count(F.lit(1)).alias("qcnt")
+    )
+    sel = (
+        li.join(pp, li["l_partkey"] == pp["p_partkey"])
+        .join(pavg.withColumnRenamed("l_partkey", "a_partkey"),
+              F.col("a_partkey") == li["l_partkey"])
+        .filter(5 * F.col("l_quantity") * F.col("qcnt") < F.col("qsum"))
+    )
+    dsum = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum.cast("decimal(30,2)").cast("string").alias("sum_price"),
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(18,2))) * 100 as bigint)"
+            " div 7"
+        ).alias("avg_yearly_cents"),
+    )
