@@ -995,3 +995,106 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p").alias("max_price"),
         )
     )
+
+
+#: Zone-map audit geometry and probe predicate.
+ZONEMAP_BUCKETS = 32
+ZONEMAP_LO = "1997-01-01"
+ZONEMAP_HI = "1997-04-01"
+
+
+@query(
+    "zonemap_skipping_audit",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderdate,
+             row_number() OVER (ORDER BY o_orderkey) AS rk_key,
+             row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rk_date,
+             count(*) OVER () AS total
+      FROM orders
+    ), b AS (
+      SELECT 'insert_order' AS layout,
+             (rk_key - 1) * {ZONEMAP_BUCKETS} // total AS bucket, o_orderdate
+      FROM r
+      UNION ALL
+      SELECT 'date_clustered' AS layout,
+             (rk_date - 1) * {ZONEMAP_BUCKETS} // total AS bucket, o_orderdate
+      FROM r
+    ), zones AS (
+      SELECT layout, bucket,
+             min(o_orderdate) AS zmin, max(o_orderdate) AS zmax,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM b GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) FILTER (zmax < DATE '{ZONEMAP_LO}'
+                                 OR zmin >= DATE '{ZONEMAP_HI}') AS BIGINT)
+             AS n_skippable,
+           CAST(coalesce(sum(n_rows) FILTER (zmax < DATE '{ZONEMAP_LO}'
+                                 OR zmin >= DATE '{ZONEMAP_HI}'), 0) AS BIGINT)
+             AS rows_skipped,
+           CAST(coalesce(sum(n_rows) FILTER (zmax < DATE '{ZONEMAP_LO}'
+                                 OR zmin >= DATE '{ZONEMAP_HI}'), 0)
+                * 10000 // sum(n_rows) AS BIGINT) AS skip_bp
+    FROM zones GROUP BY layout
+    """,
+)
+def q_zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness of two physical layouts, measured
+    with exact zone maps: orders are split into {ZONEMAP_BUCKETS}
+    equal-depth files either in insert (orderkey) order or clustered
+    by o_orderdate, each bucket keeps a (min, max) orderdate zone map,
+    and a quarter-range predicate is evaluated against the maps. The
+    date-clustered layout lets ~all non-overlapping files be skipped;
+    insert order skips ~none — the measured argument for the
+    `zorder_assign` / `hilbert_assign` layout keys, in the same spirit
+    as parquet row-group pruning at 100 TB.
+
+    Plan: both ordinals come from `operators.partitioning.global_rank`
+    (range shuffle + offsets, no single-task sort); zone maps are one
+    hash-agg per layout over (layout, bucket); the audit re-aggregates
+    {ZONEMAP_BUCKETS} zone rows. The oracle recomputes the same
+    layouts with row_number windows.
+    """
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+
+    ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    by_key = global_rank(ords, [F.col("o_orderkey")], rank_col="rk").select(
+        F.lit("insert_order").alias("layout"),
+        F.expr(f"(rk - 1) * {ZONEMAP_BUCKETS} div total").alias("bucket"),
+        "o_orderdate",
+    )
+    by_date = global_rank(
+        ords, [F.col("o_orderdate"), F.col("o_orderkey")], rank_col="rk"
+    ).select(
+        F.lit("date_clustered").alias("layout"),
+        F.expr(f"(rk - 1) * {ZONEMAP_BUCKETS} div total").alias("bucket"),
+        "o_orderdate",
+    )
+    zones = (
+        by_key.unionAll(by_date)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.min("o_orderdate").alias("zmin"),
+            F.max("o_orderdate").alias("zmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    skippable = (F.col("zmax") < F.lit(ZONEMAP_LO).cast("date")) | (
+        F.col("zmin") >= F.lit(ZONEMAP_HI).cast("date")
+    )
+    return zones.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(skippable.cast("long")).alias("n_skippable"),
+        F.coalesce(
+            F.sum(F.when(skippable, F.col("n_rows"))), F.lit(0)
+        ).cast("long").alias("rows_skipped"),
+        F.expr(
+            "coalesce(sum(case when (zmax < date'"
+            + ZONEMAP_LO
+            + "' or zmin >= date'"
+            + ZONEMAP_HI
+            + "') then n_rows end), 0) * 10000 div sum(n_rows)"
+        ).alias("skip_bp"),
+    )

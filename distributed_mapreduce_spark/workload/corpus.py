@@ -922,3 +922,54 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num >= F.lit(DRIFT_BP_MIN).cast("decimal(38,0)") * den)
         .alias("drifted"),
     )
+
+
+#: Sample size for the weighted priority sample.
+WPRIO_K = 64
+
+
+@query(
+    "weighted_sample_priority",
+    oracle=f"""
+    WITH pr AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+             CAST(n_chars AS DOUBLE)
+               / (1 + {_sql_hash_u32("CAST(doc_id AS VARCHAR)", 'wprio_')})
+               AS prio
+      FROM documents
+    )
+    SELECT doc_id, source, weight, prio
+    FROM pr ORDER BY prio DESC, doc_id LIMIT {WPRIO_K}
+    """,
+)
+def q_weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional without-replacement sample (priority
+    sampling, Duffield-Lund-Thorup): each document draws priority
+    weight/u with a deterministic per-doc uniform u (md5-derived, like
+    `priority_sample_k`); the k largest priorities win, giving
+    inclusion probability ~ proportional to n_chars — the
+    length-weighted eval-set / upsampling selection an LLM data
+    pipeline uses, reproducible across engines, runs and cluster
+    sizes.
+
+    Exactness: the priority is ONE IEEE division of exact integers
+    (both engines divide the same numerator by the same 33-bit-bounded
+    denominator; division is correctly rounded, so the doubles are
+    bit-identical) with doc_id tie-break.
+
+    Plan: per-partition top-k + k-row driver merge
+    (TakeOrderedAndProject) — no global sort, no shuffle of the
+    corpus, at any scale.
+    """
+    docs = table(spark, sf_dir, "documents")
+    u = _hash_u32(F.col("doc_id").cast("string"), "wprio_")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            (F.col("n_chars").cast("double") / (u + F.lit(1))).alias("prio"),
+        )
+        .orderBy(F.col("prio").desc(), "doc_id")
+        .limit(WPRIO_K)
+    )
