@@ -771,3 +771,115 @@ def q_funnel_with_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("clean_bp"),
     )
+
+
+@query(
+    "sessions_peak_concurrency",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_id
+      FROM ordered
+    ), iv AS MATERIALIZED (
+      SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+      FROM sess GROUP BY 1, 2
+    ), pts AS (
+      SELECT s AS ts, 1 AS delta, user_id, session_id FROM iv
+      UNION ALL
+      SELECT e + INTERVAL 1 MICROSECOND, -1, user_id, session_id FROM iv
+    ), run AS MATERIALIZED (
+      SELECT ts,
+             sum(delta) OVER (ORDER BY ts, delta DESC, user_id, session_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS conc
+      FROM pts
+    )
+    SELECT (SELECT CAST(max(conc) AS BIGINT) FROM run) AS peak_concurrency,
+           (SELECT min(ts) FROM run
+            WHERE conc = (SELECT max(conc) FROM run)) AS peak_ts,
+           (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_sessions
+    """,
+)
+def q_sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions (capacity-planning sweep-line):
+    sessionized activity intervals become +1/-1 endpoint events, the
+    running sum in global endpoint order is the live concurrency
+    curve, and the output is its maximum with the earliest instant it
+    is reached. Endpoint order puts +1 before -1 at equal timestamps
+    (a session ending exactly when another starts counts as
+    overlapping), with (user, session) tie-breaks making the order
+    total.
+
+    Plan (100 TB): sessionization is per-user windows (hash shuffle on
+    user_id, bounded state); the sweep-line's global running sum is
+    `operators.partitioning.global_cumsum` — range shuffle +
+    per-partition prefix sums + broadcast offsets, never a
+    single-task global window (the oracle's bare `OVER (ORDER BY)` is
+    the semantics, not the plan); the final readout aggregates the
+    curve's max over partition-local maxima.
+    """
+    from distributed_mapreduce_spark.operators.partitioning import global_cumsum
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    is_new = F.when(
+        prev_ts.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = iv.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionAll(
+        iv.select(
+            F.timestamp_micros(F.unix_micros(F.col("e")) + 1).alias("ts"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    )
+    run = global_cumsum(
+        pts,
+        [F.col("ts"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")],
+        "delta",
+        cumsum_col="conc",
+    )
+    peak = run.agg(F.max("conc").alias("peak_concurrency")).withColumn(
+        "j", F.lit(1)
+    )
+    at_peak = (
+        run.withColumn("j", F.lit(1))
+        .join(F.broadcast(peak), "j")
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .agg(F.min("ts").alias("peak_ts"))
+        .withColumn("j", F.lit(1))
+    )
+    n_sess = iv.agg(F.count(F.lit(1)).alias("n_sessions")).withColumn(
+        "j", F.lit(1)
+    )
+    return (
+        peak.join(at_peak, "j")
+        .join(n_sess, "j")
+        .select(
+            F.col("peak_concurrency").cast("long"),
+            "peak_ts",
+            F.col("n_sessions").cast("long"),
+        )
+    )
