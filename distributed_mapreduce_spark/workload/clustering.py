@@ -667,3 +667,90 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "adc_micro", "rnk")
     )
+
+
+#: Hard negatives returned per anchor.
+HARD_NEG_K = 3
+
+_HARD_NEG_SQL = f"""
+    WITH a AS MATERIALIZED (
+      SELECT vec_id, cid, embedding, label FROM (
+        SELECT e.vec_id, c.vec_id AS cid, e.embedding, e.label,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_sqdist('e.embedding', 'c.embedding')}, c.vec_id
+               ) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < {KMEANS_K}) c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, cid AS cell, embedding AS qv,
+             label AS anchor_label
+      FROM a WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, q.anchor_label,
+             a.label AS neg_label,
+             {_sql_cos_u('q.qv', 'a.embedding')} AS cos_u
+      FROM q JOIN a ON a.cid = q.cell AND a.label <> q.anchor_label
+                   AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, anchor_label, neg_label, cos_u, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_u DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {HARD_NEG_K}
+"""
+
+
+@query("ann_hard_negatives", oracle=_HARD_NEG_SQL)
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the most-similar vectors that carry a DIFFERENT label — found
+    inside the anchor's k-means cell, which is exactly where hard
+    (geometrically close, semantically wrong) negatives live. The
+    standard batch-mining step behind embedding-model fine-tuning.
+
+    Plan: one broadcast argmin assignment labels the corpus (shared
+    shape with `ann_ivf_trained`), then a cell equi-join with the
+    label-inequality predicate and a per-anchor top-k window over
+    cell-bounded candidates — no corpus cross join; negatives-per-
+    anchor cost scales with cell size, not corpus size.
+    """
+    from distributed_mapreduce_spark.workload.similarity import (
+        cosine_u,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = (
+        _assignment(spark, sf_dir)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "cid", "embedding", "label")
+        .cache()
+    )
+    q = a.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("cell"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = a.join(
+        F.broadcast(q),
+        (F.col("cid") == F.col("cell"))
+        & (F.col("label") != F.col("anchor_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "anchor_label",
+        F.col("label").alias("neg_label"),
+        cosine_u(F.col("qv"), F.col("embedding")).alias("cos_u"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_u").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .select(
+            "query_id", "neighbor_id", "anchor_label", "neg_label", "cos_u", "rnk"
+        )
+    )

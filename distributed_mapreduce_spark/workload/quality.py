@@ -554,3 +554,65 @@ def q_curriculum_phase_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phase"
         ),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest({_sql_ngrams(_sql_tokens('text'), 3)}) AS gram
+        FROM documents
+      )
+    ), first_seen AS MATERIALIZED (
+      SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tri,
+           CAST(count(*) FILTER (f.first_doc = g.doc_id) AS BIGINT)
+             AS n_novel_tri,
+           {_sql_bp('count(*) FILTER (f.first_doc = g.doc_id)', 'count(*)')}
+             AS novelty_bp
+    FROM g JOIN first_seen f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against everything ingested before
+    it (doc_id as ingestion order): the fraction of a document's
+    distinct trigrams whose FIRST corpus occurrence is this document.
+    Low novelty = boilerplate/near-duplicate mass; the streaming-order
+    twin of the repetition filters, and the signal behind
+    "contributes nothing new, drop it" corpus pruning.
+
+    Plan: one explode to distinct (doc, gram) pairs (repartitioned
+    before the CPU-heavy n-gram build, like `quality_repetition`), a
+    gram-level min-aggregate (the first-occurrence inverted index,
+    map-side partials), and one equi-join back on gram — the
+    decontamination join shape; no self-join of the corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    g = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(_ngrams(_tokens(F.col("text")), 3)).alias("gram"),
+        )
+        .distinct()
+    )
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tri"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel_tri"
+            ),
+            _bp(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")),
+                F.count(F.lit(1)),
+            ).alias("novelty_bp"),
+        )
+    )
