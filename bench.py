@@ -66,6 +66,12 @@ HEADLINE = [
     # effect; see workload/skew_q.py and README "Skew")
     "skew_join_plain",
     "skew_join_salted",
+    # round-4 second wave: tokenizer training, compressed-vector ANN,
+    # sweep-line concurrency, first-occurrence novelty index
+    "tokenizer_bpe_merges",
+    "ann_pq_adc",
+    "sessions_peak_concurrency",
+    "text_ngram_novelty",
 ]
 
 
