@@ -861,25 +861,22 @@ def q_sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         cumsum_col="conc",
     )
-    peak = run.agg(F.max("conc").alias("peak_concurrency")).withColumn(
-        "j", F.lit(1)
-    )
-    at_peak = (
-        run.withColumn("j", F.lit(1))
-        .join(F.broadcast(peak), "j")
-        .filter(F.col("conc") == F.col("peak_concurrency"))
-        .agg(F.min("ts").alias("peak_ts"))
-        .withColumn("j", F.lit(1))
-    )
-    n_sess = iv.agg(F.count(F.lit(1)).alias("n_sessions")).withColumn(
-        "j", F.lit(1)
-    )
-    return (
-        peak.join(at_peak, "j")
-        .join(n_sess, "j")
-        .select(
-            F.col("peak_concurrency").cast("long"),
-            "peak_ts",
-            F.col("n_sessions").cast("long"),
-        )
+    # Single-pass readout: max(struct(conc, -micros)) is lexicographic —
+    # highest concurrency, then EARLIEST instant reaching it — and each
+    # session contributes exactly two endpoint rows, so n_sessions =
+    # count/2. One aggregation consumes the curve once (an earlier cut
+    # re-ran the whole cumsum pipeline for a second "argmax" join and
+    # went super-linear at x100 in SCALING_r04).
+    return run.agg(
+        F.max(
+            F.struct(
+                F.col("conc").cast("long").alias("c"),
+                (-F.unix_micros(F.col("ts"))).alias("nts"),
+            )
+        ).alias("m"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    ).select(
+        F.col("m.c").alias("peak_concurrency"),
+        F.timestamp_micros(-F.col("m.nts")).alias("peak_ts"),
+        "n_sessions",
     )

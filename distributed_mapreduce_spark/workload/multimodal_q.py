@@ -172,3 +172,60 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return extract_audio_features(attach_fake_audio(docs))
+
+
+#: Duplicate-group modulus for the synthetic media corpus: doc_ids that
+#: agree mod this share byte-identical blobs.
+MEDIA_DUP_MOD = 97
+
+_SQL_DUP_HEXBLOB = (
+    "md5(CAST(doc_id % 97 AS VARCHAR))"
+    " || reverse(md5(CAST(doc_id % 97 AS VARCHAR)))"
+    " || md5(CAST(doc_id % 97 AS VARCHAR))"
+    " || reverse(md5(CAST(doc_id % 97 AS VARCHAR)))"
+)
+
+
+@query(
+    "multimodal_dedup_exact",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, md5(upper({_SQL_DUP_HEXBLOB})) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keep_doc,
+           CAST(count(*) - 1 AS BIGINT) AS n_discard
+    FROM m GROUP BY fingerprint
+    """,
+)
+def q_multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of BINARY media columns: fingerprint each blob
+    byte-for-byte (md5 over its hex encoding — DuckDB's md5 is
+    VARCHAR-only, so the hex round-trip is the portable form), group
+    identical payloads, keep the lowest doc_id per group. The media
+    twin of `dedup_exact`: the thing a crawl pipeline runs before any
+    expensive decode, since re-crawled images dedup on bytes long
+    before perceptual hashing is needed. The synthetic corpus shares
+    blobs across doc_id % {MEDIA_DUP_MOD}, so groups genuinely contain
+    duplicates.
+
+    Plan: fingerprinting is a JVM-side projection over the binary
+    column (no Python boundary — hashing never needs the decode
+    path); dedup is one hash-agg on the 16-byte digest, map-side
+    partials. At 100 TB the digest-groupBy shuffles digests, not
+    blobs.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    key = (F.col("doc_id") % MEDIA_DUP_MOD).cast("string")
+    hexblob = F.concat(
+        F.md5(key), F.reverse(F.md5(key)), F.md5(key), F.reverse(F.md5(key))
+    )
+    media = docs.select("doc_id", F.unhex(hexblob).alias("media"))
+    fp = media.select("doc_id", F.md5(F.hex(F.col("media"))).alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_discard"),
+    )

@@ -328,3 +328,126 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_rows",
         F.expr(f"(cum_rows - n_rows) DIV {COMPACT_TARGET_ROWS}").alias("file_group"),
     )
+
+
+@query(
+    "cdc_time_travel",
+    oracle=f"""
+    WITH v1 AS MATERIALIZED ({_V1_SQL}),
+    v2 AS MATERIALIZED (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    ), v1e AS MATERIALIZED (SELECT *, {_ENC_SQL} AS enc FROM v1),
+    v2e AS MATERIALIZED (SELECT *, {_ENC_SQL} AS enc FROM v2),
+    d AS MATERIALIZED (
+      SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+             CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'delete'
+                  WHEN a.enc <> b.enc THEN 'update' END AS change_type
+      FROM v1e a FULL OUTER JOIN v2e b ON a.o_orderkey = b.o_orderkey
+      WHERE (CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'delete'
+                  WHEN a.enc <> b.enc THEN 'update' END) IS NOT NULL
+    ), state_t AS MATERIALIZED (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM v1
+      WHERE o_orderkey NOT IN (SELECT k FROM d WHERE k % 2 = 0)
+      UNION ALL
+      SELECT v2.o_orderkey, v2.o_custkey, v2.o_orderstatus, v2.o_totalprice
+      FROM v2 JOIN d ON v2.o_orderkey = d.k
+      WHERE d.k % 2 = 0 AND d.change_type IN ('insert', 'update')
+    ), final AS MATERIALIZED (
+      SELECT * FROM state_t
+      WHERE o_orderkey NOT IN (SELECT k FROM d WHERE k % 2 <> 0)
+      UNION ALL
+      SELECT v2.o_orderkey, v2.o_custkey, v2.o_orderstatus, v2.o_totalprice
+      FROM v2 JOIN d ON v2.o_orderkey = d.k
+      WHERE d.k % 2 <> 0 AND d.change_type IN ('insert', 'update')
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM state_t) AS n_at_t,
+      (SELECT CAST(sum(('0x' || substr(md5({_ENC_SQL}), 1, 8))::BIGINT)
+              AS BIGINT) FROM state_t) AS checksum_at_t,
+      (SELECT CAST(count(*) AS BIGINT) FROM d WHERE k % 2 = 0) AS n_batch1,
+      (SELECT CAST(count(*) AS BIGINT) FROM d WHERE k % 2 <> 0) AS n_batch2,
+      (SELECT CAST(count(*) AS BIGINT) FROM final)
+        = (SELECT CAST(count(*) AS BIGINT) FROM v2)
+      AND (SELECT CAST(sum(('0x' || substr(md5({_ENC_SQL}), 1, 8))::BIGINT)
+                  AS BIGINT) FROM final)
+        = (SELECT CAST(sum(('0x' || substr(md5({_ENC_SQL}), 1, 8))::BIGINT)
+                  AS BIGINT) FROM v2) AS consistent
+    """,
+)
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over an ordered change log: the v1→v2 change feed is
+    split into two commit batches (even keys land first, odd keys
+    second — a deterministic stand-in for commit timestamps), and the
+    engine reconstructs the table AS OF the intermediate version T =
+    v1 + batch 1, reporting its row count and content checksum plus a
+    round-trip proof that replaying batch 2 on top of T reproduces v2
+    exactly. This is the read-side contract of a lakehouse commit log
+    (Delta/Iceberg-style): any historical version is base + a prefix
+    of the log.
+
+    Plan: each batch application is the MERGE decomposition (anti-join
+    out touched keys, union in new images) — two anti joins + two semi
+    joins on the key, one full-outer diff join, map-side-combinable
+    checksums; history never rewrites outside touched keys. The base
+    projection and diff are persisted once for their multiple
+    consumers (same policy as `cdc_apply_patch`).
+    """
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .persist()
+    )
+    v2 = orders
+    v1 = _snapshot_v1(orders)
+    diff = snapshot_diff(v1, v2).persist()
+
+    def apply_batch(state: DataFrame, batch_pred) -> DataFrame:
+        batch = diff.filter(batch_pred)
+        touched = batch.select("o_orderkey")
+        images = v2.join(
+            batch.filter(F.col("change_type").isin("insert", "update")).select(
+                "o_orderkey"
+            ),
+            "o_orderkey",
+            "left_semi",
+        )
+        return state.join(touched, "o_orderkey", "left_anti").unionAll(images)
+
+    even = F.col("o_orderkey") % 2 == 0
+    state_t = apply_batch(v1, even).persist()
+    final = apply_batch(state_t, ~even)
+
+    h = F.conv(F.substring(F.md5(_ENC_SPARK()), 1, 8), 16, 10).cast("long")
+
+    def cksum(df: DataFrame, n: str, c: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.sum(h).cast("long").alias(c),
+        ).withColumn("j", F.lit(1))
+
+    t_ck = cksum(state_t, "n_at_t", "checksum_at_t")
+    f_ck = cksum(final, "n_final", "checksum_final")
+    v_ck = cksum(v2, "n_v2", "checksum_v2")
+    batches = (
+        diff.agg(
+            F.sum(even.cast("long")).cast("long").alias("n_batch1"),
+            F.sum((~even).cast("long")).cast("long").alias("n_batch2"),
+        ).withColumn("j", F.lit(1))
+    )
+    return (
+        t_ck.join(batches, "j")
+        .join(f_ck, "j")
+        .join(v_ck, "j")
+        .select(
+            "n_at_t",
+            "checksum_at_t",
+            "n_batch1",
+            "n_batch2",
+            (
+                (F.col("n_final") == F.col("n_v2"))
+                & (F.col("checksum_final") == F.col("checksum_v2"))
+            ).alias("consistent"),
+        )
+    )

@@ -120,3 +120,30 @@ def test_ivm_join_delta_decomposition(spark, sf_dir):
     # one nation saw delta rows (1/17 of orders + 1/19 of customers).
     assert all(0 <= r["delta_orders"] <= r["n_orders"] for r in rows)
     assert any(r["delta_orders"] > 0 for r in rows)
+
+
+def test_cdc_time_travel_consistency(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.versioning import q_cdc_time_travel
+
+    r = q_cdc_time_travel(spark, sf_dir).first()
+    # Replaying the remaining batch over the time-travel state must
+    # reproduce v2 exactly, and the two batches partition the feed.
+    assert r["consistent"] is True
+    assert r["n_batch1"] > 0 and r["n_batch2"] > 0
+    assert r["n_at_t"] > 0
+
+
+def test_multimodal_dedup_groups(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.multimodal_q import (
+        MEDIA_DUP_MOD,
+        q_multimodal_dedup_exact,
+    )
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = q_multimodal_dedup_exact(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    # Group count == number of distinct residues present; total copies
+    # re-add to the corpus size; keep+discard accounting is exact.
+    assert len(rows) == min(MEDIA_DUP_MOD, n_docs)
+    assert sum(r["n_copies"] for r in rows) == n_docs
+    assert all(r["n_copies"] == r["n_discard"] + 1 for r in rows)

@@ -55,9 +55,14 @@ FAMILIES = [
     "vocab_build",
     "dedup_minhash_pairs",
     "graph_triangle_counts",
+    # round-4 second wave: tokenizer training (word-table loop),
+    # first-occurrence inverted index, sweep-line prefix sum
+    "tokenizer_bpe_merges",
+    "text_ngram_novelty",
+    "sessions_peak_concurrency",
 ]
 
-#: Second-decade (x100) families — all six (r4 measured every one).
+#: Second-decade (x100) families — every family carries both decades.
 X100_FAMILIES = list(FAMILIES)
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
@@ -129,11 +134,36 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> dict:
         str(out / "lineitem.parquet")
     )
 
+    ev = table(spark, src_dir, "events")
+    ev_parts = []
+    for r in range(factor):
+        # user offset keeps each replica's sessions disjoint; identical
+        # timestamps mean the replicas' sessions OVERLAP in time, so the
+        # sweep-line's peak grows ~factor-x — the concurrency analog of
+        # "10 independent copies of the x1 workload".
+        ev_parts.append(
+            ev.select(
+                (F.col("event_id") + r * ID_OFFSET).alias("event_id"),
+                "ts",
+                (F.col("user_id") + r * ID_OFFSET).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    ev_x = ev_parts[0]
+    for p in ev_parts[1:]:
+        ev_x = ev_x.unionAll(p)
+    ev_x.repartition(32).write.mode("overwrite").parquet(
+        str(out / "events.parquet")
+    )
+
     # count the WRITTEN parquet (metadata-only) rather than re-running
     # the replication pipeline a second time
     return {
         "documents": spark.read.parquet(str(out / "documents.parquet")).count(),
         "lineitem": spark.read.parquet(str(out / "lineitem.parquet")).count(),
+        "events": spark.read.parquet(str(out / "events.parquet")).count(),
     }
 
 
@@ -171,7 +201,12 @@ def main() -> int:
     rows_x10 = build_scaled(spark, src_dir, f"{base}/x10", FACTOR)
     print(f"rows x1={rows_x1} x10={rows_x10}", flush=True)
 
-    input_table = {q: "lineitem" if q.startswith("graph_") else "documents" for q in FAMILIES}
+    input_table = {
+        q: "lineitem"
+        if q.startswith("graph_")
+        else ("events" if q.startswith("sessions_") else "documents")
+        for q in FAMILIES
+    }
 
     results = {}
     for q in FAMILIES:
