@@ -880,3 +880,68 @@ def q_sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(-F.col("m.nts")).alias("peak_ts"),
         "n_sessions",
     )
+
+
+@query(
+    "session_relative_features",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(row_number() OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts, event_id) AS BIGINT)
+             AS event_idx,
+           CAST(date_diff('microsecond',
+                min(ts) OVER (PARTITION BY user_id, session_id), ts)
+             AS BIGINT) AS us_since_start
+    FROM sess
+    """,
+)
+def q_session_relative_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event within-session features — ordinal position and exact
+    microseconds since session start — the positional encodings a
+    sequence model over user journeys trains on (and the feature
+    extraction step between sessionization and example packing).
+
+    Plan: sessionization plus both features are windows over the SAME
+    (user_id) / (user_id, session_id) hash partitioning — one shuffle,
+    then bounded-state frames; no global window anywhere.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    is_new = F.when(
+        prev_ts.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    return sess.select(
+        "event_id",
+        "user_id",
+        F.col("session_id").cast("long"),
+        F.row_number().over(ws).cast("long").alias("event_idx"),
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.min("ts").over(ws.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )))
+        ).alias("us_since_start"),
+    )
