@@ -115,3 +115,13 @@ def scan_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC scan (Spark-native reader — same predicate-pushdown
+    / column-pruning surface as parquet; ORC is the other standard
+    lakehouse file format, common in Hive-lineage warehouses). No
+    DuckDB oracle exists for ORC, so parity is certified by the
+    round-trip test (`tests/test_sources_formats.py`): parquet-read →
+    orc-write → orc-read must be content-identical."""
+    return spark.read.orc(path)

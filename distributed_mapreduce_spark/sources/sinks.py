@@ -46,3 +46,18 @@ def sink_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def sink_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Partitioned ORC sink (zlib default), mirroring `sink_parquet` —
+    scale posture identical: one file per task, partition directories
+    prune at scan time."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
