@@ -315,3 +315,58 @@ def quota_limit_stream(events: DataFrame, n_per_hour: int = 3) -> DataFrame:
     return keyed.groupBy("user_id", "hour").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `events_ewma_trailing` query: per
+    user, the alpha=1/2 EWMA over the trailing 8 events, emitted per
+    event with keyed state carrying the previous <=7 values across
+    micro-batches (`applyInPandasWithState`, append mode).
+
+    Exactness across the batch/stream boundary: state values round-trip
+    through `float.hex()` (lossless), the weights are powers of two
+    (pure exponent shifts), and the left-fold order matches the batch
+    query's `aggregate` — so on closed input, arriving in event-time
+    order, every emitted `ewma_micro` is bit-identical to the batch
+    window computation (asserted in tests/test_streaming.py).
+
+    Scale shape: state is <=7 doubles per active user; add a
+    watermark-driven timeout to retire idle users in production."""
+    import math
+
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "event_id bigint, user_id bigint, ewma_micro bigint"
+    state_schema = "vals_hex string"
+
+    def fn(key, pdfs, state):
+        tail: list[float] = []
+        if state.exists:
+            (hexes,) = state.get
+            if hexes:
+                tail = [float.fromhex(h) for h in hexes.split(";")]
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                vals = tail + [float(row["value"])]
+                n = len(vals)
+                num = 0.0
+                for i, v in enumerate(vals, start=1):
+                    num = num + v * float(1 << (7 - (n - i)))
+                den = 256 - (1 << (8 - n))
+                rows.append(
+                    (
+                        int(row["event_id"]),
+                        int(row["user_id"]),
+                        int(math.floor(num * 1000000 / den)),
+                    )
+                )
+                tail = vals[-7:]
+        state.update((";".join(f.hex() for f in tail),))
+        yield pd.DataFrame(rows, columns=["event_id", "user_id", "ewma_micro"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -684,3 +684,68 @@ def test_cdc_upsert_batch_replay_is_idempotent(spark, tmp_path):
     apply_batch(batch, 0)  # replay after simulated crash
     twice = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
     assert once == twice
+
+
+def test_ewma_stream_matches_batch_bitwise(spark, events_dir):
+    """Single closed batch: every per-event EWMA from the keyed-state
+    stream equals the batch trailing-window computation exactly."""
+    from distributed_mapreduce_spark.streaming.events_stream import ewma_stream
+    from distributed_mapreduce_spark.workload.events import q_events_ewma_trailing
+
+    stream = ewma_stream(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "ewma_stream_t", output_mode="append")
+    got = {
+        r["event_id"]: r["ewma_micro"]
+        for r in spark.table("ewma_stream_t").collect()
+    }
+    expected = {
+        r["event_id"]: r["ewma_micro"]
+        for r in q_events_ewma_trailing(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_ewma_stream_state_survives_batch_boundary(spark, tmp_path):
+    """Two micro-batches split on event time: the second batch's EWMAs
+    must still see the first batch's trailing values through state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.events_stream import ewma_stream
+    from distributed_mapreduce_spark.workload.events import q_events_ewma_trailing
+    from distributed_mapreduce_spark.workload.registry import table as load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    cutoff = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).first()[0]
+    src = str(tmp_path / "ev_src")
+    # one file per half, fed one per trigger, in event-time order
+    ev.filter(F.unix_micros("ts") <= cutoff).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    ev.filter(F.unix_micros("ts") > cutoff).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    flat = str(tmp_path / "ev_flat")
+    import os
+
+    os.makedirs(flat)
+    for i, sub in enumerate(["b1", "b2"]):
+        for f in os.listdir(src + "/" + sub):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{src}/{sub}/{f}", f"{flat}/{i:03d}.parquet")
+    stream_src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    run_to_memory(ewma_stream(stream_src), "ewma_stream_2b", output_mode="append")
+    got = {
+        r["event_id"]: r["ewma_micro"]
+        for r in spark.table("ewma_stream_2b").collect()
+    }
+    expected = {
+        r["event_id"]: r["ewma_micro"]
+        for r in q_events_ewma_trailing(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected and len(got) > 0
