@@ -57,7 +57,7 @@ _PREFIX = [
     "dedup_clusters", "ann_bruteforce", "ann_ivf", "embedding_near_dup",
     "ann_lsh", "embedding_normalize", "text_token_count",
     "text_quality_score", "text_lang_id", "text_fingerprint",
-    "text_bpe_token_count", "text_split_assign", "text_scrub_pii",
+    "tokenizer_bpe_merges", "text_split_assign", "text_scrub_pii",
     "maplejuice_flagship", "multimodal_features", "pagerank_converge",
     "decontam_ngram_overlap",
 ]
