@@ -597,3 +597,149 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_micro"),
     )
+
+
+#: Johnson-Lindenstrauss target dimension (64 -> 16, scale 1/sqrt(16)).
+JL_DIM = 16
+
+def _jl_sign(j: int, i: int) -> int:
+    import hashlib
+
+    return (
+        1
+        if int(hashlib.md5(f"jl_{j}_{i}".encode()).hexdigest()[0], 16) < 8
+        else -1
+    )
+
+
+_JL_PLANES = [[_jl_sign(j, i) for i in range(EMB_DIM)] for j in range(JL_DIM)]
+
+
+def _jl_project(v: Column) -> Column:
+    """Deterministic +-1 JL projection: component j = dot(v, plane_j)/4
+    (sqrt(16) = 4 — exact IEEE scaling by a power of two)."""
+    return F.array(
+        *[
+            (dot(v, F.array(*[F.lit(float(s)) for s in plane])) / F.lit(4.0))
+            for plane in _JL_PLANES
+        ]
+    )
+
+
+def _sql_jl_project(v: str) -> str:
+    comps = []
+    for plane in _JL_PLANES:
+        lst = "[" + ", ".join(f"{float(s):.1f}" for s in plane) + "]"
+        comps.append(f"({_sql_dot(v, lst)} / 4.0)")
+    return "[" + ", ".join(comps) + "]"
+
+
+def _sql_sqd(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _sqd(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    SELECT vec_id, {_sql_jl_project('embedding')} AS proj
+    FROM embeddings WHERE vec_id < 64
+    """,
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project 64-dim
+    embeddings to {JL_DIM} dims through a fixed +-1 sign matrix scaled
+    by 1/sqrt(k) — the cheap, data-independent compression that keeps
+    pairwise distances within (1 +- eps) and shrinks a 100 TB embedding
+    store 4x before any ANN indexing (`jl_distance_audit` measures the
+    distortion it actually delivers on this corpus).
+
+    Exactness: each component is the same left-fold dot product as the
+    ANN family, scaled by a power of two — the output doubles are
+    bit-identical across engines (surfaced here for a 64-vector
+    sample; the transform itself is a stateless per-row projection at
+    any scale, zero shuffle).
+    """
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    return emb.select("vec_id", _jl_project(F.col("embedding")).alias("proj"))
+
+
+@query(
+    "jl_distance_audit",
+    oracle=f"""
+    WITH p AS MATERIALIZED (
+      SELECT vec_id, embedding, {_sql_jl_project('embedding')} AS proj
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(floor({_sql_sqd('a.embedding', 'b.embedding')} * 1000000.0)
+               AS BIGINT) AS d2_orig_micro,
+             CAST(floor({_sql_sqd('a.proj', 'b.proj')} * 1000000.0)
+               AS BIGINT) AS d2_proj_micro
+      FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(d2_proj_micro * 10000 // d2_orig_micro) AS BIGINT)
+             AS min_ratio_bp,
+           CAST(max(d2_proj_micro * 10000 // d2_orig_micro) AS BIGINT)
+             AS max_ratio_bp,
+           CAST(sum(d2_proj_micro * 10000 // d2_orig_micro) // count(*)
+             AS BIGINT) AS mean_ratio_bp
+    FROM pairs WHERE d2_orig_micro > 0
+    """,
+)
+def q_jl_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distortion audit of the JL projection: squared-distance ratio
+    (projected/original, basis points) over consecutive-id vector
+    pairs — min/max/mean certify the (1 +- eps) contract empirically,
+    the same approximate-op-certified-by-exact-harness methodology as
+    `ann_recall_audit`.
+
+    Plan: one projection pass, one self equi-join on vec_id+1 (no
+    cross join — the audit sample is linear in the corpus), integer
+    ratio aggregation.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "vec_id", "embedding", _jl_project(F.col("embedding")).alias("proj")
+    )
+    a = p.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        F.col("proj").alias("pa"),
+    )
+    b = p.select(
+        (F.col("vec_id") - 1).alias("a_id"),
+        F.col("embedding").alias("eb"),
+        F.col("proj").alias("pb"),
+    )
+    pairs = a.join(b, "a_id").select(
+        F.floor(_sqd(F.col("ea"), F.col("eb")) * 1000000.0)
+        .cast("long")
+        .alias("d2_orig_micro"),
+        F.floor(_sqd(F.col("pa"), F.col("pb")) * 1000000.0)
+        .cast("long")
+        .alias("d2_proj_micro"),
+    ).filter(F.col("d2_orig_micro") > 0)
+    ratio = F.expr("d2_proj_micro * 10000 div d2_orig_micro")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(ratio).alias("min_ratio_bp"),
+        F.max(ratio).alias("max_ratio_bp"),
+        F.expr(
+            "sum(d2_proj_micro * 10000 div d2_orig_micro) div count(*)"
+        ).alias("mean_ratio_bp"),
+    )

@@ -276,3 +276,50 @@ def q_embedding_doc_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orphan_vectors",
         )
     )
+
+
+#: k-anonymity threshold for the governance audit.
+KANON_K = 10
+
+
+@query(
+    "kanonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS grp_n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(grp_n) AS BIGINT) AS min_group,
+           CAST(count(*) FILTER (grp_n < {KANON_K}) AS BIGINT) AS risky_groups,
+           CAST(coalesce(sum(grp_n) FILTER (grp_n < {KANON_K}), 0) AS BIGINT)
+             AS risky_rows,
+           CAST(sum(grp_n) AS BIGINT) AS n_rows
+    FROM g
+    """,
+)
+def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance k-anonymity audit: treating (nation, market
+    segment) as the quasi-identifier, report how many QI groups fall
+    below k={KANON_K} members and how many rows sit in those
+    re-identifiable groups — the release-gate check a privacy review
+    runs before sharing a derived table (complements `text_scrub_pii`,
+    which handles direct identifiers).
+
+    Plan: one hash-agg to QI group sizes, one re-agg over |groups|
+    rows; at 100 TB the second stage is negligible by construction.
+    """
+    cust = table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_n")
+    )
+    risky = F.col("grp_n") < KANON_K
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("grp_n").alias("min_group"),
+        F.sum(risky.cast("long")).alias("risky_groups"),
+        F.coalesce(F.sum(F.when(risky, F.col("grp_n"))), F.lit(0))
+        .cast("long")
+        .alias("risky_rows"),
+        F.sum("grp_n").cast("long").alias("n_rows"),
+    )
