@@ -1021,3 +1021,48 @@ def q_dedup_clusters_pointer_jump(spark: SparkSession, sf_dir: str) -> DataFrame
     sh_df = shingle_table(docs)
     pairs = _verify_pairs(sh_df, minhash_candidate_pairs(sh_df))
     return connected_components_pointer_jump(pairs.select("doc_a", "doc_b"))
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp_norm,
+             md5(text) AS fp_raw
+      FROM documents
+    )
+    SELECT fp_norm,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT fp_raw) AS BIGINT) AS n_raw_variants,
+           min(doc_id) AS keep_doc
+    FROM n GROUP BY fp_norm
+    """,
+)
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text normalization (lowercase, collapse
+    non-alphanumerics, trim): catches the trivially-reformatted
+    duplicates — case changes, punctuation, whitespace-only edits —
+    that byte-exact `dedup_exact` misses. `n_raw_variants` counts how
+    many DISTINCT raw fingerprints each normalized group collapses
+    (>1 = normalization did real work there).
+
+    Plan: normalization is a per-row projection; grouping is one
+    hash-agg on the 16-byte digest — same scale posture as
+    `dedup_exact` (shuffle digests, not text).
+    """
+    docs = table(spark, sf_dir, "documents")
+    fp_norm = F.md5(
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        )
+    )
+    n = docs.select(
+        "doc_id", fp_norm.alias("fp_norm"), F.md5("text").alias("fp_raw")
+    )
+    return n.groupBy("fp_norm").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("fp_raw").alias("n_raw_variants"),
+        F.min("doc_id").alias("keep_doc"),
+    )

@@ -945,3 +945,103 @@ def q_session_relative_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )))
         ).alias("us_since_start"),
     )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT custkey, monetary_cents,
+             (row_number() OVER (ORDER BY recency_days, custkey) - 1) * 4
+               // count(*) OVER () + 1 AS r_q,
+             (row_number() OVER (ORDER BY frequency DESC, custkey) - 1) * 4
+               // count(*) OVER () + 1 AS f_q,
+             (row_number() OVER (ORDER BY monetary_cents DESC, custkey) - 1)
+               * 4 // count(*) OVER () + 1 AS m_q
+      FROM cust
+    )
+    SELECT 'r' || r_q || 'f' || f_q || 'm' || m_q AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS sum_spent_cents
+    FROM scored GROUP BY 1
+    """,
+)
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer recency (days since
+    last order, vs the corpus max date), frequency (order count) and
+    monetary (exact cents), each quartiled 1-4 (1 = best: most recent
+    / most frequent / highest spend), rolled up to segment sizes and
+    spend mass — the classic marketing cohorting readout.
+
+    Plan: one hash-agg to per-customer RFM; the three quartile
+    ordinals come from `operators.partitioning.global_rank` (range
+    shuffle + offsets, no single-task sort — the oracle's bare
+    row_number windows are the semantics, not the plan) with the
+    explicit floor((rank-1)*4/n)+1 bucket formula (NTILE's
+    remainder-first sizing is engine-specific; this formula is not);
+    ties break by custkey so the quartiling is total.
+    """
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+
+    ords = table(spark, sf_dir, "orders")
+    maxd = ords.agg(F.max("o_orderdate").alias("maxd")).withColumn(
+        "j", F.lit(1)
+    )
+    cust = (
+        ords.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(maxd), "j")
+        .select(
+            "custkey",
+            F.datediff(F.col("maxd"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+
+    def quartile(df: DataFrame, order_exprs, out: str) -> DataFrame:
+        ranked = global_rank(df, order_exprs, rank_col="_rk")
+        return ranked.withColumn(
+            out, F.expr("(_rk - 1) * 4 div total + 1")
+        ).drop("_rk", "total")
+
+    cust = quartile(cust, [F.col("recency_days"), F.col("custkey")], "r_q")
+    cust = quartile(
+        cust, [F.col("frequency").desc(), F.col("custkey")], "f_q"
+    )
+    cust = quartile(
+        cust, [F.col("monetary_cents").desc(), F.col("custkey")], "m_q"
+    )
+    return (
+        cust.select(
+            F.concat(
+                F.lit("r"), F.col("r_q"), F.lit("f"), F.col("f_q"),
+                F.lit("m"), F.col("m_q"),
+            ).alias("segment"),
+            "monetary_cents",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("sum_spent_cents"),
+        )
+    )

@@ -743,3 +743,53 @@ def q_jl_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(d2_proj_micro * 10000 div d2_orig_micro) div count(*)"
         ).alias("mean_ratio_bp"),
     )
+
+
+@query(
+    "embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+      SELECT vec_id, label, embedding,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % ((count(*) OVER (PARTITION BY label) + {EMBED_CELL_CAP - 1}) // {EMBED_CELL_CAP}) AS sub
+      FROM embeddings
+    ), verified AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM c a
+      JOIN c b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+      WHERE {_sql_cos_u('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS_U}
+    ), edges AS (
+      SELECT vec_a AS s, vec_b AS t FROM verified
+      UNION
+      SELECT vec_b AS s, vec_a AS t FROM verified
+    ), reach(s, t) AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    )
+    SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+)
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs
+    (cell-blocked, capped — `embedding_near_dup`) fed into the same
+    Pregel min-label connected-components loop the MinHash clusters
+    use — the "semantically same content, different words" grouping
+    that fingerprint dedup cannot see, with cluster id = lowest member
+    (the canonical keeper). The composition a modern training-data
+    pipeline runs AFTER fingerprint dedup.
+
+    Plan: pair generation is the capped cell self-join (never corpus
+    x corpus); clustering is iterative join+min-agg with
+    `localCheckpoint` lineage truncation; the recursive-CTE oracle is
+    the exact transitive closure of the identical edge set.
+    """
+    from distributed_mapreduce_spark.workload.dedup import connected_components
+
+    pairs = near_dup_pairs_cell_capped(table(spark, sf_dir, "embeddings"))
+    return connected_components(
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    )
