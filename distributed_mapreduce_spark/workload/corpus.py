@@ -973,3 +973,122 @@ def q_weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("prio").desc(), "doc_id")
         .limit(WPRIO_K)
     )
+
+
+@query(
+    "source_effective_tokens",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, source,
+             CAST(len({_sql_tokens('text')}) AS BIGINT)
+               AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp
+      FROM documents
+    ), first_d AS (
+      SELECT fp, min(doc_id) AS first_doc FROM d GROUP BY fp
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(sum(CASE WHEN f.first_doc = d.doc_id
+                    THEN d.n_tokens ELSE 0 END) AS BIGINT)
+             AS effective_tokens,
+           {_sql_bp(
+               "sum(CASE WHEN f.first_doc = d.doc_id THEN 0 ELSE d.n_tokens END)",
+               "sum(d.n_tokens)")} AS dup_token_bp
+    FROM d JOIN first_d f ON d.fp = f.fp
+    GROUP BY d.source
+    """,
+)
+def q_source_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated token budget per source: tokens count as
+    "effective" only in the FIRST document (by ingestion order)
+    carrying each normalized fingerprint — later byte/format-level
+    copies contribute raw tokens but zero new training signal. The
+    per-source answer to "how much does this source actually add to
+    the token budget?", driving mixture weights and crawl-priority
+    decisions.
+
+    Plan: per-row normalize+fingerprint projection, one fp-level min
+    aggregate (first-occurrence index), one equi-join back, one
+    source-level hash-agg — the decontamination join shape, no
+    self-join of the corpus.
+    """
+    from distributed_mapreduce_spark.workload.text import _bp as _bp_t
+    from distributed_mapreduce_spark.workload.text import _tokens as _toks
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("fp"),
+    )
+    first_d = d.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    j = d.join(first_d, "fp")
+    is_first = F.col("first_doc") == F.col("doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("raw_tokens"),
+        F.sum(F.when(is_first, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("effective_tokens"),
+        _bp_t(
+            F.sum(F.when(is_first, F.lit(0)).otherwise(F.col("n_tokens"))),
+            F.sum("n_tokens"),
+        ).alias("dup_token_bp"),
+    )
+
+
+@query(
+    "vocab_oov_rate_by_source",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT source, unnest({_sql_tokens('text')}) AS term FROM documents
+    ), vocab AS MATERIALIZED (
+      SELECT term FROM (
+        SELECT unnest({_sql_tokens('text')}) AS term, doc_id FROM documents
+      ) GROUP BY term HAVING count(DISTINCT doc_id) >= 5
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (v.term IS NULL) AS BIGINT) AS oov_tokens,
+           {_sql_bp("count(*) FILTER (v.term IS NULL)", "count(*)")}
+             AS oov_bp
+    FROM tok t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.source
+    """,
+)
+def q_vocab_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token rate per source against the
+    df-thresholded vocabulary (`vocab_build`'s df >= 5 rule): a high
+    OOV share marks a source whose token distribution the tokenizer /
+    vocab under-serves — the per-source drill-down behind
+    `vocab_coverage_curve`.
+
+    Plan: explode tokens once, hash-agg the vocabulary (Heaps-law
+    sized, AQE decides the join side), one left equi-join + source
+    hash-agg with map-side partials.
+    """
+    from distributed_mapreduce_spark.workload.text import _bp as _bp_t
+    from distributed_mapreduce_spark.workload.text import _tokens as _toks
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_toks(F.col("text"))).alias("term"))
+    vocab = (
+        docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    j = tok.join(vocab, "term", "left")
+    oov = F.col("in_vocab").isNull()
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov.cast("long")).alias("oov_tokens"),
+        _bp_t(F.sum(oov.cast("long")), F.count(F.lit(1))).alias("oov_bp"),
+    )

@@ -1051,3 +1051,60 @@ def q_tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(30,2)").alias("total_bal"),
         )
     )
+
+
+@query(
+    "orders_sla_first_ship",
+    oracle="""
+    WITH fs AS (
+      SELECT l_orderkey, min(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (fs.first_ship
+                < o.o_orderdate + INTERVAL 30 DAY) AS BIGINT) AS within_30d,
+           CAST(CASE WHEN count(*) = 0 THEN 0
+                ELSE floor(count(*) FILTER (fs.first_ship
+                     < o.o_orderdate + INTERVAL 30 DAY) * 10000.0 / count(*))
+                END AS BIGINT) AS sla_bp,
+           CAST(max(date_diff('day', o.o_orderdate, fs.first_ship))
+             AS BIGINT) AS worst_lag_days
+    FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_orders_sla_first_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA by priority class: share of orders whose FIRST
+    line shipped within 30 days (exact basis points) and the worst
+    observed lag — the operational scorecard dual of `tpch_q4`'s
+    late-line count.
+
+    Plan: lineitem pre-aggregates to one first-ship row per order
+    BEFORE the join (eager aggregation — the join carries |orders|
+    rows, not |lineitem|), then a priority hash-agg.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = o.join(fs, o["o_orderkey"] == fs["l_orderkey"])
+    within = F.col("first_ship") < F.date_add(F.col("o_orderdate"), 30)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(within.cast("long")).alias("within_30d"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.sum(within.cast("long")).cast("double")
+                * 10000.0
+                / F.count(F.lit(1)).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("sla_bp"),
+        F.max(F.datediff(F.col("first_ship"), F.col("o_orderdate")))
+        .cast("long")
+        .alias("worst_lag_days"),
+    )
