@@ -730,10 +730,18 @@ def test_ewma_stream_state_survives_batch_boundary(spark, tmp_path):
     import os
 
     os.makedirs(flat)
+    import time as _time
+
+    now = _time.time()
     for i, sub in enumerate(["b1", "b2"]):
         for f in os.listdir(src + "/" + sub):
             if f.endswith(".parquet"):
-                shutil.copy(f"{src}/{sub}/{f}", f"{flat}/{i:03d}.parquet")
+                dst = f"{flat}/{i:03d}.parquet"
+                shutil.copy(f"{src}/{sub}/{f}", dst)
+                # FileStreamSource orders pending files by modification
+                # time and breaks ties arbitrarily — pin strictly
+                # increasing mtimes so batch 1 provably precedes batch 2.
+                os.utime(dst, (now + 10 * i, now + 10 * i))
     stream_src = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
