@@ -102,7 +102,10 @@ def main() -> int:
     # registry ran, persist total + per-family Spark seconds so the
     # bench artifact (bench.py embeds this file) doubles as a
     # regression signal for registry growth.
-    if not only:
+    if not only and sf_dir.rstrip("/").endswith("sf0.01"):
+        # Cost accounting is pinned to the canonical sf0.01 dir so a
+        # full sf0.1 certification run doesn't clobber the artifact
+        # with timings at a different scale.
         fam_tot: dict[str, float] = {}
         for n, s in spark_secs.items():
             fam_tot[families[n]] = round(fam_tot.get(families[n], 0.0) + s, 3)
