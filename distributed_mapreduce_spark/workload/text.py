@@ -754,3 +754,84 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "top_terms_by_lang",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({_sql_tokens('text')}) AS term FROM documents
+    ), cnt AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT lang, term, n, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, term) AS rnk
+      FROM cnt
+    ) WHERE rnk <= 5
+    """,
+)
+def q_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k over corpus counts: the 5 most frequent tokens per
+    language — the per-language frequency table a stopword list or
+    language-specific quality rule is built from (global counts hide
+    which tokens dominate WHICH language).
+
+    Plan: explode → (lang, term) hash-agg with map-side partials →
+    per-lang top-k window over the aggregated counts (|distinct terms
+    per lang| rows, bounded state) — never a global sort.
+    """
+    docs = table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("lang", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "n", "rnk")
+    )
+
+
+@query(
+    "docs_length_bands",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             CAST(length(bin(CAST(n_chars AS BIGINT))) - 1 AS INTEGER)
+               AS band,
+             n_chars
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT source, band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_docs_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram per source (band =
+    floor(log2(n_chars))): the heavy-tail shape check run before
+    setting chunking and packing parameters. The band is computed as
+    `length(bin(n)) - 1` — pure integer/string ops on BOTH engines, no
+    float log2 (libm rounding is not portable; bin() is).
+
+    Plan: per-row banding + one hash-agg; nothing else.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    band = (F.length(F.bin(F.col("n_chars").cast("bigint"))) - 1).cast("int")
+    return (
+        docs.select("source", band.alias("band"), "n_chars")
+        .groupBy("source", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
