@@ -1092,3 +1092,96 @@ def q_vocab_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov.cast("long")).alias("oov_tokens"),
         _bp_t(F.sum(oov.cast("long")), F.count(F.lit(1))).alias("oov_bp"),
     )
+
+
+#: Collocation support floor: pairs seen fewer times carry no signal.
+COLL_MIN_COUNT = LM_MIN_COUNT
+
+
+@query(
+    "collocation_pmi_lift",
+    oracle=f"""
+    WITH t AS (
+      SELECT {{tok}} AS toks FROM documents
+    ), bg AS (
+      SELECT gram,
+             string_split(gram, ' ')[1] AS w1,
+             string_split(gram, ' ')[2] AS w2,
+             CAST(count(*) AS BIGINT) AS c2
+      FROM t, unnest({{ng}}) AS u(gram)
+      GROUP BY gram
+    ), ug AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c1
+      FROM t, unnest(toks) AS u(tok)
+      GROUP BY tok
+    ), tot AS (
+      SELECT (SELECT CAST(sum(c2) AS BIGINT) FROM bg) AS n_bg,
+             (SELECT CAST(sum(c1) AS BIGINT) FROM ug) AS n_uni
+    )
+    SELECT bg.gram AS bigram, bg.c2 AS n_pair, ua.c1 AS n_w1, ub.c1 AS n_w2,
+           CAST(CAST(bg.c2 AS HUGEINT) * n_uni * n_uni * 10000
+                // (CAST(ua.c1 AS HUGEINT) * ub.c1 * n_bg)
+                AS BIGINT) AS pmi_lift_bp
+    FROM bg JOIN ug ua ON bg.w1 = ua.tok JOIN ug ub ON bg.w2 = ub.tok, tot
+    WHERE bg.c2 >= {COLL_MIN_COUNT}
+    """.format(
+        tok=_sql_tokens("text"), ng=_sql_ngrams("toks", 2)
+    ),
+)
+def q_collocation_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by PMI lift: for every bigram above the
+    support floor, the ratio p(w1w2) / (p(w1)·p(w2)) in exact basis
+    points — the association measure behind multi-word-expression
+    mining (``pmi_lift_bp`` is monotone in PMI, so ranking by it ==
+    ranking by PMI without a single float log). Complements
+    `lm_bigram_counts` (conditional P(w2|w1)) with the symmetric
+    marginal-normalized measure.
+
+    Exactness: c2·N_uni²·10⁴ ⫽ (c1a·c1b·N_bg) with operands widened to
+    DECIMAL(38,0)/HUGEINT per the wide-arithmetic policy (N_uni² keeps
+    the numerator within 38 digits up to ~10¹² corpus tokens with the
+    support floor applied first).
+
+    Plan: one explode per granularity, two hash aggregates with
+    map-side partials, the bigram head joined to the unigram table
+    twice on different keys (AQE-chosen strategy — sublinear but
+    unbounded sides), and a single-row totals relation broadcast
+    (bounded-hint class)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens(F.col("text")).alias("toks")).persist()
+    bg = (
+        toks.select(F.explode(_ngrams(F.col("toks"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    ).persist()
+    ug = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    tot = bg.agg(F.sum("c2").cast("long").alias("n_bg")).crossJoin(
+        ug.agg(F.sum("c1").cast("long").alias("n_uni"))
+    )
+    head = bg.where(F.col("c2") >= COLL_MIN_COUNT).select(
+        F.col("gram").alias("bigram"),
+        F.split(F.col("gram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("gram"), " ").getItem(1).alias("w2"),
+        "c2",
+    )
+    ua = ug.select(F.col("tok").alias("w1"), F.col("c1").alias("n_w1"))
+    ub = ug.select(F.col("tok").alias("w2"), F.col("c1").alias("n_w2"))
+    j = (
+        head.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    return j.select(
+        "bigram",
+        F.col("c2").alias("n_pair"),
+        "n_w1",
+        "n_w2",
+        F.expr(
+            "CAST(CAST(c2 AS DECIMAL(38,0)) * n_uni * n_uni * 10000"
+            " DIV (CAST(n_w1 AS DECIMAL(38,0)) * n_w2 * n_bg) AS BIGINT)"
+        ).alias("pmi_lift_bp"),
+    )

@@ -845,3 +845,70 @@ def q_events_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_micro"),
         )
     )
+
+
+@query(
+    "events_time_weighted_value",
+    oracle="""
+    WITH held AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS w_micros
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_weighted,
+           CAST(sum(w_micros) AS BIGINT) AS sum_w_micros,
+           CAST(CASE WHEN sum(w_micros) = 0 THEN 0
+                ELSE sum(CAST(v6 AS HUGEINT) * w_micros) // sum(w_micros)
+                END AS BIGINT) AS twap_value_e6
+    FROM held
+    WHERE w_micros IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the value each user "holds" between
+    events (TWAP): each event's value is weighted by the microseconds
+    until that user's next event (last event per user carries no
+    weight). Complements `events_ewma_trailing` (exponential decay)
+    with the exact integral form a metering / billing pipeline uses.
+
+    Exactness: value enters as DECIMAL(18,6) scaled to integer
+    micro-units (the double->decimal cast both engines share), weights
+    are integer microseconds from unix_micros, and the quotient is a
+    DECIMAL(38,0)/HUGEINT floor division — no float accumulation
+    anywhere, per the wide-arithmetic policy.
+
+    Plan: one lead() window partitioned by user_id (bounded per-key
+    state), then a hash aggregate on the small event_type domain with
+    map-side partials."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("v6"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("w_micros"),
+    ).where(F.col("w_micros").isNotNull())
+    agg = held.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weighted"),
+        F.sum("w_micros").cast("long").alias("sum_w_micros"),
+        F.sum(F.col("v6").cast("decimal(38,0)") * F.col("w_micros")).alias(
+            "_vw"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "n_weighted",
+        "sum_w_micros",
+        F.when(F.col("sum_w_micros") == 0, F.lit(0))
+        .otherwise(F.expr("CAST(_vw DIV sum_w_micros AS BIGINT)"))
+        .cast("long")
+        .alias("twap_value_e6"),
+    )

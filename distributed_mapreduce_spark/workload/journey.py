@@ -1045,3 +1045,58 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary_cents").cast("long").alias("sum_spent_cents"),
         )
     )
+
+
+@query(
+    "user_active_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             date_diff('day', DATE '1970-01-01', d)
+             - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ), runs AS (
+      SELECT user_id, grp, count(*) AS len, min(d) AS streak_start
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           count(*) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           min(streak_start) AS first_active_day
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-calendar-day activity streaks per user — the
+    date-arithmetic flavor of gaps-and-islands (epoch-day minus
+    row_number is constant within a consecutive run), complementing
+    `scd2_status_islands`' change-flag flavor.
+
+    Plan: distinct user-days first (collapses the raw table before any
+    window), then a row_number window partitioned by user_id (bounded
+    per-key state), then two hash aggregates on the same key — Spark
+    reuses the user_id partitioning across all three stages."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.min("streak_start").alias("first_active_day"),
+    )

@@ -1108,3 +1108,68 @@ def q_orders_sla_first_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("worst_lag_days"),
     )
+
+
+@query(
+    "join_not_in_null_aware",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders
+    WHERE nullif(o_custkey, 1) NOT IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware NOT IN, decomposed into a scale-safe plan. The naive
+    `col NOT IN (subquery)` forces Spark into NullAwareAntiJoin, which
+    REQUIRES broadcasting the subquery — fine for a dim, fatal when the
+    inner side scales (it falls back to BroadcastNestedLoopJoin). This
+    query implements the full three-valued semantics with bounded
+    broadcasts only:
+
+    - `S` empty        -> every row qualifies (even NULL left keys);
+    - `S` contains NULL -> no row qualifies;
+    - otherwise        -> left key NOT NULL and no equi-match.
+
+    Plan: one shuffled left outer join on the key (both sides scale
+    freely), plus a single-row aggregate indicator {|S|, has_null}
+    broadcast to every partition (bounded-hint class, like the
+    decile-bounds broadcast). The left key is made genuinely nullable
+    with NULLIF so the NULL branch is exercised, not just typed.
+
+    Reference parity note: the reference's SELECT grammar
+    (file_server/fileserver.py:1372-1382) has no subqueries at all;
+    this is the engine completing the declared-but-dead relational
+    surface with the semantics SQL actually requires."""
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "lk", F.expr("nullif(o_custkey, 1)")
+    )
+    inner = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("rk"))
+    )
+    ind = inner.agg(
+        F.count(F.lit(1)).cast("long").alias("n_inner"),
+        F.coalesce(
+            F.max(F.when(F.col("rk").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("has_null"),
+    )
+    matched = inner.where(F.col("rk").isNotNull()).distinct().withColumn(
+        "_m", F.lit(1)
+    )
+    j = (
+        orders.join(matched, orders["lk"] == matched["rk"], "left")
+        .crossJoin(F.broadcast(ind))
+    )
+    qualifies = (F.col("n_inner") == 0) | (
+        (F.col("has_null") == 0)
+        & F.col("lk").isNotNull()
+        & F.col("_m").isNull()
+    )
+    return (
+        j.where(qualifies)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
