@@ -1185,3 +1185,78 @@ def q_collocation_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(n_w1 AS DECIMAL(38,0)) * n_w2 * n_bg) AS BIGINT)"
         ).alias("pmi_lift_bp"),
     )
+
+
+@query(
+    "mixture_temperature_shares",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS n_tok
+      FROM (SELECT source, {{tok}} AS toks FROM documents)
+      GROUP BY source
+    ), w AS (
+      SELECT s.*, CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS sqrt_w
+      FROM s
+    ), t AS (
+      SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+             CAST(sum(sqrt_w) AS BIGINT) AS tot_w
+      FROM w
+    )
+    SELECT source, n_docs, n_tok,
+           CAST(n_tok * 10000 // tot_tok AS BIGINT) AS raw_share_bp,
+           CAST(sqrt_w * 10000 // tot_w AS BIGINT) AS temp_share_bp,
+           CAST(CASE WHEN n_tok * 10000 // tot_tok = 0 THEN 0
+                ELSE (sqrt_w * 10000 // tot_w) * 100
+                     // (n_tok * 10000 // tot_tok) END AS BIGINT)
+             AS boost_x100
+    FROM w, t
+    """.format(tok=_sql_tokens("text")),
+)
+def q_mixture_temperature_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced mixture shares (the multilingual-sampling
+    rule behind XLM-R-style corpora, alpha = 0.5): each source's
+    sampling share goes from its natural token share p_i to
+    q_i = sqrt(n_i) / sum(sqrt(n_j)), damping head sources and boosting
+    tail sources; ``boost_x100`` is the up/down-sampling factor each
+    source receives. Complements the fixed-rate `corpus_mixture_sample`
+    and the quota-count `stratified_quota_sample` with the
+    size-adaptive policy.
+
+    Exactness: IEEE-754 sqrt is correctly rounded in both engines and
+    token counts stay below 2^53, so floor(sqrt(n)) is bit-identical;
+    every share is an integer basis-point floor quotient — no float
+    accumulation.
+
+    Plan: one explode-free per-source token-count aggregate (size() on
+    the token array — no explode), a single-row totals relation
+    broadcast (bounded-hint class), and a |sources|-row projection."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "source", F.size(_tokens(F.col("text"))).alias("ntok_doc")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok_doc").cast("long").alias("n_tok"),
+    )
+    w = s.withColumn(
+        "sqrt_w",
+        F.floor(F.sqrt(F.col("n_tok").cast("double"))).cast("long"),
+    )
+    t = w.agg(
+        F.sum("n_tok").cast("long").alias("tot_tok"),
+        F.sum("sqrt_w").cast("long").alias("tot_w"),
+    )
+    j = w.crossJoin(F.broadcast(t))
+    raw_bp = F.expr("n_tok * 10000 DIV tot_tok")
+    temp_bp = F.expr("sqrt_w * 10000 DIV tot_w")
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tok",
+        raw_bp.cast("long").alias("raw_share_bp"),
+        temp_bp.cast("long").alias("temp_share_bp"),
+        F.when(raw_bp == 0, F.lit(0))
+        .otherwise(F.expr("(sqrt_w * 10000 DIV tot_w) * 100 DIV (n_tok * 10000 DIV tot_tok)"))
+        .cast("long")
+        .alias("boost_x100"),
+    )

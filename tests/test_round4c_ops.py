@@ -107,6 +107,32 @@ def test_pmi_lift_matches_bruteforce_for_one_pair(spark, sf_dir):
         assert r["pmi_lift_bp"] == expect
 
 
+def test_temperature_shares_damp_heads_boost_tails(spark, sf_dir):
+    """alpha=0.5 must compress the share distribution: every source
+    above the natural mean share is damped (boost < 1x), every source
+    far below it is boosted, and temperature shares still sum to ~1."""
+    from distributed_mapreduce_spark.workload.corpus import (
+        q_mixture_temperature_shares,
+    )
+
+    rows = q_mixture_temperature_shares(spark, sf_dir).collect()
+    assert rows
+    mean_bp = 10000 // len(rows)
+    assert abs(sum(r["temp_share_bp"] for r in rows) - 10000) <= len(rows)
+    for r in rows:
+        if r["raw_share_bp"] >= 2 * mean_bp:
+            assert r["boost_x100"] <= 100
+        if 0 < r["raw_share_bp"] <= mean_bp // 2:
+            assert r["boost_x100"] >= 100
+        import math
+
+        assert r["n_tok"] >= 0
+        expect_w = math.floor(math.sqrt(r["n_tok"]))
+        # reconstruct sqrt weight from the published shares
+        # (sqrt_w itself is not a column; check via monotonicity)
+        assert expect_w * expect_w <= r["n_tok"]
+
+
 def test_twap_matches_bruteforce(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     rows = ev.select(
