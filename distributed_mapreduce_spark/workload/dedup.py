@@ -207,11 +207,11 @@ def _sql_minhash_pairs() -> str:
         ["l.band = r.band"] + [f"l.h{r} = r.h{r}" for r in range(MINHASH_ROWS)]
     )
     return f"""
-    WITH bh AS (
+    WITH bh AS MATERIALIZED (
       SELECT doc_id, {_sql_bh()} AS bh FROM documents
-    ), sig AS (
+    ), sig AS MATERIALIZED (
       SELECT doc_id, bh, {_sql_minhash('bh', k)} AS sig FROM bh
-    ), bands AS (
+    ), bands AS MATERIALIZED (
       SELECT doc_id, b.* FROM sig,
       LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, {hcols})) b
     ), cand AS (
@@ -316,14 +316,18 @@ def ngram_jaccard_pairs(sh_df: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFra
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH bh AS (
+    WITH bh AS MATERIALIZED (
       SELECT doc_id, {_sql_bh()} AS bh FROM documents
     ), inv AS (
       SELECT doc_id, unnest(bh) AS gram FROM bh
-    ), rare AS (
-      SELECT doc_id, gram FROM (
-        SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM inv
-      ) WHERE df <= {NGRAM_MAX_DF}
+    ), rare AS MATERIALIZED (
+      -- df gate as an aggregate + equi-join (identical to the previous
+      -- count(*) OVER (PARTITION BY gram) formulation, without the
+      -- full-relation window sort)
+      SELECT inv.doc_id, inv.gram
+      FROM inv JOIN (
+        SELECT gram FROM inv GROUP BY gram HAVING count(*) <= {NGRAM_MAX_DF}
+      ) g ON inv.gram = g.gram
     ), cand AS (
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
       FROM rare l JOIN rare r ON l.gram = r.gram AND l.doc_id < r.doc_id
@@ -710,7 +714,7 @@ def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PF_BASE = 1 << 40
 
 _SQL_PREFIX_CAND = f"""
-    WITH bh AS (
+    WITH bh AS MATERIALIZED (
       SELECT doc_id, {_sql_bh()} AS bh FROM documents
     ), inv AS (
       SELECT doc_id, unnest(bh) AS h FROM bh
@@ -786,14 +790,18 @@ CONTAIN_NUM, CONTAIN_DEN = 9, 10
 @query(
     "dedup_containment_pairs",
     oracle=f"""
-    WITH bh AS (
+    WITH bh AS MATERIALIZED (
       SELECT doc_id, {_sql_bh()} AS bh FROM documents
     ), inv AS (
       SELECT doc_id, unnest(bh) AS gram FROM bh
-    ), rare AS (
-      SELECT doc_id, gram FROM (
-        SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM inv
-      ) WHERE df <= {NGRAM_MAX_DF}
+    ), rare AS MATERIALIZED (
+      -- df gate as an aggregate + equi-join (identical to the previous
+      -- count(*) OVER (PARTITION BY gram) formulation, without the
+      -- full-relation window sort)
+      SELECT inv.doc_id, inv.gram
+      FROM inv JOIN (
+        SELECT gram FROM inv GROUP BY gram HAVING count(*) <= {NGRAM_MAX_DF}
+      ) g ON inv.gram = g.gram
     ), cand AS (
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
       FROM rare l JOIN rare r ON l.gram = r.gram AND l.doc_id < r.doc_id
