@@ -1138,9 +1138,15 @@ def q_collocation_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginal-normalized measure.
 
     Exactness: c2·N_uni²·10⁴ ⫽ (c1a·c1b·N_bg) with operands widened to
-    DECIMAL(38,0)/HUGEINT per the wide-arithmetic policy (N_uni² keeps
-    the numerator within 38 digits up to ~10¹² corpus tokens with the
-    support floor applied first).
+    DECIMAL(38,0)/HUGEINT per the wide-arithmetic policy. Overflow
+    bound (worst case c2≈N_uni, i.e. a degenerate one-bigram corpus):
+    the numerator is ≤ N_uni³·10⁴, which stays inside 38 digits up to
+    N_uni ≈ 2×10¹¹ corpus tokens; with realistic marginals
+    (c2 ≪ N_uni) the practical ceiling is far higher. Past the bound
+    the engines diverge loudly-vs-silently (DuckDB HUGEINT raises,
+    non-ANSI Spark NULLs), so corpora beyond ~10¹¹ tokens should shard
+    this query per source before aggregating — do not widen the
+    arithmetic silently.
 
     Plan: one explode per granularity, two hash aggregates with
     map-side partials, the bigram head joined to the unigram table

@@ -6,6 +6,7 @@ and the TWAP integral vs a per-user brute force."""
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 
 from pyspark.sql import functions as F
 
@@ -45,13 +46,21 @@ def test_not_in_matches_spark_sql_not_in(spark, sf_dir):
 def test_not_in_excludes_nullified_left_keys(spark, sf_dir):
     """Rows whose left key is NULLed (o_custkey = 1) are UNKNOWN under
     NOT IN with a non-empty inner set, so the qualifying total must be
-    <= non-BUILDING-customer orders minus the custkey-1 orders."""
+    <= non-BUILDING-customer orders minus the custkey-1 orders. With an
+    EMPTY inner set, three-valued logic flips: NOT IN over {} is TRUE
+    for every row (including the NULLed ones), so the total must equal
+    all orders — both branches of the semantics are encoded here."""
+    cust = table(spark, sf_dir, "customer")
+    n_building = cust.where(F.col("c_mktsegment") == "BUILDING").count()
     orders = table(spark, sf_dir, "orders")
     n_custkey1 = orders.where(F.col("o_custkey") == 1).count()
     total_ours = sum(
         r["n_orders"] for r in q_join_not_in_null_aware(spark, sf_dir).collect()
     )
-    assert total_ours <= orders.count() - n_custkey1
+    if n_building == 0:
+        assert total_ours == orders.count()
+    else:
+        assert total_ours <= orders.count() - n_custkey1
 
 
 def test_streaks_match_bruteforce_per_user(spark, sf_dir):
@@ -147,7 +156,14 @@ def test_twap_matches_bruteforce(spark, sf_dir):
         evs.sort(key=lambda r: (r["us"], r["event_id"]))
         for a, b in zip(evs, evs[1:]):
             w = b["us"] - a["us"]
-            v6 = int(round(a["value"] * 1_000_000))
+            # Mirror the engines' double -> DECIMAL(18,6) cast, which
+            # rounds half AWAY FROM ZERO — Python round() is banker's
+            # (half-to-even) and would flake on exact .5 micro-units.
+            v6 = int(
+                decimal.Decimal(a["value"] * 1_000_000).quantize(
+                    decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+                )
+            )
             s = sums.setdefault(a["event_type"], [0, 0, 0])
             s[0] += 1
             s[1] += w
