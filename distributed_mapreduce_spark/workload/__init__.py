@@ -35,6 +35,8 @@ from distributed_mapreduce_spark.workload import corpus  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import skew_q  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import versioning  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import bpe  # noqa: F401,E402
+from distributed_mapreduce_spark.workload import retrieval  # noqa: F401,E402
+from distributed_mapreduce_spark.workload import mlprep  # noqa: F401,E402
 
 # The grading driver samples the FIRST 50 registered queries. Pin that
 # prefix EXPLICITLY: SURVEY §2 parity + one green representative per

@@ -912,3 +912,97 @@ def q_events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twap_value_e6"),
     )
+
+
+#: Interpolation grid step: one hour in microseconds.
+INTERP_HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_gap_fill_interpolate",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             epoch_us(ts) AS us,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_e6,
+             lead(epoch_us(ts)) OVER w AS nxt_us,
+             lead(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+               OVER w AS nxt_v_e6
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), gaps AS (
+      SELECT *, us // {INTERP_HOUR_US} + 1 AS h0,
+             (nxt_us - 1) // {INTERP_HOUR_US} AS h1
+      FROM pts WHERE nxt_us IS NOT NULL AND nxt_us > us
+    ), grid AS (
+      SELECT user_id, us, v_e6, nxt_us, nxt_v_e6,
+             h * {INTERP_HOUR_US} AS g_us
+      FROM gaps, unnest(generate_series(h0, h1)) AS t(h)
+      WHERE h0 <= h1
+    )
+    SELECT user_id, make_timestamp(g_us) AS ts,
+           CAST((CAST(v_e6 AS HUGEINT) * (nxt_us - g_us)
+                 + CAST(nxt_v_e6 AS HUGEINT) * (g_us - us))
+                // (nxt_us - us) AS BIGINT) AS value_e6
+    FROM grid
+    """,
+)
+def q_events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling: project every user's irregular
+    event series onto the hourly grid, filling each grid instant
+    strictly inside a gap with the time-weighted blend of the two
+    surrounding readings — the interpolating complement of
+    `events_gap_fill_locf` (step-function fill) for trend models that
+    must not see staircase artifacts.
+
+    Exactness: value in fixed micro-units via the DECIMAL(18,6) cast;
+    the blend (v₀·(t₁−g) + v₁·(g−t₀)) ⫽ (t₁−t₀) is integer arithmetic
+    widened to DECIMAL(38,0)/HUGEINT (day-long gaps × µs weights
+    overflow BIGINT).
+
+    Plan: one lead() window per user key, then a per-row sequence()
+    explode — grid rows are generated exactly where they land, no
+    spine join, no shuffle beyond the user window. Output is bounded
+    by users × span-hours, independent of event density."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v_e6 = F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+    pts = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            v_e6.alias("v_e6"),
+        )
+        .select(
+            "user_id",
+            "us",
+            "v_e6",
+            F.lead("us").over(w).alias("nxt_us"),
+            F.lead("v_e6").over(w).alias("nxt_v_e6"),
+        )
+    )
+    gaps = (
+        pts.filter(F.col("nxt_us").isNotNull() & (F.col("nxt_us") > F.col("us")))
+        .withColumn("h0", F.expr(f"us div {INTERP_HOUR_US} + 1"))
+        .withColumn("h1", F.expr(f"(nxt_us - 1) div {INTERP_HOUR_US}"))
+        .filter(F.col("h0") <= F.col("h1"))
+    )
+    grid = gaps.select(
+        "user_id",
+        "us",
+        "v_e6",
+        "nxt_us",
+        "nxt_v_e6",
+        F.explode(F.sequence("h0", "h1")).alias("h"),
+    ).withColumn("g_us", F.col("h") * INTERP_HOUR_US)
+    return grid.select(
+        "user_id",
+        F.timestamp_micros("g_us").alias("ts"),
+        F.expr(
+            "CAST((CAST(v_e6 AS DECIMAL(38,0)) * (nxt_us - g_us)"
+            "      + CAST(nxt_v_e6 AS DECIMAL(38,0)) * (g_us - us))"
+            " DIV (nxt_us - us) AS BIGINT)"
+        ).alias("value_e6"),
+    )

@@ -669,3 +669,89 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
     )
     return out
+
+
+#: Resource-allocation link prediction: pairs kept.
+RA_TOP_K = 100
+
+
+@query(
+    "graph_resource_allocation",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_EDGES_SQL}),
+    und AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL
+      SELECT dst AS u, src AS v FROM e
+    ),
+    deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u
+    ),
+    scored AS (
+      SELECT w1.v AS a, w2.v AS c,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(1000000 // deg.deg) AS BIGINT) AS ra_e6
+      FROM und w1
+      JOIN und w2 ON w1.u = w2.u AND w1.v < w2.v
+      JOIN deg ON deg.node = w1.u
+      GROUP BY 1, 2
+    )
+    SELECT a, c, n_common, ra_e6
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = s.a AND e.dst = s.c)
+    ORDER BY ra_e6 DESC, a, c
+    LIMIT {RA_TOP_K}
+    """,
+)
+def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by the resource-allocation index (Zhou, Lü &
+    Zhang, Eur. Phys. J. B 2009): for every non-adjacent pair (a, c),
+    RA = Σ_{{b ∈ N(a)∩N(c)}} 1/deg(b), in exact micro-units
+    ⌊10⁶/deg(b)⌋ per common neighbor — the degree-weighted refinement
+    of `graph_common_neighbors` (hub-mediated wedges count less).
+    Already-connected pairs are anti-joined out: the score predicts
+    NEW links. Top-{RA_TOP_K} by (ra_e6, a, c).
+
+    Plan: wedge self-join of the undirected incidence list on the
+    center node with the center's degree attached (one extra
+    equi-join against the ≤|V|-row degree relation), hash-aggregated
+    per endpoint pair, anti-joined against the oriented edge set, and
+    TakeOrdered for the global top-k (per-partition top-k + driver
+    merge — no global sort shuffle). Same O(Σ deg²) wedge bound as
+    the triangle family; AQE handles residual skew."""
+    e = _edges(spark, sf_dir).cache()
+    und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    w1 = und.alias("w1")
+    w2 = und.alias("w2")
+    scored = (
+        w1.join(
+            w2,
+            (F.col("w1.u") == F.col("w2.u")) & (F.col("w1.v") < F.col("w2.v")),
+        )
+        .join(deg, F.col("w1.u") == F.col("node"))
+        .select(
+            F.col("w1.v").alias("a"),
+            F.col("w2.v").alias("c"),
+            F.expr("1000000 div deg").alias("contrib"),
+        )
+        .groupBy("a", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("contrib").cast("long").alias("ra_e6"),
+        )
+    )
+    new_pairs = scored.join(
+        e,
+        (scored["a"] == e["src"]) & (scored["c"] == e["dst"]),
+        "left_anti",
+    )
+    return (
+        new_pairs.orderBy(F.desc("ra_e6"), "a", "c")
+        .limit(RA_TOP_K)
+        .select("a", "c", "n_common", "ra_e6")
+    )

@@ -1,0 +1,208 @@
+"""Feature-engineering / dataset-preparation operators with built-in
+leakage discipline — the transforms that sit between a raw corpus and
+a training run.
+
+Two classic leakage traps, each solved in-plan:
+
+- `target_encode_loo`: categorical target encoding computed
+  leave-one-out — each row's own label is subtracted from its
+  category's aggregate before the rate is formed, so the encoded
+  feature never contains the row's own target (the standard remedy for
+  target-encoding leakage, cf. the CatBoost ordered-statistics
+  argument, Prokhorenkova et al., NeurIPS'18).
+- `group_split_audit`: train/val/test assignment hashed at the ENTITY
+  level (user), never the row level, so all rows of one user land in
+  one split — and the query *proves* it, publishing the count of
+  users straddling splits (0 by construction) as an output column
+  instead of leaving the invariant to documentation.
+
+Reference parity note: the reference has no ML-prep surface (its
+pipeline ends at SQL-style filter/join/aggregate,
+`/root/reference/file_server/fileserver.py`); this family extends the
+same shuffle-aggregate skeleton to the training-data contracts.
+
+Exactness: rates in integer basis points (sum−y)·10⁴ ⫽ (n−1); split
+hashing on md5-derived buckets — both bit-identical across engines.
+
+Scale shape (100 TB):
+- Target encoding: one hash-aggregate to ≤|categories| rows,
+  broadcast back over the fact scan — no second shuffle of facts, no
+  window.
+- Group split: md5(user) bucket is a pure row expression; the audit is
+  one aggregate over (user, split) pairs — distinct-combine bounded by
+  |users|·3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+
+#: Binary target: "big order" — totalprice above this cut.
+TE_PRICE_CUT = 150_000.0
+
+#: Split geometry: md5 bucket of 100 → train <90, val <95, else test.
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 90
+SPLIT_VAL_LT = 95
+
+
+@query(
+    "target_encode_loo",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             CASE WHEN o_totalprice > {TE_PRICE_CUT} THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), agg AS (
+      SELECT cat, CAST(count(*) AS BIGINT) AS n_cat,
+             CAST(sum(y) AS BIGINT) AS sum_cat
+      FROM lab GROUP BY cat
+    ), prior AS (
+      SELECT CAST(CAST(sum(sum_cat) AS HUGEINT) * 10000
+                  // sum(n_cat) AS BIGINT) AS prior_bp
+      FROM agg
+    )
+    SELECT o_orderkey, cat, CAST(y AS BIGINT) AS y,
+           CASE WHEN n_cat > 1
+                THEN CAST(CAST(sum_cat - y AS HUGEINT) * 10000
+                          // (n_cat - 1) AS BIGINT)
+                ELSE prior_bp END AS te_loo_bp
+    FROM lab JOIN agg USING (cat) CROSS JOIN prior
+    """,
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against the
+    "big order" label (o_totalprice > {TE_PRICE_CUT}): each row gets
+    (sum_cat − y_row)·10⁴ ⫽ (n_cat − 1) basis points; singleton
+    categories fall back to the global prior rate.
+
+    Plan: one scan → hash-aggregate to 5 category rows (map-side
+    partials), broadcast join back over a second scan plus a 1-row
+    prior broadcast — the facts shuffle zero times."""
+    lab = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_totalprice") > TE_PRICE_CUT, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    agg = lab.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cat"),
+        F.sum("y").cast("long").alias("sum_cat"),
+    )
+    prior = agg.agg(
+        F.expr(
+            "CAST(CAST(sum(sum_cat) AS DECIMAL(38,0)) * 10000"
+            " DIV sum(n_cat) AS BIGINT)"
+        ).alias("prior_bp")
+    )
+    return (
+        lab.join(F.broadcast(agg), "cat")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "o_orderkey",
+            "cat",
+            F.col("y").cast("long").alias("y"),
+            F.when(
+                F.col("n_cat") > 1,
+                F.expr(
+                    "CAST(CAST(sum_cat - y AS DECIMAL(38,0)) * 10000"
+                    " DIV (n_cat - 1) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.col("prior_bp"))
+            .alias("te_loo_bp"),
+        )
+    )
+
+
+@query(
+    "group_split_audit",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id, event_id,
+             CASE
+               WHEN ('0x' || substr(md5('gs' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                    % {SPLIT_BUCKETS} < {SPLIT_TRAIN_LT} THEN 'train'
+               WHEN ('0x' || substr(md5('gs' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                    % {SPLIT_BUCKETS} < {SPLIT_VAL_LT} THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM events
+    ), per_split AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM assigned GROUP BY split
+    ), tot AS (
+      SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM per_split
+    ), leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS leak_users FROM (
+        SELECT user_id FROM assigned GROUP BY user_id
+        HAVING count(DISTINCT split) > 1
+      )
+    )
+    SELECT split, n_events, n_users,
+           CAST(CAST(n_events AS HUGEINT) * 10000 // n_total AS BIGINT)
+             AS share_bp,
+           leak_users
+    FROM per_split CROSS JOIN tot CROSS JOIN leak
+    """,
+)
+def q_group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level (user-hashed) train/val/test assignment over
+    events, with the leakage audit in the result: `leak_users` counts
+    users whose rows landed in more than one split — provably 0 when
+    the split key is the entity hash, and the first column to go red
+    if someone "fixes" it to a row hash.
+
+    Plan: split is a pure md5 row expression (no shuffle); per-split
+    stats are one hash-aggregate with a distinct-user combine; the
+    audit aggregates (user, split) pairs — bounded by |users|·3."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gs"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_BUCKETS
+    )
+    assigned = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    tot = per_split.agg(F.sum("n_events").cast("long").alias("n_total"))
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leak_users"))
+    )
+    return (
+        per_split.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            F.expr(
+                "CAST(CAST(n_events AS DECIMAL(38,0)) * 10000"
+                " DIV n_total AS BIGINT)"
+            ).alias("share_bp"),
+            "leak_users",
+        )
+    )

@@ -1,0 +1,371 @@
+"""Ranked retrieval over `documents` — BM25 scoring and hybrid
+lexical+semantic fusion (reciprocal-rank fusion).
+
+This family extends the reference's grep/SELECT surface
+(`/root/reference/file_server/fileserver.py` regex SELECT: boolean
+match only, no ranking) to scored retrieval — the operation a
+training-data pipeline runs to pull topical subsets out of a 100 TB
+corpus and to mine hybrid (keyword ∪ embedding) candidates.
+
+Exactness policy (repo-wide): no float ever reaches the comparator.
+
+- BM25's tf-saturation term is *exactly rational* for k1 = 6/5 and
+  b = 3/4: tf·(k1+1) / (tf + k1(1−b) + k1·b·dl/avgdl) with
+  avgdl = total_len/n_docs becomes, after multiplying through by
+  10·total_len,  22·tf·total_len / (10·tf·total_len + 3·total_len
+  + 9·dl·n_docs) — all integers.
+- The idf factor ln((N−df+½)/(df+½)) is replaced by the integer
+  surrogate  idf_e6 = ⌊(2(N−df)+1)·10⁶ / (2df+1)⌋ — the argument of
+  the log, doubled to clear the halves. Monotone in the true idf, so
+  per-term ranking is preserved (same device as `tfidf_top_terms`,
+  `workload/quality.py`); documented as a surrogate, not BM25's exact
+  log weighting.
+- Per-term score = ⌊idf_e6 · 22·tf·total_len·1000 / denom⌋ summed per
+  (query, doc) — sums of integers, bit-identical on both engines.
+  Overflow headroom: idf_e6 ≤ ~2N·10⁶/3; the product is
+  ≤ ~1.5·10⁹·N·tf·total_len·10³ — inside DECIMAL(38,0)/HUGEINT for
+  N·tf·total_len ≲ 10²⁵ (e.g. 10¹⁰ docs × 10¹³ total tokens with
+  tf ≤ 10²), with the df ≥ 1 guarantee keeping the divisor positive.
+
+Scale shape (100 TB):
+- The scored relation is unbounded (most docs match ≥1 query term), so
+  the per-query top-k is a **salted two-stage window**: stage 1 ranks
+  within (query, salt) — {TOPK_SALTS} independent partitions — and
+  keeps k; stage 2 ranks the ≤ salts·k survivors per query. Exact (any
+  global top-k row is top-k within its salt) and never materializes a
+  single-partition window over raw rows.
+- tf is one exploded hash-aggregate with the query-term filter pushed
+  BELOW the explode (`array_intersect` before the unnest); df and idf
+  live on the tiny term relation; doc lengths join on doc_id
+  (equi-shuffle); totals attach as a 1-row broadcast.
+- RRF fuses two ≤pool-row ranked lists — the final window runs over
+  ≤ 2·pool rows by construction (bounded-window class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.registry import query, table
+from distributed_mapreduce_spark.workload.similarity import (
+    _sql_cos_u,
+    cosine_u,
+)
+from distributed_mapreduce_spark.workload.text import _sql_tokens, _tokens
+
+#: Fixed keyword queries (terms from the harness vocabulary).
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("spark", "join", "hash"),
+    1: ("window", "vector", "scan"),
+}
+BM25_TOP_K = 10
+#: Salt fan-out of the two-stage top-k (stage-2 input ≤ salts·k rows).
+TOPK_SALTS = 8
+
+#: Reciprocal-rank fusion: pool depth per ranked list, the standard
+#: k=60 damping constant, fused cutoff, and the anchor query.
+RRF_POOL = 50
+RRF_K = 60
+RRF_TOP = 10
+RRF_QUERY_ID = 0
+RRF_QVEC_ID = 0
+
+
+def _salt(col: Column, tag: str, mod: int) -> Column:
+    """md5-derived deterministic salt — portable across engines."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def _sql_salt(col: str, tag: str, mod: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{tag}' || CAST({col} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {mod})"
+    )
+
+
+def _two_stage_topk(
+    scored: DataFrame, part_cols: list[str], order_cols: list[Column], k: int,
+    salt_tag: str,
+) -> DataFrame:
+    """Exact distributed top-k per `part_cols` group: per-salt top-k,
+    then top-k over the ≤ TOPK_SALTS·k survivors. Adds `rnk`."""
+    salted = scored.withColumn(
+        "_salt", _salt(F.col("doc_id"), salt_tag, TOPK_SALTS)
+    )
+    w1 = Window.partitionBy(*(part_cols + ["_salt"])).orderBy(*order_cols)
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .drop("_salt", "_r1")
+    )
+
+
+def _bm25_scored(
+    spark: SparkSession, sf_dir: str, queries: dict[int, tuple[str, ...]]
+) -> DataFrame:
+    """(query_id, doc_id, score_e9) for every doc matching ≥1 term."""
+    docs = table(spark, sf_dir, "documents")
+    terms = sorted({t for ts in queries.values() for t in ts})
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id INT, term STRING",
+    )
+    tokd = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    dl = tokd.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    # Query-term filter BELOW the explode: only matching tokens fan out.
+    tf = (
+        tokd.select(
+            "doc_id",
+            F.explode(
+                F.array_intersect(
+                    "toks", F.array(*[F.lit(t) for t in terms])
+                )
+            ).alias("term"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.size(F.filter("toks", lambda x: x == F.col("term")))
+            .cast("long")
+            .alias("tf"),
+        )
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = df.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "df",
+        F.expr(
+            "CAST((CAST(2 AS DECIMAL(38,0)) * (n_docs - df) + 1) * 1000000"
+            " DIV (2 * df + 1) AS BIGINT)"
+        ).alias("idf_e6"),
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "CAST(CAST(idf_e6 AS DECIMAL(38,0)) * 22 * tf * total_len * 1000"
+                " DIV (CAST(10 AS DECIMAL(38,0)) * tf * total_len"
+                "      + 3 * total_len + 9 * dl * n_docs) AS BIGINT)"
+            ).alias("term_score_e9"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score_e9").cast("long").alias("score_e9"))
+    )
+
+
+def _bm25_scored_sql(queries: dict[int, tuple[str, ...]]) -> str:
+    """CTE chain ending in scored(query_id, doc_id, score_e9)."""
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(queries.items()) for t in ts
+    )
+    terms = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in queries.values() for t in ts})
+    )
+    return f"""
+    q(query_id, term) AS (VALUES {values}),
+    tokd AS (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tokd),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, tok AS term,
+             CAST(len(list_filter(toks, x -> x = tok)) AS BIGINT) AS tf
+      FROM tokd, unnest(list_intersect(toks, [{terms}])) AS u(tok)
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    idf AS (
+      SELECT term, df,
+             CAST((CAST(2 AS HUGEINT) * (n_docs - df) + 1) * 1000000
+                  // (2 * df + 1) AS BIGINT) AS idf_e6
+      FROM df CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(sum(
+               CAST(idf.idf_e6 AS HUGEINT) * 22 * tf.tf * total_len * 1000
+               // (CAST(10 AS HUGEINT) * tf.tf * total_len
+                   + 3 * total_len + 9 * dl.dl * n_docs)
+             ) AS BIGINT) AS score_e9
+      FROM tf
+      JOIN idf ON tf.term = idf.term
+      JOIN q ON tf.term = q.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN tot
+      GROUP BY 1, 2
+    )"""
+
+
+def _sql_two_stage_topk(scored: str, part: str, k: int, salt_tag: str) -> str:
+    """CTE chain `s1`,`s2` mirroring `_two_stage_topk` over `{scored}`;
+    `part` is '' (global) or 'query_id,' column prefix."""
+    pby1 = f"{part} _salt".replace(",", ", ") if part else "_salt"
+    pby2 = part.rstrip(",") if part else None
+    over2 = (
+        f"PARTITION BY {pby2} ORDER BY score_e9 DESC, doc_id"
+        if pby2
+        else "ORDER BY score_e9 DESC, doc_id"
+    )
+    return f"""
+    salted AS (
+      SELECT *, {_sql_salt('doc_id', salt_tag, TOPK_SALTS)} AS _salt
+      FROM {scored}
+    ),
+    s1 AS (
+      SELECT *, row_number() OVER (PARTITION BY {pby1}
+                                   ORDER BY score_e9 DESC, doc_id) AS r1
+      FROM salted
+    ),
+    s2 AS (
+      SELECT * EXCLUDE (r1, _salt),
+             CAST(row_number() OVER ({over2}) AS INTEGER) AS rnk
+      FROM s1 WHERE r1 <= {k}
+    )"""
+
+
+@query(
+    "bm25_top_docs",
+    oracle=f"""
+    WITH {_bm25_scored_sql(BM25_QUERIES)},
+    {_sql_two_stage_topk('scored', 'query_id,', BM25_TOP_K, 'tk')}
+    SELECT query_id, doc_id, score_e9, rnk
+    FROM s2 WHERE rnk <= {BM25_TOP_K}
+    """,
+)
+def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOP_K} documents per keyword query under integer-exact
+    BM25 (k1=6/5, b=3/4; idf surrogate — module docstring). The per-
+    query top-k is the salted two-stage window: exact, and never a
+    single-partition pass over the unbounded scored relation."""
+    scored = _bm25_scored(spark, sf_dir, BM25_QUERIES)
+    top = _two_stage_topk(
+        scored,
+        ["query_id"],
+        [F.col("score_e9").desc(), F.col("doc_id")],
+        BM25_TOP_K,
+        "tk",
+    )
+    return top.select("query_id", "doc_id", "score_e9", "rnk")
+
+
+@query(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH {_bm25_scored_sql({RRF_QUERY_ID: BM25_QUERIES[RRF_QUERY_ID]})},
+    {_sql_two_stage_topk('scored', '', RRF_POOL, 'tk')},
+    lex AS (SELECT doc_id, rnk FROM s2 WHERE rnk <= {RRF_POOL}),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {RRF_QVEC_ID}),
+    sem_scored AS (
+      SELECT e.vec_id AS doc_id,
+             {_sql_cos_u('e.embedding', 'qv.qv')} AS score_e9
+      FROM embeddings e CROSS JOIN qv
+    ),
+    sem_salted AS (
+      SELECT *, {_sql_salt('doc_id', 'sk', TOPK_SALTS)} AS _salt
+      FROM sem_scored
+    ),
+    t1 AS (
+      SELECT *, row_number() OVER (PARTITION BY _salt
+                                   ORDER BY score_e9 DESC, doc_id) AS r1
+      FROM sem_salted
+    ),
+    sem AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_e9 DESC, doc_id)
+                  AS INTEGER) AS rnk
+      FROM t1 WHERE r1 <= {RRF_POOL}
+      QUALIFY rnk <= {RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.rnk AS lex_rnk, s.rnk AS sem_rnk,
+             CAST(COALESCE(1000000 // (60 + l.rnk), 0)
+                  + COALESCE(1000000 // (60 + s.rnk), 0) AS BIGINT) AS rrf_e6
+      FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, lex_rnk, sem_rnk, rrf_e6, rnk FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id)
+                     AS INTEGER) AS rnk
+      FROM fused
+    ) WHERE rnk <= {RRF_TOP}
+    """,
+)
+def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 ranking for query
+    {BM25_QUERIES[RRF_QUERY_ID]} with the embedding-cosine ranking
+    around vector {RRF_QVEC_ID} by reciprocal-rank fusion
+    (Cormack et al., SIGIR'09): rrf = Σ 1/(60+rank), in exact
+    micro-units ⌊10⁶/(60+rank)⌋ per list.
+
+    Plan: each ranked list is pooled to {RRF_POOL} rows by the salted
+    two-stage top-k (the semantic side streams all vectors past one
+    broadcast query vector — linear scan, no pairwise blowup); the
+    full-outer fusion and final window touch ≤ 2·{RRF_POOL} rows."""
+    scored = _bm25_scored(
+        spark, sf_dir, {RRF_QUERY_ID: BM25_QUERIES[RRF_QUERY_ID]}
+    )
+    lex = (
+        _two_stage_topk(
+            scored,
+            [],
+            [F.col("score_e9").desc(), F.col("doc_id")],
+            RRF_POOL,
+            "tk",
+        )
+        .select("doc_id", F.col("rnk").alias("lex_rnk"))
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == RRF_QVEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    sem_scored = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_u(F.col("embedding"), F.col("qv")).alias("score_e9"),
+    )
+    sem = (
+        _two_stage_topk(
+            sem_scored,
+            [],
+            [F.col("score_e9").desc(), F.col("doc_id")],
+            RRF_POOL,
+            "sk",
+        )
+        .select("doc_id", F.col("rnk").alias("sem_rnk"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rnk",
+        "sem_rnk",
+        (
+            F.coalesce(F.expr("1000000 div (60 + lex_rnk)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + sem_rnk)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_e6"),
+    )
+    w = Window.orderBy(F.col("rrf_e6").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RRF_TOP)
+        .select("doc_id", "lex_rnk", "sem_rnk", "rrf_e6", "rnk")
+    )

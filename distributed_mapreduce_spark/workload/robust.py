@@ -480,3 +480,89 @@ def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long"),
     ).select("s_nationkey", "n_suppliers", "hhi_bp")
+
+
+@query(
+    "events_drift_tv",
+    oracle="""
+    WITH b AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+      FROM events
+    ), halves AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) <= mid_us THEN 0 ELSE 1 END AS half
+      FROM events CROSS JOIN b
+    ), per AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+      FROM halves GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(n_first) AS BIGINT) AS t1,
+             CAST(sum(n_second) AS BIGINT) AS t2
+      FROM per
+    ), contrib AS (
+      SELECT event_type, n_first, n_second,
+             CAST(CAST(n_first AS HUGEINT) * 10000 // t1 AS BIGINT) AS share_first_bp,
+             CAST(CAST(n_second AS HUGEINT) * 10000 // t2 AS BIGINT) AS share_second_bp,
+             CAST(abs(CAST(n_first AS HUGEINT) * t2 - CAST(n_second AS HUGEINT) * t1)
+                  * 1000000 // (CAST(2 AS HUGEINT) * t1 * t2) AS BIGINT) AS tv_contrib_e6
+      FROM per CROSS JOIN tot
+    )
+    SELECT event_type, n_first, n_second, share_first_bp, share_second_bp,
+           tv_contrib_e6,
+           CAST(sum(tv_contrib_e6) OVER () AS BIGINT) AS tv_total_e6
+    FROM contrib
+    """,
+)
+def q_events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: total-variation distance between the
+    event-type mix of the stream's first and second time halves
+    (boundary = midpoint of the observed span). TV = ½·Σ|p₁−p₂| is the
+    drift statistic that needs no logarithm, so — unlike PSI or KL —
+    it is computable in EXACT integer arithmetic: per-type contribution
+    ⌊|n₁·t₂ − n₂·t₁|·10⁶ / (2·t₁·t₂)⌋ (cross-multiplied shares;
+    ≤ 10²⁴·10⁶ at 10¹² events — inside HUGEINT/DECIMAL(38,0)), summed
+    to the global score repeated per row.
+
+    Plan: one 2-value bounds aggregate broadcast back over the scan,
+    one hash-aggregate to |event_type| rows; the TV window runs over
+    those ≤|types| aggregated rows (bounded-window class)."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr(
+            "CAST((unix_micros(min(ts)) + unix_micros(max(ts))) div 2 AS BIGINT)"
+        ).alias("mid_us")
+    )
+    halves = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(F.unix_micros("ts") <= F.col("mid_us"), 0).otherwise(1).alias("half"),
+    )
+    per = halves.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_first"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_second"),
+    )
+    tot = per.agg(
+        F.sum("n_first").cast("long").alias("t1"),
+        F.sum("n_second").cast("long").alias("t2"),
+    )
+    contrib = per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.expr(
+            "CAST(CAST(n_first AS DECIMAL(38,0)) * 10000 DIV t1 AS BIGINT)"
+        ).alias("share_first_bp"),
+        F.expr(
+            "CAST(CAST(n_second AS DECIMAL(38,0)) * 10000 DIV t2 AS BIGINT)"
+        ).alias("share_second_bp"),
+        F.expr(
+            "CAST(abs(CAST(n_first AS DECIMAL(38,0)) * t2"
+            "         - CAST(n_second AS DECIMAL(38,0)) * t1)"
+            " * 1000000 DIV (CAST(2 AS DECIMAL(38,0)) * t1 * t2) AS BIGINT)"
+        ).alias("tv_contrib_e6"),
+    )
+    w = Window.partitionBy()
+    return contrib.withColumn(
+        "tv_total_e6", F.sum("tv_contrib_e6").over(w).cast("long")
+    )

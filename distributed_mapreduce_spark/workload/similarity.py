@@ -793,3 +793,64 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
         )
     )
+
+
+#: Semantic-decontamination threshold (micro-cosine). Calibrated like
+#: NEAR_DUP_COS_U: the harness vectors are random-ish, so 0.30 sits in
+#: the top ~1% of eval-vs-corpus cosines — low enough that the
+#: differential check compares real rows. A production pipeline with
+#: genuine paraphrased contamination would raise this toward 0.85+.
+DECON_SEM_COS_U = 300_000
+
+
+@query(
+    "decontam_semantic_overlap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 97 = 0
+    ), corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 97 <> 0
+    ), hits AS (
+      SELECT c.vec_id,
+             {_sql_cos_u('c.embedding', 'ev.embedding')} AS cos_u
+      FROM corpus c CROSS JOIN ev
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+           CAST(max(cos_u) AS BIGINT) AS max_cos_u
+    FROM hits WHERE cos_u >= {DECON_SEM_COS_U}
+    GROUP BY vec_id
+    """,
+)
+def q_decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set decontamination: the embedding-space twin of
+    `decontam_ngram_overlap` (`workload/corpus.py`) — corpus vectors
+    whose cosine to ANY eval-set vector (same deterministic
+    doc_id %% 97 gate) reaches {DECON_SEM_COS_U} µ-cos are flagged with
+    their hit count and worst overlap. Catches paraphrased benchmark
+    contamination that exact n-gram matching cannot see; n-gram
+    decontam catches verbatim overlap below the embedding threshold —
+    pipelines run both.
+
+    Plan: the eval side is tiny by construction (~1% gate standing in
+    for a benchmark suite) and broadcasts; corpus vectors stream past
+    it in one scan — linear in corpus size, no shuffle of the corpus,
+    aggregation keyed on the already-partitioned vec_id."""
+    emb = table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("embedding").alias("ev_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    hits = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        cosine_u(F.col("embedding"), F.col("ev_emb")).alias("cos_u"),
+    )
+    return (
+        hits.filter(F.col("cos_u") >= DECON_SEM_COS_U)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+            F.max("cos_u").cast("long").alias("max_cos_u"),
+        )
+    )

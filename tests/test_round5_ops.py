@@ -1,0 +1,223 @@
+"""Semantic tests for the round-5 operators (beyond the differential
+harness): BM25 against a Python brute force, RRF list-fusion
+invariants, leave-one-out encoding leakage-freedom, entity-split
+leakage audit, resource-allocation scoring vs brute force, and linear
+interpolation boundary behavior."""
+
+from __future__ import annotations
+
+import decimal
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload.events import (
+    INTERP_HOUR_US,
+    q_events_gap_fill_interpolate,
+)
+from distributed_mapreduce_spark.workload.graph import (
+    q_graph_resource_allocation,
+)
+from distributed_mapreduce_spark.workload.mlprep import (
+    TE_PRICE_CUT,
+    q_group_split_audit,
+    q_target_encode_loo,
+)
+from distributed_mapreduce_spark.workload.registry import table
+from distributed_mapreduce_spark.workload.retrieval import (
+    BM25_QUERIES,
+    BM25_TOP_K,
+    q_bm25_top_docs,
+    q_retrieval_rrf_fusion,
+)
+from distributed_mapreduce_spark.workload.text import _tokens
+
+
+def _bm25_bruteforce(docs_tokens: dict[int, list[str]], terms: tuple[str, ...]):
+    """Integer BM25 scores exactly as documented in retrieval.py."""
+    n_docs = len(docs_tokens)
+    total_len = sum(len(t) for t in docs_tokens.values())
+    df = Counter()
+    for toks in docs_tokens.values():
+        for t in set(toks) & set(terms):
+            df[t] += 1
+    scores: dict[int, int] = defaultdict(int)
+    for doc_id, toks in docs_tokens.items():
+        dl = len(toks)
+        tf = Counter(t for t in toks if t in terms)
+        for t, f in tf.items():
+            idf_e6 = (2 * (n_docs - df[t]) + 1) * 1_000_000 // (2 * df[t] + 1)
+            num = idf_e6 * 22 * f * total_len * 1000
+            den = 10 * f * total_len + 3 * total_len + 9 * dl * n_docs
+            scores[doc_id] += num // den
+    return scores
+
+
+def test_bm25_matches_bruteforce(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = {
+        r["doc_id"]: list(r["toks"])
+        for r in docs.select(
+            "doc_id", _tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    got = defaultdict(dict)
+    for r in q_bm25_top_docs(spark, sf_dir).collect():
+        got[r["query_id"]][r["doc_id"]] = (r["score_e9"], r["rnk"])
+    for qid, terms in BM25_QUERIES.items():
+        scores = _bm25_bruteforce(toks, terms)
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect = expect[:BM25_TOP_K]
+        assert [(d, s) for d, (s, _) in sorted(
+            got[qid].items(), key=lambda kv: kv[1][1]
+        )] == [(d, s) for d, s in expect]
+
+
+def test_bm25_rare_term_outscores_common(spark, sf_dir):
+    """A doc matching only a rarer query term must outscore one
+    matching only a more common term at equal tf and dl — the idf
+    surrogate must preserve df ordering."""
+    docs = table(spark, sf_dir, "documents")
+    toks = {
+        r["doc_id"]: list(r["toks"])
+        for r in docs.select(
+            "doc_id", _tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    n_docs = len(toks)
+    for terms in BM25_QUERIES.values():
+        dfs = {
+            t: sum(1 for tk in toks.values() if t in tk) for t in terms
+        }
+        idfs = {
+            t: (2 * (n_docs - d) + 1) * 1_000_000 // (2 * d + 1)
+            for t, d in dfs.items()
+        }
+        ordered = sorted(dfs, key=dfs.get)
+        assert idfs[ordered[0]] >= idfs[ordered[-1]]
+
+
+def test_rrf_fusion_invariants(spark, sf_dir):
+    rows = q_retrieval_rrf_fusion(spark, sf_dir).collect()
+    assert rows
+    # ranks are 1..n without gaps, rrf decreasing with doc_id tiebreak
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a["rrf_e6"], -a["doc_id"]) >= (b["rrf_e6"], -b["doc_id"])
+    for r in rows:
+        expect = 0
+        if r["lex_rnk"] is not None:
+            expect += 1_000_000 // (60 + r["lex_rnk"])
+        if r["sem_rnk"] is not None:
+            expect += 1_000_000 // (60 + r["sem_rnk"])
+        assert r["rrf_e6"] == expect
+        assert r["lex_rnk"] is not None or r["sem_rnk"] is not None
+
+
+def test_target_encode_loo_excludes_own_label(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").collect()
+    by_cat = defaultdict(list)
+    for r in orders:
+        by_cat[r["o_orderpriority"]].append(
+            1 if r["o_totalprice"] > TE_PRICE_CUT else 0
+        )
+    got = {r["o_orderkey"]: r for r in q_target_encode_loo(spark, sf_dir).collect()}
+    assert len(got) == len(orders)
+    n_all = len(orders)
+    sum_all = sum(sum(v) for v in by_cat.values())
+    prior_bp = sum_all * 10000 // n_all
+    for r in orders:
+        cat, y = r["o_orderpriority"], 1 if r["o_totalprice"] > TE_PRICE_CUT else 0
+        row = got[r["o_orderkey"]]
+        assert row["y"] == y
+        n, s = len(by_cat[cat]), sum(by_cat[cat])
+        expect = (s - y) * 10000 // (n - 1) if n > 1 else prior_bp
+        assert row["te_loo_bp"] == expect
+    # leakage check: two rows of the same category with different labels
+    # must get different encodings (the own-label subtraction is real)
+    for cat, ys in by_cat.items():
+        if 0 < sum(ys) < len(ys) and len(ys) > 1:
+            rows_cat = [
+                v for v in got.values() if v["cat"] == cat
+            ]
+            enc_by_y = {v["y"]: v["te_loo_bp"] for v in rows_cat}
+            if 0 in enc_by_y and 1 in enc_by_y:
+                assert enc_by_y[0] > enc_by_y[1]
+            break
+
+
+def test_group_split_no_leakage_and_full_coverage(spark, sf_dir):
+    rows = q_group_split_audit(spark, sf_dir).collect()
+    assert rows
+    ev = table(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["leak_users"] == 0
+        assert r["split"] in ("train", "val", "test")
+    total_bp = sum(r["share_bp"] for r in rows)
+    assert 10000 - len(rows) <= total_bp <= 10000
+
+
+def test_resource_allocation_matches_bruteforce(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.graph import _edges
+
+    edges = {(r["src"], r["dst"]) for r in _edges(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    scores = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for c in nodes[i + 1:]:
+            common = adj[a] & adj[c]
+            if common and (a, c) not in edges:
+                scores[(a, c)] = (
+                    len(common),
+                    sum(1_000_000 // len(adj[b]) for b in common),
+                )
+    got = q_graph_resource_allocation(spark, sf_dir).collect()
+    assert got
+    expect = sorted(
+        scores.items(), key=lambda kv: (-kv[1][1], kv[0][0], kv[0][1])
+    )[: len(got)]
+    assert [((r["a"], r["c"]), (r["n_common"], r["ra_e6"])) for r in got] == expect
+
+
+def test_interpolation_endpoints_and_monotone_grid(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id", F.unix_micros("ts").alias("us"), "value", "event_id"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        v6 = int(
+            decimal.Decimal(r["value"]).scaleb(6).quantize(
+                decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        by_user[r["user_id"]].append((r["us"], r["event_id"], v6))
+    expect = defaultdict(dict)
+    for uid, evs in by_user.items():
+        evs.sort()
+        for (us, _, v6), (nus, _, nv6) in zip(evs, evs[1:]):
+            if nus <= us:
+                continue
+            h = us // INTERP_HOUR_US + 1
+            while h * INTERP_HOUR_US < nus:
+                g = h * INTERP_HOUR_US
+                expect[uid][g] = (v6 * (nus - g) + nv6 * (g - us)) // (nus - us)
+                h += 1
+    got = defaultdict(dict)
+    out = q_events_gap_fill_interpolate(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("g_us"), "value_e6"
+    )
+    for r in out.collect():
+        got[r["user_id"]][r["g_us"]] = r["value_e6"]
+    # same grid instants per user, exact interpolated values
+    assert {u: set(g) for u, g in got.items()} == {
+        u: set(g) for u, g in expect.items() if g
+    }
+    for uid, grid in expect.items():
+        for g, v in grid.items():
+            assert got[uid][g] == v
