@@ -72,6 +72,13 @@ HEADLINE = [
     "ann_pq_adc",
     "sessions_peak_concurrency",
     "text_ngram_novelty",
+    # round-5 additions: ranked retrieval + hybrid fusion, leakage-free
+    # encoding, grid interpolation, drift monitor
+    "bm25_top_docs",
+    "retrieval_rrf_fusion",
+    "target_encode_loo",
+    "events_gap_fill_interpolate",
+    "events_drift_tv",
 ]
 
 

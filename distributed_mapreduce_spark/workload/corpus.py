@@ -1266,3 +1266,133 @@ def q_mixture_temperature_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("boost_x100"),
     )
+
+
+#: Waterfilling token budget: keep this share of total corpus tokens.
+WATERFILL_BUDGET_BP = 6000
+
+
+@query(
+    "mixture_waterfill_caps",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(sum(len({_sql_tokens('text')})) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT source, n_tok,
+             CAST(row_number() OVER (ORDER BY n_tok, source) AS BIGINT) AS k,
+             CAST(sum(n_tok) OVER (ORDER BY n_tok, source
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS pfx
+      FROM s
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_src,
+             CAST(sum(n_tok) AS BIGINT) AS t_tok,
+             CAST(CAST(sum(n_tok) AS HUGEINT) * {WATERFILL_BUDGET_BP}
+                  // 10000 AS BIGINT) AS budget
+      FROM s
+    ), cand AS (
+      SELECT k, n_tok, (budget - pfx) // (n_src - k) AS c
+      FROM ranked CROSS JOIN tot WHERE k < n_src
+    ), feas AS (
+      SELECT max(k) AS kbest FROM cand WHERE n_tok <= c
+    ), cap AS (
+      SELECT CASE
+               WHEN t_tok <= budget THEN t_tok
+               WHEN kbest IS NULL THEN budget // n_src
+               ELSE (SELECT c FROM cand WHERE cand.k = feas.kbest)
+             END AS cap_tok
+      FROM feas CROSS JOIN tot
+    )
+    SELECT source, n_tok,
+           CAST(least(n_tok, cap_tok) AS BIGINT) AS alloc_tok,
+           n_tok > cap_tok AS capped,
+           CAST(cap_tok AS BIGINT) AS cap_tok,
+           budget AS budget_tok
+    FROM ranked CROSS JOIN cap CROSS JOIN tot
+    """,
+)
+def q_mixture_waterfill_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilling token-budget allocation: given a global budget of
+    {WATERFILL_BUDGET_BP} bp of corpus tokens, find the unique cap c
+    such that Σ min(n_tok_s, c) fills the budget — small sources stay
+    whole, oversized sources are clipped to the common water level
+    (the principled "cap the heads, keep the tails" mixture rule;
+    cf. the per-source capping step in Gopher/MassiveText-style
+    mixture construction).
+
+    Exact integer solution: sources sorted ascending, k* = the largest
+    prefix kept whole with its equal-share cap
+    c_k = (B − P_k) ⫽ (S − k) still ≥ its own size; degenerate cases
+    (budget ≥ total → cap = total, i.e. a no-op; every source capped →
+    c = B ⫽ S) handled explicitly, so Σ alloc ≤ B always holds with
+    pure integer arithmetic.
+
+    Plan: one exploded-length hash aggregate to |sources| rows; every
+    window/scan after that runs over the aggregated ≤|sources| relation
+    (bounded-window class) — the raw corpus is touched exactly once."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    # Persist the |sources|-row aggregate: every later relation (ranks,
+    # totals, candidates, caps) derives from it — without the cache the
+    # raw-corpus explode would re-run once per reference.
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("n_tok")
+    ).persist()
+    w = Window.orderBy("n_tok", "source")
+    ranked = s.select(
+        "source",
+        "n_tok",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("n_tok")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("pfx"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.sum("n_tok").cast("long").alias("t_tok"),
+        F.expr(
+            f"CAST(CAST(sum(n_tok) AS DECIMAL(38,0)) * {WATERFILL_BUDGET_BP}"
+            " DIV 10000 AS BIGINT)"
+        ).alias("budget"),
+    )
+    cand = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n_src"))
+        .select(
+            "k",
+            "n_tok",
+            F.expr("(budget - pfx) div (n_src - k)").alias("c"),
+        )
+    )
+    feas = cand.filter(F.col("n_tok") <= F.col("c")).agg(
+        F.max("k").alias("kbest")
+    )
+    cap = (
+        feas.crossJoin(F.broadcast(tot))
+        .join(
+            cand.select(F.col("k").alias("ck"), F.col("c")),
+            F.col("ck") == F.col("kbest"),
+            "left",
+        )
+        .select(
+            F.when(F.col("t_tok") <= F.col("budget"), F.col("t_tok"))
+            .when(F.col("kbest").isNull(), F.expr("budget div n_src"))
+            .otherwise(F.col("c"))
+            .alias("cap_tok")
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tok",
+            F.least("n_tok", "cap_tok").cast("long").alias("alloc_tok"),
+            (F.col("n_tok") > F.col("cap_tok")).alias("capped"),
+            F.col("cap_tok").cast("long").alias("cap_tok"),
+            F.col("budget").alias("budget_tok"),
+        )
+    )

@@ -1100,3 +1100,106 @@ def q_user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.min("streak_start").alias("first_active_day"),
     )
+
+
+#: Position-based attribution: lookback window and credit splits (bp).
+ATTR_LOOKBACK_H = 24
+ATTR_FIRST_BP = 4000
+ATTR_LAST_BP = 4000
+ATTR_MID_BP = 2000
+
+
+@query(
+    "attribution_position_credit",
+    oracle=f"""
+    WITH touches AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             hour(c.ts) AS click_hour,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts, c.event_id) AS pos,
+             count(*) OVER (PARTITION BY p.event_id) AS n
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND c.ts < p.ts
+       AND c.ts >= p.ts - INTERVAL {ATTR_LOOKBACK_H} HOUR
+    ), credited AS (
+      SELECT click_hour,
+             CASE
+               WHEN n = 1 THEN 10000
+               WHEN n = 2 THEN 5000
+               WHEN pos = 1 THEN {ATTR_FIRST_BP}
+               WHEN pos = n THEN {ATTR_LAST_BP}
+               ELSE {ATTR_MID_BP} // (n - 2)
+                    + CASE WHEN pos - 1 <= {ATTR_MID_BP} % (n - 2)
+                           THEN 1 ELSE 0 END
+             END AS credit_bp
+      FROM touches
+    )
+    SELECT CAST(click_hour AS BIGINT) AS click_hour,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_bp) AS BIGINT) AS credit_bp
+    FROM credited GROUP BY 1
+    """,
+)
+def q_attribution_position_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch position-based ("U-shaped") attribution: every
+    purchase distributes 10 000 bp of credit over the user's clicks in
+    the prior {ATTR_LOOKBACK_H} h — first touch {ATTR_FIRST_BP},
+    last touch {ATTR_LAST_BP}, middles splitting {ATTR_MID_BP} with
+    the integer remainder awarded to the EARLIEST middles (largest-
+    remainder rule, so every purchase's credits sum to exactly 10 000
+    with no float splits). Credit rolls up by click hour-of-day —
+    "which hours earn conversions".
+
+    Plan: purchases⋈clicks is a per-user range join (equi on user_id,
+    AQE-planned, band-bounded by the lookback); position/count windows
+    are keyed per purchase (bounded by touches-per-purchase); the
+    rollup is a ≤24-row hash aggregate."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_H} HOURS")
+        ),
+    )
+    wp = Window.partitionBy("purchase_id")
+    wo = wp.orderBy("c_ts", "click_id")
+    pos = touches.select(
+        "purchase_id",
+        F.hour("c_ts").alias("click_hour"),
+        F.row_number().over(wo).alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    mid = F.expr(
+        f"{ATTR_MID_BP} div (n - 2)"
+        f" + CASE WHEN pos - 1 <= {ATTR_MID_BP} % (n - 2) THEN 1 ELSE 0 END"
+    )
+    credited = pos.select(
+        "click_hour",
+        F.when(F.col("n") == 1, 10000)
+        .when(F.col("n") == 2, 5000)
+        .when(F.col("pos") == 1, ATTR_FIRST_BP)
+        .when(F.col("pos") == F.col("n"), ATTR_LAST_BP)
+        .otherwise(mid)
+        .alias("credit_bp"),
+    )
+    return credited.groupBy(
+        F.col("click_hour").cast("long").alias("click_hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("credit_bp").cast("long").alias("credit_bp"),
+    )

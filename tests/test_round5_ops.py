@@ -221,3 +221,105 @@ def test_interpolation_endpoints_and_monotone_grid(spark, sf_dir):
     for uid, grid in expect.items():
         for g, v in grid.items():
             assert got[uid][g] == v
+
+
+def test_drift_tv_matches_bruteforce(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.robust import q_events_drift_tv
+
+    ev = table(spark, sf_dir, "events")
+    rows = ev.select(F.unix_micros("ts").alias("us"), "event_type").collect()
+    mid = (min(r["us"] for r in rows) + max(r["us"] for r in rows)) // 2
+    first = Counter(r["event_type"] for r in rows if r["us"] <= mid)
+    second = Counter(r["event_type"] for r in rows if r["us"] > mid)
+    t1, t2 = sum(first.values()), sum(second.values())
+    got = {r["event_type"]: r for r in q_events_drift_tv(spark, sf_dir).collect()}
+    assert set(got) == set(first) | set(second)
+    total = 0
+    for et, r in got.items():
+        assert r["n_first"] == first.get(et, 0)
+        assert r["n_second"] == second.get(et, 0)
+        expect = (
+            abs(first.get(et, 0) * t2 - second.get(et, 0) * t1)
+            * 1_000_000
+            // (2 * t1 * t2)
+        )
+        assert r["tv_contrib_e6"] == expect
+        total += expect
+    assert all(r["tv_total_e6"] == total for r in got.values())
+    # TV is a [0, 1] metric
+    assert 0 <= total <= 1_000_000
+
+
+def test_attribution_credit_conserved_per_purchase(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.journey import (
+        ATTR_LOOKBACK_H,
+        q_attribution_position_credit,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    ).collect()
+    clicks = [r for r in rows if r["event_type"] == "click"]
+    purchases = [r for r in rows if r["event_type"] == "purchase"]
+    lookback = ATTR_LOOKBACK_H * 3_600_000_000
+    n_attributed = 0
+    per_hour = Counter()
+    touches_per_hour = Counter()
+    for p in purchases:
+        ts = [
+            c
+            for c in clicks
+            if c["user_id"] == p["user_id"]
+            and p["us"] - lookback <= c["us"] < p["us"]
+        ]
+        if not ts:
+            continue
+        n_attributed += 1
+        ts.sort(key=lambda c: (c["us"], c["event_id"]))
+        n = len(ts)
+        for i, c in enumerate(ts):
+            hour = (c["us"] // 3_600_000_000) % 24
+            touches_per_hour[hour] += 1
+            if n == 1:
+                credit = 10000
+            elif n == 2:
+                credit = 5000
+            elif i == 0 or i == n - 1:
+                credit = 4000
+            else:
+                credit = 2000 // (n - 2) + (1 if i <= 2000 % (n - 2) else 0)
+            per_hour[hour] += credit
+    got = {
+        r["click_hour"]: r
+        for r in q_attribution_position_credit(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_hour)
+    for h, r in got.items():
+        assert r["credit_bp"] == per_hour[h]
+        assert r["n_touches"] == touches_per_hour[h]
+    # conservation: every attributed purchase hands out exactly 10000 bp
+    assert sum(r["credit_bp"] for r in got.values()) == 10000 * n_attributed
+
+
+def test_waterfill_caps_budget_tight_and_order_free(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.corpus import (
+        WATERFILL_BUDGET_BP,
+        q_mixture_waterfill_caps,
+    )
+
+    rows = q_mixture_waterfill_caps(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_tok"] for r in rows)
+    budget = total * WATERFILL_BUDGET_BP // 10000
+    assert all(r["budget_tok"] == budget for r in rows)
+    alloc = sum(r["alloc_tok"] for r in rows)
+    assert alloc <= budget
+    capped = [r for r in rows if r["capped"]]
+    for r in rows:
+        assert r["capped"] == (r["n_tok"] > r["cap_tok"])
+        assert r["alloc_tok"] == min(r["n_tok"], r["cap_tok"])
+    if capped:
+        # raising the water level by 1 must overflow the budget —
+        # the cap is tight, not merely feasible
+        assert alloc + len(capped) > budget

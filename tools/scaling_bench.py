@@ -60,6 +60,14 @@ FAMILIES = [
     "tokenizer_bpe_merges",
     "text_ngram_novelty",
     "sessions_peak_concurrency",
+    # round-5: per-user grid explode (scales with replicated user
+    # spaces) and the wedge join + degree join + TakeOrdered pipeline
+    # over the replica-disjoint co-occurrence graphs. (bm25/rrf are NOT
+    # here by design: replica text is Caesar-rotated, so the fixed
+    # query terms match only replica 0 — the x10 corpus would measure
+    # scan scaling, not retrieval scaling.)
+    "events_gap_fill_interpolate",
+    "graph_resource_allocation",
 ]
 
 #: Second-decade (x100) families — every family carries both decades.
