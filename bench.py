@@ -146,7 +146,7 @@ def main() -> None:
     # slope (tools/scaling_bench.py) and the full-registry sf0.01 cost
     # accounting (tools/check_correctness.py --timing).
     here = os.path.dirname(os.path.abspath(__file__))
-    for key, fname in (("scaling", "SCALING_r04.json"), ("registry_cost", "REGISTRY_COST.json")):
+    for key, fname in (("scaling", "SCALING_r05.json"), ("registry_cost", "REGISTRY_COST.json")):
         p = os.path.join(here, fname)
         if os.path.exists(p):
             try:

@@ -1396,3 +1396,109 @@ def q_mixture_waterfill_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("budget").alias("budget_tok"),
         )
     )
+
+
+#: Greedy max-coverage selection rounds.
+COVER_ROUNDS = 5
+
+
+def _coverage_oracle() -> str:
+    """Unrolled greedy max-coverage: K rounds, each picking the
+    not-yet-chosen source with the most still-uncovered distinct terms
+    (ties → lexicographically first source)."""
+    parts = [
+        f"WITH st AS MATERIALIZED (\n"
+        f"  SELECT DISTINCT source, gram AS term\n"
+        f"  FROM (SELECT source, {_sql_tokens('text')} AS toks FROM documents),\n"
+        f"       unnest({_sql_ngrams('toks', 2)}) AS u(gram)\n"
+        f")"
+    ]
+    rows = []
+    for r in range(1, COVER_ROUNDS + 1):
+        prev_picks = " UNION ALL ".join(
+            f"SELECT source FROM pick_{i}" for i in range(1, r)
+        )
+        not_picked = f"WHERE source NOT IN ({prev_picks})" if prev_picks else ""
+        not_covered = (
+            f"AND term NOT IN (SELECT term FROM cov_{r - 1})" if r > 1 else ""
+        )
+        parts.append(
+            f""", g_{r} AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS gain
+              FROM st
+              {not_picked or 'WHERE 1=1'} {not_covered}
+              GROUP BY source
+            ), pick_{r} AS MATERIALIZED (
+              SELECT a.source, COALESCE(g.gain, 0) AS gain
+              FROM (SELECT DISTINCT source FROM st {not_picked}) a
+              LEFT JOIN g_{r} g ON a.source = g.source
+              ORDER BY COALESCE(g.gain, 0) DESC, a.source
+              LIMIT 1
+            ), cov_{r} AS MATERIALIZED (
+              SELECT DISTINCT term FROM st
+              WHERE source IN ({(prev_picks + ' UNION ALL ' if prev_picks else '')}SELECT source FROM pick_{r})
+            )"""
+        )
+        rows.append(
+            f"SELECT {r} AS round, source, gain,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM cov_{r}) AS covered_total"
+            f" FROM pick_{r}"
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@query("corpus_coverage_greedy", oracle=_coverage_oracle())
+def q_corpus_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage source selection: {COVER_ROUNDS} rounds of
+    "acquire the source adding the most still-unseen bigram vocabulary" — the
+    classic (1−1/e)-approximate submodular-maximization primitive
+    behind data-acquisition and subset-selection pipelines (which
+    corpora to license/crawl next for vocabulary coverage).
+
+    Plan: the (source, term) distinct incidence is built once and
+    persisted; each round is one anti-join against the covered-term
+    set (keyed on term), a hash aggregate to ≤|sources| rows and a
+    TakeOrdered(1) selection — the per-round driver transfer is one
+    scalar row (the same bounded-scalar loop contract as the k-means
+    inertia readout, `workload/clustering.py:234`). K is a constant:
+    the unrolled-CTE oracle is the exact same greedy trajectory."""
+    docs = table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source",
+            F.explode(_ngrams(_tokens(F.col("text")), 2)).alias("term"),
+        )
+        .distinct()
+        .persist()
+    )
+    sources = st.select("source").distinct()
+    covered = None
+    picked: list[str] = []
+    out_rows: list[tuple[int, str, int, int]] = []
+    for r in range(1, COVER_ROUNDS + 1):
+        avail = sources
+        if picked:
+            avail = sources.filter(~F.col("source").isin(picked))
+        unc = st if covered is None else st.join(covered, "term", "left_anti")
+        g = unc.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("gain")
+        )
+        top = (
+            avail.join(g, "source", "left")
+            .select("source", F.coalesce("gain", F.lit(0)).alias("gain"))
+            .orderBy(F.desc("gain"), "source")
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append(top["source"])
+        covered = (
+            st.filter(F.col("source").isin(picked))
+            .select("term")
+            .distinct()
+            .localCheckpoint()
+        )
+        out_rows.append((r, top["source"], top["gain"], covered.count()))
+    st.unpersist()
+    return spark.createDataFrame(
+        out_rows, "round INT, source STRING, gain BIGINT, covered_total BIGINT"
+    )

@@ -854,3 +854,152 @@ def q_decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cos_u").cast("long").alias("max_cos_u"),
         )
     )
+
+
+#: nDCG audit depth and integer discount weights ⌊10⁶/log₂(i+1)⌋.
+#: The weights are PYTHON-computed constants inlined identically into
+#: the Spark plan and the SQL oracle — the logarithm never runs inside
+#: either engine, so the repo-wide "no float reaches the comparator"
+#: policy holds even for a log-discounted metric.
+NDCG_K = 10
+import math as _math  # noqa: E402
+
+NDCG_W = {i: int(1_000_000 // _math.log2(i + 1)) for i in range(1, NDCG_K + 1)}
+
+def _ndcg_case_sql(col: str) -> str:
+    return (
+        f"CASE {col} "
+        + " ".join(f"WHEN {i} THEN {w}" for i, w in NDCG_W.items())
+        + " END"
+    )
+
+
+@query(
+    "ann_ndcg_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS cell, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), exact AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_cos_u('q.qv', 'e.embedding')} DESC, e.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      ) WHERE rnk <= {NDCG_K}
+    ), approx AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_cos_u('q.qv', 'e.embedding')} DESC, e.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings e
+          ON e.label = q.cell AND e.vec_id <> q.query_id
+      ) WHERE rnk <= {NDCG_K}
+    ), gains AS (
+      SELECT a.query_id,
+             CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL
+                           THEN {_ndcg_case_sql('a.rnk')} ELSE 0 END) AS BIGINT)
+               AS dcg_e6,
+             CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+      FROM approx a
+      LEFT JOIN exact x
+        ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+      GROUP BY a.query_id
+    ), ideal AS (
+      SELECT query_id, CAST(sum({_ndcg_case_sql('rnk')}) AS BIGINT) AS idcg_e6
+      FROM exact GROUP BY query_id
+    )
+    SELECT g.query_id, g.n_relevant, g.dcg_e6, i.idcg_e6,
+           CAST(CAST(g.dcg_e6 AS HUGEINT) * 10000 // i.idcg_e6 AS BIGINT)
+             AS ndcg_bp
+    FROM gains g JOIN ideal i ON g.query_id = i.query_id
+    """,
+)
+def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality certification of the IVF-ANN path: nDCG@{NDCG_K}
+    of the cell-restricted ranking against the exact brute-force
+    ranking (binary relevance = membership in the exact top-{NDCG_K}).
+    Extends `ann_recall_audit` (set overlap) with POSITION-aware
+    quality: an ANN list that finds the right neighbors in the wrong
+    order now loses score.
+
+    Plan: both rankings are per-query windows over their candidate
+    sets (broadcast query side; the approximate side only ever scans
+    the query's cell — the 100 TB path), relevance is one equi-join of
+    two ≤ queries·k relations, and the discount weights are inlined
+    integer literals — no log evaluated in-engine."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("qv"),
+    )
+    exact = topk_per_query(
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_u(F.col("qv"), F.col("embedding")).alias("cos_u"),
+        ),
+        NDCG_K,
+    ).select("query_id", "neighbor_id", "rnk")
+    approx = topk_per_query(
+        emb.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_u(F.col("qv"), F.col("embedding")).alias("cos_u"),
+        ),
+        NDCG_K,
+    ).select("query_id", "neighbor_id", "rnk")
+    w_expr = F.expr(
+        "CASE rnk "
+        + " ".join(f"WHEN {i} THEN {w}" for i, w in NDCG_W.items())
+        + " END"
+    )
+    hit = exact.select(
+        F.col("query_id").alias("x_qid"),
+        F.col("neighbor_id").alias("x_nid"),
+    )
+    gains = (
+        approx.join(
+            hit,
+            (F.col("query_id") == F.col("x_qid"))
+            & (F.col("neighbor_id") == F.col("x_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("x_nid").isNotNull(), w_expr).otherwise(0)
+            )
+            .cast("long")
+            .alias("dcg_e6"),
+            F.sum(F.when(F.col("x_nid").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_relevant"),
+        )
+    )
+    ideal = exact.groupBy("query_id").agg(
+        F.sum(w_expr).cast("long").alias("idcg_e6")
+    )
+    return (
+        gains.join(ideal, "query_id")
+        .select(
+            "query_id",
+            "n_relevant",
+            "dcg_e6",
+            "idcg_e6",
+            F.expr(
+                "CAST(CAST(dcg_e6 AS DECIMAL(38,0)) * 10000"
+                " DIV idcg_e6 AS BIGINT)"
+            ).alias("ndcg_bp"),
+        )
+    )

@@ -323,3 +323,97 @@ def test_waterfill_caps_budget_tight_and_order_free(spark, sf_dir):
         # raising the water level by 1 must overflow the budget —
         # the cap is tight, not merely feasible
         assert alloc + len(capped) > budget
+
+
+def test_ann_ndcg_audit_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from distributed_mapreduce_spark.workload.similarity import (
+        N_QUERIES,
+        NDCG_K,
+        NDCG_W,
+        q_ann_ndcg_audit,
+    )
+
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos_u(a, b):
+        # identical IEEE op order to both engines' left fold
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb += float(y) * float(y)
+        return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1_000_000.0)
+
+    got = {r["query_id"]: r for r in q_ann_ndcg_audit(spark, sf_dir).collect()}
+    for qid in range(N_QUERIES):
+        qv, cell = emb[qid]
+        ranked = sorted(
+            (
+                (-cos_u(qv, v), nid)
+                for nid, (v, _) in emb.items()
+                if nid != qid
+            ),
+        )
+        exact = [nid for _, nid in ranked[:NDCG_K]]
+        in_cell = sorted(
+            (
+                (-cos_u(qv, v), nid)
+                for nid, (v, lbl) in emb.items()
+                if nid != qid and lbl == cell
+            ),
+        )
+        approx = [nid for _, nid in in_cell[:NDCG_K]]
+        dcg = sum(
+            NDCG_W[i + 1] for i, nid in enumerate(approx) if nid in set(exact)
+        )
+        idcg = sum(NDCG_W[i + 1] for i in range(len(exact)))
+        row = got[qid]
+        assert row["dcg_e6"] == dcg
+        assert row["idcg_e6"] == idcg
+        assert row["n_relevant"] == len(set(approx) & set(exact))
+        assert row["ndcg_bp"] == dcg * 10000 // idcg
+        assert 0 <= row["ndcg_bp"] <= 10000
+
+
+def test_coverage_greedy_matches_bruteforce(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.corpus import (
+        COVER_ROUNDS,
+        q_corpus_coverage_greedy,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    rows = docs.select("source", _tokens(F.col("text")).alias("toks")).collect()
+    by_src = defaultdict(set)
+    for r in rows:
+        ts = list(r["toks"])
+        by_src[r["source"]].update(
+            f"{a} {b}" for a, b in zip(ts, ts[1:])
+        )
+    covered: set = set()
+    picked = []
+    expect = []
+    for rnd in range(1, COVER_ROUNDS + 1):
+        best = min(
+            ((-len(by_src[s] - covered), s) for s in by_src if s not in picked),
+        )
+        gain, src = -best[0], best[1]
+        picked.append(src)
+        covered |= by_src[src]
+        expect.append((rnd, src, gain, len(covered)))
+    got = sorted(
+        (r["round"], r["source"], r["gain"], r["covered_total"])
+        for r in q_corpus_coverage_greedy(spark, sf_dir).collect()
+    )
+    assert got == expect
+    # submodularity: marginal gains never increase along the greedy path
+    gains = [g for _, _, g, _ in expect]
+    assert gains == sorted(gains, reverse=True)

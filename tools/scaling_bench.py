@@ -25,7 +25,7 @@ row at 10x the data. 1.0 is perfectly linear; < 1 means fixed overhead
 indicate a super-linear stage that would not survive 100 TB.
 
 Usage: python tools/scaling_bench.py [src_sf_dir] [out_json] [--x100]
-Writes the JSON artifact (default SCALING_r04.json) that bench.py
+Writes the JSON artifact (default SCALING_r05.json) that bench.py
 embeds under its "scaling" key. With --x100, additionally builds a
 100x corpus and re-times the X100_FAMILIES subset (one warm-up + one
 timed run — at 6 GB+ input the run time dwarfs trial noise), recording
@@ -197,7 +197,7 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--x100"]
     do_x100 = "--x100" in sys.argv[1:]
     src_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
-    out_json = args[1] if len(args) > 1 else "/root/repo/SCALING_r04.json"
+    out_json = args[1] if len(args) > 1 else "/root/repo/SCALING_r05.json"
 
     from distributed_mapreduce_spark.session import get_spark
 
