@@ -755,3 +755,108 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RA_TOP_K)
         .select("a", "c", "n_common", "ra_e6")
     )
+
+
+#: Temporal reachability: rounds and seed gate.
+TEMPORAL_HOPS = 3
+TEMPORAL_SEED_MOD = 17
+
+
+def _temporal_oracle(hops: int) -> str:
+    ctes = [
+        f"""li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_orderkey % {EDGE_GATE_MOD} = 0
+        ), te AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v,
+                 epoch_us(o.o_orderdate) AS t
+          FROM li a
+          JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey
+          JOIN orders o ON o.o_orderkey = a.l_orderkey
+        ), a0 AS (
+          SELECT DISTINCT u AS node, CAST(-1 AS BIGINT) AS arr
+          FROM te WHERE u % {TEMPORAL_SEED_MOD} = 0
+        )"""
+    ]
+    for k in range(1, hops + 1):
+        ctes.append(
+            f""", a{k} AS MATERIALIZED (
+              SELECT node, CAST(min(arr) AS BIGINT) AS arr FROM (
+                SELECT node, arr FROM a{k - 1}
+                UNION ALL
+                SELECT te.v AS node, te.t AS arr
+                FROM a{k - 1} p JOIN te ON te.u = p.node AND te.t > p.arr
+              ) GROUP BY node
+            )"""
+        )
+    return "WITH " + "".join(ctes) + f"\nSELECT node, arr AS arr_us FROM a{hops}"
+
+
+@query("graph_temporal_reachability", oracle=_temporal_oracle(TEMPORAL_HOPS))
+def q_graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (earliest-arrival): an edge
+    (u, v, t) — parts co-ordered on a day t — is traversable only
+    STRICTLY AFTER the walker reached u, so influence propagates
+    forward in time (the temporal-graph semantics of Holme & Saramäki,
+    Phys. Rep. 2012; static reachability over-counts paths that go
+    backwards in time). {TEMPORAL_HOPS} Bellman-Ford-style rounds from
+    seed parts (id % {TEMPORAL_SEED_MOD} = 0, arrival −1 = before all
+    edges); per round each frontier node relaxes through its temporal
+    adjacency and per-node arrivals fold to the minimum — the
+    supply-chain-contagion / diffusion shape.
+
+    Plan (100 TB posture): temporal edges derive from one
+    lineitem⋈orders equi-join (gated like every graph-family edge
+    set), hash-partitioned on u and persisted; each round shuffles
+    only the (node, arrival) frontier; `localCheckpoint` keeps the
+    plan O(1) in rounds (the `graph_sssp_bounded` discipline). All
+    arrivals are integer micros — the unrolled-CTE oracle matches
+    bit-for-bit."""
+    par = spark.sparkContext.defaultParallelism
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % EDGE_GATE_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.unix_micros("o_orderdate").alias("t")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    te = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .join(orders, F.col("a.l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+            "t",
+        )
+        .distinct()
+        .repartition(par, "u")
+        .persist()
+    )
+    arr = (
+        te.filter(F.col("u") % TEMPORAL_SEED_MOD == 0)
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.lit(-1).cast("long").alias("arr"))
+        .localCheckpoint()
+    )
+    for _ in range(TEMPORAL_HOPS):
+        relax = arr.join(
+            te, (arr.node == te.u) & (te.t > arr.arr)
+        ).select(F.col("v").alias("node"), F.col("t").alias("arr"))
+        arr = (
+            arr.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("arr").cast("long").alias("arr"))
+            .localCheckpoint()
+        )
+    te.unpersist()
+    return arr.select("node", F.col("arr").alias("arr_us"))

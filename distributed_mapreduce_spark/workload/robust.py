@@ -566,3 +566,131 @@ def q_events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.withColumn(
         "tv_total_e6", F.sum("tv_contrib_e6").over(w).cast("long")
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (
+      SELECT event_type, g.h
+      FROM types CROSS JOIN b,
+           unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS g(h)
+    ), cnt AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), dense AS MATERIALIZED (
+      SELECT s.event_type, s.h, COALESCE(c.n, 0) AS n
+      FROM spine s LEFT JOIN cnt c
+        ON s.event_type = c.event_type AND s.h = c.h
+    ), ref AS MATERIALIZED (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(CAST(sum(n) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+               AS ref_e6
+      FROM dense GROUP BY 1
+    ), run AS (
+      SELECT d.event_type, d.h,
+             CAST(sum(d.n * 1000000 - ref_e6) OVER (
+               PARTITION BY d.event_type ORDER BY d.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS s_e6
+      FROM dense d JOIN ref USING (event_type)
+    ), cus AS (
+      SELECT event_type, h, s_e6,
+             s_e6 - least(0, min(s_e6) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )) AS c_e6
+      FROM run
+    ), sel AS (
+      SELECT event_type, h, c_e6,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c_e6 DESC, h) AS rn
+      FROM cus
+    )
+    SELECT s.event_type, r.total, r.n_hours, r.ref_e6,
+           CAST(s.c_e6 AS BIGINT) AS max_cusum_e6, s.h AS peak_hour
+    FROM sel s JOIN ref r USING (event_type)
+    WHERE s.rn = 1
+    """,
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the sequential
+    max(0, C+x) recursion in its CLOSED FORM C_h = S_h − min(0,
+    min_{j≤h} S_j) — a running sum minus a running min, both plain
+    window frames, so the "inherently sequential" detector becomes a
+    two-window plan. Deviations are hourly count − mean hourly count
+    in exact e6 units over a DENSE hour spine (missing hours count as
+    full negative deviations — skipping them would blind the detector
+    to outages). Output: each type's maximum upward CUSUM excursion
+    and the earliest hour it peaks (the changepoint estimate).
+
+    Plan: one hash-aggregate to (type, hour) rows, the spine is a
+    sequence() explode over the 2-value bounds broadcast, and every
+    window runs per type over the AGGREGATED hourly relation (bounded
+    by span-hours — never a raw-row window)."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dense = spine.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    ref = dense.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.expr(
+            "CAST(CAST(sum(n) AS DECIMAL(38,0)) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("ref_e6"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = dense.join(F.broadcast(ref), "event_type").select(
+        "event_type",
+        "h",
+        F.sum(F.col("n") * 1_000_000 - F.col("ref_e6"))
+        .over(w)
+        .cast("long")
+        .alias("s_e6"),
+    )
+    cus = run.select(
+        "event_type",
+        "h",
+        (
+            F.col("s_e6")
+            - F.least(F.lit(0).cast("long"), F.min("s_e6").over(w))
+        ).alias("c_e6"),
+    )
+    ws = Window.partitionBy("event_type").orderBy(F.desc("c_e6"), "h")
+    sel = cus.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") == 1
+    )
+    return sel.join(F.broadcast(ref), "event_type").select(
+        "event_type",
+        "total",
+        "n_hours",
+        "ref_e6",
+        F.col("c_e6").cast("long").alias("max_cusum_e6"),
+        F.col("h").alias("peak_hour"),
+    )

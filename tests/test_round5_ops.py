@@ -417,3 +417,101 @@ def test_coverage_greedy_matches_bruteforce(spark, sf_dir):
     # submodularity: marginal gains never increase along the greedy path
     gains = [g for _, _, g, _ in expect]
     assert gains == sorted(gains, reverse=True)
+
+
+def test_cusum_closed_form_equals_recursion(spark, sf_dir):
+    """The windowed closed form C_h = S_h - min(0, min_{j<=h} S_j) must
+    equal the sequential max(0, C + x) recursion exactly."""
+    import datetime as dt
+
+    from distributed_mapreduce_spark.workload.robust import (
+        q_events_cusum_changepoint,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).collect()
+    counts = Counter((r["event_type"], r["h"]) for r in rows)
+    hours = sorted({r["h"] for r in rows})
+    h0, h1 = hours[0], hours[-1]
+    spine = []
+    h = h0
+    while h <= h1:
+        spine.append(h)
+        h = h + dt.timedelta(hours=1)
+    types = sorted({r["event_type"] for r in rows})
+    got = {r["event_type"]: r for r in q_events_cusum_changepoint(spark, sf_dir).collect()}
+    assert set(got) == set(types)
+    for et in types:
+        ns = [counts.get((et, h), 0) for h in spine]
+        total = sum(ns)
+        ref = total * 1_000_000 // len(spine)
+        c = 0
+        best = (-1, None)
+        for h, n in zip(spine, ns):
+            c = max(0, c + n * 1_000_000 - ref)
+            if c > best[0]:
+                best = (c, h)
+        r = got[et]
+        assert r["total"] == total
+        assert r["n_hours"] == len(spine)
+        assert r["ref_e6"] == ref
+        assert r["max_cusum_e6"] == best[0]
+        assert r["peak_hour"] == best[1]
+
+
+def test_temporal_reachability_matches_bruteforce(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.graph import (
+        EDGE_GATE_MOD,
+        TEMPORAL_HOPS,
+        TEMPORAL_SEED_MOD,
+        q_graph_temporal_reachability,
+    )
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % EDGE_GATE_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.unix_micros("o_orderdate").alias("t")
+    )
+    parts_by_order = defaultdict(set)
+    for r in li.collect():
+        parts_by_order[r["l_orderkey"]].add(r["l_partkey"])
+    t_by_order = {r["o_orderkey"]: r["t"] for r in orders.collect()}
+    tedges = set()
+    for ok, parts in parts_by_order.items():
+        t = t_by_order[ok]
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    tedges.add((u, v, t))
+    out = defaultdict(list)
+    for u, v, t in tedges:
+        out[u].append((v, t))
+    arr = {
+        u: -1
+        for u in {u for u, _, _ in tedges}
+        if u % TEMPORAL_SEED_MOD == 0
+    }
+    for _ in range(TEMPORAL_HOPS):
+        new = dict(arr)
+        for node, a in arr.items():
+            for v, t in out.get(node, ()):
+                if t > a and (v not in new or t < new[v]):
+                    new[v] = t
+        # fold minima exactly like the per-round group-by
+        for k, v in arr.items():
+            new[k] = min(new[k], v) if k in new else v
+        arr = new
+    got = {
+        r["node"]: r["arr_us"]
+        for r in q_graph_temporal_reachability(spark, sf_dir).collect()
+    }
+    assert got == arr
+    # time-respecting invariant: no non-seed arrival precedes a seed hop
+    assert all(a == -1 or a > 0 for a in got.values())
