@@ -1275,23 +1275,23 @@ WATERFILL_BUDGET_BP = 6000
 @query(
     "mixture_waterfill_caps",
     oracle=f"""
-    WITH s AS (
+    WITH s AS MATERIALIZED (
       SELECT source, CAST(sum(len({_sql_tokens('text')})) AS BIGINT) AS n_tok
       FROM documents GROUP BY source
-    ), ranked AS (
+    ), ranked AS MATERIALIZED (
       SELECT source, n_tok,
              CAST(row_number() OVER (ORDER BY n_tok, source) AS BIGINT) AS k,
              CAST(sum(n_tok) OVER (ORDER BY n_tok, source
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND CURRENT ROW) AS BIGINT) AS pfx
       FROM s
-    ), tot AS (
+    ), tot AS MATERIALIZED (
       SELECT CAST(count(*) AS BIGINT) AS n_src,
              CAST(sum(n_tok) AS BIGINT) AS t_tok,
              CAST(CAST(sum(n_tok) AS HUGEINT) * {WATERFILL_BUDGET_BP}
                   // 10000 AS BIGINT) AS budget
       FROM s
-    ), cand AS (
+    ), cand AS MATERIALIZED (
       SELECT k, n_tok, (budget - pfx) // (n_src - k) AS c
       FROM ranked CROSS JOIN tot WHERE k < n_src
     ), feas AS (

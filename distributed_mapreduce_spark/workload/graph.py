@@ -764,7 +764,7 @@ TEMPORAL_SEED_MOD = 17
 
 def _temporal_oracle(hops: int) -> str:
     ctes = [
-        f"""li AS (
+        f"""li AS MATERIALIZED (
           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
           WHERE l_orderkey % {EDGE_GATE_MOD} = 0
         ), te AS MATERIALIZED (

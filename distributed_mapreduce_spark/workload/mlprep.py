@@ -38,6 +38,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from distributed_mapreduce_spark.workload.dedup import (
+    _hash_u32,
+    _sql_hash_u32,
+)
 from distributed_mapreduce_spark.workload.registry import query, table
 
 #: Binary target: "big order" — totalprice above this cut.
@@ -52,7 +56,7 @@ SPLIT_VAL_LT = 95
 @query(
     "target_encode_loo",
     oracle=f"""
-    WITH lab AS (
+    WITH lab AS MATERIALIZED (
       SELECT o_orderkey, o_orderpriority AS cat,
              CASE WHEN o_totalprice > {TE_PRICE_CUT} THEN 1 ELSE 0 END AS y
       FROM orders
@@ -122,12 +126,12 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "group_split_audit",
     oracle=f"""
-    WITH assigned AS (
+    WITH assigned AS MATERIALIZED (
       SELECT user_id, event_id,
              CASE
-               WHEN ('0x' || substr(md5('gs' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               WHEN {_sql_hash_u32("CAST(user_id AS VARCHAR)", "gs")}
                     % {SPLIT_BUCKETS} < {SPLIT_TRAIN_LT} THEN 'train'
-               WHEN ('0x' || substr(md5('gs' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               WHEN {_sql_hash_u32("CAST(user_id AS VARCHAR)", "gs")}
                     % {SPLIT_BUCKETS} < {SPLIT_VAL_LT} THEN 'val'
                ELSE 'test'
              END AS split
@@ -161,18 +165,8 @@ def q_group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: split is a pure md5 row expression (no shuffle); per-split
     stats are one hash-aggregate with a distinct-user combine; the
     audit aggregates (user, split) pairs — bounded by |users|·3."""
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("gs"), F.col("user_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % SPLIT_BUCKETS
-    )
+    # canonical portable hash (workload/dedup.py:_hash_u32)
+    bucket = _hash_u32(F.col("user_id").cast("string"), "gs") % SPLIT_BUCKETS
     assigned = table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",

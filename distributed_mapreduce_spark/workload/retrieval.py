@@ -47,6 +47,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from distributed_mapreduce_spark.workload.dedup import (
+    _hash_u32,
+    _sql_hash_u32,
+)
 from distributed_mapreduce_spark.workload.registry import query, table
 from distributed_mapreduce_spark.workload.similarity import (
     _sql_cos_u,
@@ -73,22 +77,13 @@ RRF_QVEC_ID = 0
 
 
 def _salt(col: Column, tag: str, mod: int) -> Column:
-    """md5-derived deterministic salt — portable across engines."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(tag), col.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % mod
-    )
+    """md5-derived deterministic salt — portable across engines
+    (canonical hash: `workload/dedup.py:_hash_u32`)."""
+    return _hash_u32(col.cast("string"), tag) % mod
 
 
 def _sql_salt(col: str, tag: str, mod: int) -> str:
-    return (
-        f"(('0x' || substr(md5('{tag}' || CAST({col} AS VARCHAR)), 1, 8))::BIGINT"
-        f" % {mod})"
-    )
+    return f"({_sql_hash_u32(f'CAST({col} AS VARCHAR)', tag)} % {mod})"
 
 
 def _two_stage_topk(
@@ -184,11 +179,11 @@ def _bm25_scored_sql(queries: dict[int, tuple[str, ...]]) -> str:
     )
     return f"""
     q(query_id, term) AS (VALUES {values}),
-    tokd AS (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents),
-    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tokd),
+    tokd AS MATERIALIZED (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents),
+    dl AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tokd),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
-    tf AS (
+    tf AS MATERIALIZED (
       SELECT doc_id, tok AS term,
              CAST(len(list_filter(toks, x -> x = tok)) AS BIGINT) AS tf
       FROM tokd, unnest(list_intersect(toks, [{terms}])) AS u(tok)

@@ -492,7 +492,7 @@ def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CASE WHEN epoch_us(ts) <= mid_us THEN 0 ELSE 1 END AS half
       FROM events CROSS JOIN b
-    ), per AS (
+    ), per AS MATERIALIZED (
       SELECT event_type,
              CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
              CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second

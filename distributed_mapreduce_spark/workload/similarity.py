@@ -877,10 +877,10 @@ def _ndcg_case_sql(col: str) -> str:
 @query(
     "ann_ndcg_audit",
     oracle=f"""
-    WITH q AS (
+    WITH q AS MATERIALIZED (
       SELECT vec_id AS query_id, label AS cell, embedding AS qv
       FROM embeddings WHERE vec_id < {N_QUERIES}
-    ), exact AS (
+    ), exact AS MATERIALIZED (
       SELECT query_id, neighbor_id, rnk FROM (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                row_number() OVER (
