@@ -370,3 +370,74 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def interpolate_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `events_gap_fill_interpolate` query:
+    per user, every hourly grid instant strictly inside the gap between
+    two consecutive events is emitted with the integer time-weighted
+    blend of the surrounding readings, with keyed state carrying the
+    previous event's (micros, value_e6) across micro-batches
+    (`applyInPandasWithState`, append mode).
+
+    Exactness across the batch/stream boundary: state is two BIGINTs
+    (no float round-trips at all); values quantize through the same
+    double→DECIMAL(18,6) half-away-from-zero cast as both engines; the
+    blend divides with explicit truncation-toward-zero to mirror
+    Spark's DECIMAL `DIV` — so on closed input arriving in event-time
+    order, every emitted grid row is bit-identical to the batch
+    lead()+sequence() computation (asserted in tests/test_streaming.py).
+
+    Scale shape: state is 2 longs per active user; add a
+    watermark-driven timeout to retire idle users in production."""
+    import decimal
+
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hour_us = 3_600_000_000
+    out_schema = "user_id bigint, g_us bigint, value_e6 bigint"
+    state_schema = "prev_us bigint, prev_v6 bigint"
+
+    def _v6(value: float) -> int:
+        return int(
+            decimal.Decimal(value).scaleb(6).quantize(
+                decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def _tdiv(a: int, b: int) -> int:
+        # truncate toward zero, matching DECIMAL DIV / DuckDB //
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def fn(key, pdfs, state):
+        prev = state.get if state.exists else None
+        (uid,) = key
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                us = int(row["ts"].value) // 1000  # pandas ns -> us
+                v6 = _v6(float(row["value"]))
+                if prev is not None and us > prev[0]:
+                    pus, pv6 = prev
+                    h = pus // hour_us + 1
+                    while h * hour_us < us:
+                        g = h * hour_us
+                        rows.append(
+                            (
+                                int(uid),
+                                g,
+                                _tdiv(pv6 * (us - g) + v6 * (g - pus), us - pus),
+                            )
+                        )
+                        h += 1
+                prev = (us, v6)
+        if prev is not None:
+            state.update(tuple(prev))
+        yield pd.DataFrame(rows, columns=["user_id", "g_us", "value_e6"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

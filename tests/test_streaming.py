@@ -757,3 +757,88 @@ def test_ewma_stream_state_survives_batch_boundary(spark, tmp_path):
         for r in q_events_ewma_trailing(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_interpolate_stream_matches_batch_bitwise(spark, events_dir):
+    """Single closed batch: every interpolated grid row from the
+    keyed-state stream equals the batch lead()+sequence() computation
+    exactly (same grid instants, same integer blends)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.events_stream import (
+        interpolate_stream,
+    )
+    from distributed_mapreduce_spark.workload.events import (
+        q_events_gap_fill_interpolate,
+    )
+
+    stream = interpolate_stream(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "interp_stream_t", output_mode="append")
+    got = {
+        (r["user_id"], r["g_us"]): r["value_e6"]
+        for r in spark.table("interp_stream_t").collect()
+    }
+    expected = {
+        (r["user_id"], r["g_us"]): r["value_e6"]
+        for r in q_events_gap_fill_interpolate(spark, "/root/testdata/sf0.001")
+        .select("user_id", F.unix_micros("ts").alias("g_us"), "value_e6")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_interpolate_stream_state_survives_batch_boundary(spark, tmp_path):
+    """Two micro-batches split on event time: gaps STRADDLING the
+    boundary must still interpolate — the second batch's first event
+    pairs with the first batch's last event through keyed state."""
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.events_stream import (
+        interpolate_stream,
+    )
+    from distributed_mapreduce_spark.workload.events import (
+        q_events_gap_fill_interpolate,
+    )
+    from distributed_mapreduce_spark.workload.registry import table as load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    cutoff = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).first()[0]
+    src = str(tmp_path / "iv_src")
+    ev.filter(F.unix_micros("ts") <= cutoff).coalesce(1).write.parquet(src + "/b1")
+    ev.filter(F.unix_micros("ts") > cutoff).coalesce(1).write.parquet(src + "/b2")
+    flat = str(tmp_path / "iv_flat")
+    os.makedirs(flat)
+    now = _time.time()
+    for i, sub in enumerate(["b1", "b2"]):
+        for f in os.listdir(src + "/" + sub):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{i:03d}.parquet"
+                shutil.copy(f"{src}/{sub}/{f}", dst)
+                os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream_src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    run_to_memory(
+        interpolate_stream(stream_src), "interp_stream_2b", output_mode="append"
+    )
+    got = {
+        (r["user_id"], r["g_us"]): r["value_e6"]
+        for r in spark.table("interp_stream_2b").collect()
+    }
+    expected = {
+        (r["user_id"], r["g_us"]): r["value_e6"]
+        for r in q_events_gap_fill_interpolate(spark, "/root/testdata/sf0.001")
+        .select("user_id", F.unix_micros("ts").alias("g_us"), "value_e6")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+    # the boundary invariant proper: at least one emitted grid instant
+    # lies in a gap that straddles the cutoff
+    straddling = [g for (_, g) in got if g > cutoff]
+    assert straddling
