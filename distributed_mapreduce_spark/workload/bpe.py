@@ -286,3 +286,71 @@ def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "tokenizer_roundtrip_audit",
+    oracle=_oracle_prelude()
+    + f""",
+    chk AS MATERIALIZED (
+      SELECT word, freq, syms,
+             CASE WHEN list_reduce(syms, (x, y) -> x || y) = word
+                  THEN 0 ELSE 1 END AS bad
+      FROM words{BPE_N_MERGES}
+    ), viol AS (
+      SELECT CAST(sum(bad) AS BIGINT) AS n_roundtrip_violations FROM chk
+    ), per AS (
+      SELECT sym AS symbol,
+             CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+             CAST(sum(freq) AS BIGINT) AS usage
+      FROM chk, unnest(syms) AS u(sym)
+      GROUP BY sym
+    )
+    SELECT symbol, CAST(length(symbol) AS BIGINT) AS sym_len,
+           n_words, usage, n_roundtrip_violations
+    FROM per CROSS JOIN viol
+    """,
+)
+def q_tokenizer_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Losslessness proof + subword inventory of the trained BPE
+    tokenizer: (1) for every vocabulary word, concatenating its merged
+    symbols must reproduce the word exactly — the round-trip violation
+    count is an output column (0 by the merge fold's construction, and
+    the first column to go red if a merge ever drops or duplicates a
+    character); (2) the learned symbol inventory with per-symbol
+    length, word coverage, and corpus-frequency-weighted usage — the
+    table a tokenizer release ships as its vocab report.
+
+    Plan: both facets read the already-trained word table (Heaps-law
+    sized, never the raw corpus): one within-row concat check + 1-row
+    aggregate broadcast, one explode → hash-agg over the word table.
+    The fold order of the concat (left fold ≡ concat_ws) is identical
+    on both engines, so the audit itself is differentially certified.
+    """
+    merges, words = _train_merges(spark, sf_dir)
+    chk = words.select(
+        "word",
+        "freq",
+        "syms",
+        F.when(F.concat_ws("", F.col("syms")) == F.col("word"), 0)
+        .otherwise(1)
+        .alias("bad"),
+    )
+    viol = chk.agg(
+        F.sum("bad").cast("long").alias("n_roundtrip_violations")
+    )
+    per = (
+        chk.select("word", "freq", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(
+            F.countDistinct("word").cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("usage"),
+        )
+    )
+    return per.crossJoin(F.broadcast(viol)).select(
+        "symbol",
+        F.length("symbol").cast("long").alias("sym_len"),
+        "n_words",
+        "usage",
+        "n_roundtrip_violations",
+    )

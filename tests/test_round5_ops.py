@@ -515,3 +515,30 @@ def test_temporal_reachability_matches_bruteforce(spark, sf_dir):
     assert got == arr
     # time-respecting invariant: no non-seed arrival precedes a seed hop
     assert all(a == -1 or a > 0 for a in got.values())
+
+
+def test_tokenizer_roundtrip_is_lossless(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.bpe import (
+        q_tokenizer_roundtrip_audit,
+        _train_merges,
+    )
+
+    rows = q_tokenizer_roundtrip_audit(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_roundtrip_violations"] == 0 for r in rows)
+    # inventory sanity vs the trained word table
+    _, words = _train_merges(spark, sf_dir)
+    wt = {r["word"]: (r["freq"], list(r["syms"])) for r in words.collect()}
+    usage = Counter()
+    n_words = defaultdict(set)
+    for w, (f, syms) in wt.items():
+        assert "".join(syms) == w
+        for s in syms:
+            usage[s] += f
+            n_words[s].add(w)
+    got = {r["symbol"]: r for r in rows}
+    assert set(got) == set(usage)
+    for s, r in got.items():
+        assert r["usage"] == usage[s]
+        assert r["n_words"] == len(n_words[s])
+        assert r["sym_len"] == len(s)
