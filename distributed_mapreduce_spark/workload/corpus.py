@@ -1502,3 +1502,68 @@ def q_corpus_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "round INT, source STRING, gain BIGINT, covered_total BIGINT"
     )
+
+
+def _combined_decontam_oracle() -> str:
+    from distributed_mapreduce_spark.workload.registry import ORACLES
+
+    sem = ORACLES["decontam_semantic_overlap"]
+    return f"""
+    WITH ng AS MATERIALIZED (
+      SELECT doc_id, n_shared FROM ({_DECON_SQL}) WHERE contaminated
+    ), sem AS MATERIALIZED (
+      SELECT vec_id AS doc_id, max_cos_u FROM ({sem})
+    )
+    SELECT COALESCE(ng.doc_id, sem.doc_id) AS doc_id,
+           ng.doc_id IS NOT NULL AS ngram_hit,
+           sem.doc_id IS NOT NULL AS semantic_hit,
+           ng.n_shared, sem.max_cos_u,
+           CASE WHEN ng.doc_id IS NOT NULL AND sem.doc_id IS NOT NULL
+                THEN 'both'
+                WHEN ng.doc_id IS NOT NULL THEN 'ngram_only'
+                ELSE 'semantic_only' END AS verdict
+    FROM ng FULL JOIN sem ON ng.doc_id = sem.doc_id
+    """
+
+
+@query("decontam_combined_verdict", oracle=_combined_decontam_oracle())
+def q_decontam_combined_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination verdict table a pipeline actually acts on:
+    the union of the VERBATIM gate (`decontam_ngram_overlap`, flagged
+    docs only) and the PARAPHRASE gate (`decontam_semantic_overlap`,
+    embedding cosine), full-outer joined with method attribution —
+    'both' is the highest-confidence removal, 'ngram_only' catches
+    below-embedding-threshold verbatim spans, 'semantic_only' catches
+    reworded contamination with no shared {DECON_N}-grams. Composing
+    the two registered queries (not re-deriving them) keeps this
+    verdict definitionally consistent with each gate.
+
+    Plan: both inputs end at flagged-docs cardinality (≪ corpus); the
+    fusion join is key-only on doc_id."""
+    from distributed_mapreduce_spark.workload.similarity import (
+        q_decontam_semantic_overlap,
+    )
+
+    ng = (
+        q_decontam_ngram_overlap(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id", "n_shared")
+        .withColumn("_ng", F.lit(True))
+    )
+    sem = (
+        q_decontam_semantic_overlap(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), "max_cos_u")
+        .withColumn("_sem", F.lit(True))
+    )
+    fused = ng.join(sem, "doc_id", "full_outer")
+    return fused.select(
+        "doc_id",
+        F.coalesce("_ng", F.lit(False)).alias("ngram_hit"),
+        F.coalesce("_sem", F.lit(False)).alias("semantic_hit"),
+        "n_shared",
+        "max_cos_u",
+        F.when(F.col("_ng").isNotNull() & F.col("_sem").isNotNull(), "both")
+        .when(F.col("_ng").isNotNull(), "ngram_only")
+        .otherwise("semantic_only")
+        .alias("verdict"),
+    )

@@ -542,3 +542,36 @@ def test_tokenizer_roundtrip_is_lossless(spark, sf_dir):
         assert r["usage"] == usage[s]
         assert r["n_words"] == len(n_words[s])
         assert r["sym_len"] == len(s)
+
+
+def test_combined_decontam_verdict_is_union_of_gates(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.corpus import (
+        q_decontam_combined_verdict,
+        q_decontam_ngram_overlap,
+    )
+    from distributed_mapreduce_spark.workload.similarity import (
+        q_decontam_semantic_overlap,
+    )
+
+    ng = {
+        r["doc_id"]: r["n_shared"]
+        for r in q_decontam_ngram_overlap(spark, sf_dir).collect()
+        if r["contaminated"]
+    }
+    sem = {
+        r["vec_id"]: r["max_cos_u"]
+        for r in q_decontam_semantic_overlap(spark, sf_dir).collect()
+    }
+    got = {r["doc_id"]: r for r in q_decontam_combined_verdict(spark, sf_dir).collect()}
+    assert set(got) == set(ng) | set(sem)
+    for d, r in got.items():
+        assert r["ngram_hit"] == (d in ng)
+        assert r["semantic_hit"] == (d in sem)
+        assert r["n_shared"] == ng.get(d)
+        assert r["max_cos_u"] == sem.get(d)
+        expect = (
+            "both" if d in ng and d in sem
+            else "ngram_only" if d in ng
+            else "semantic_only"
+        )
+        assert r["verdict"] == expect
