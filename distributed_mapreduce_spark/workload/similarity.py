@@ -1003,3 +1003,88 @@ def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_bp"),
         )
     )
+
+
+@query(
+    "embedding_int8_quant_audit",
+    oracle="""
+    WITH ev AS MATERIALIZED (
+      SELECT i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS v_u
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(i)
+    ), rng AS MATERIALIZED (
+      SELECT i, CAST(min(v_u) AS BIGINT) AS min_u,
+             CAST(max(v_u) AS BIGINT) AS max_u
+      FROM ev GROUP BY i
+    ), coded AS (
+      SELECT ev.i, ev.v_u, rng.min_u, rng.max_u,
+             CASE WHEN rng.max_u = rng.min_u THEN 0
+                  ELSE CAST((ev.v_u - rng.min_u) * 255
+                            // (rng.max_u - rng.min_u) AS BIGINT)
+             END AS code
+      FROM ev JOIN rng USING (i)
+    ), err AS (
+      SELECT i, min_u, max_u,
+             abs(v_u - (min_u + code * (max_u - min_u) // 255)) AS e
+      FROM coded
+    )
+    SELECT CAST(i AS INTEGER) AS dim, min_u, max_u,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(e) // count(*) AS BIGINT) AS mean_abs_err_u,
+           CAST(max(e) AS BIGINT) AS max_err_u
+    FROM err GROUP BY i, min_u, max_u
+    """,
+)
+def q_embedding_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit: per dimension, quantize every
+    value to the 0..255 code grid over the dimension's observed
+    [min, max] range and report the exact reconstruction error — the
+    accuracy/size trade a serving stack verifies before shipping
+    int8 vectors (4× smaller than float32). All arithmetic in integer
+    micro-units: v_u = ⌊v·10⁶⌋ (floor toward −∞, identical on both
+    engines), code = (v_u−min_u)·255 ⫽ span (non-negative numerator,
+    so truncation ≡ floor), dequant on the same grid — mean/max
+    absolute error per dimension with no float comparison anywhere.
+    Degenerate constant dimensions (span 0) code to 0 with zero error.
+
+    Plan: one posexplode pass to (dim, value) pairs, a ≤|dims|-row
+    min/max aggregate joined back (broadcast by size), and a ≤|dims|-
+    row error aggregate — two linear passes, state bounded by the
+    dimension count, the exact shape a 100 TB vector corpus needs."""
+    emb = table(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("v").cast("double") * 1_000_000.0)
+        .cast("long")
+        .alias("v_u"),
+    )
+    rng = ev.groupBy("i").agg(
+        F.min("v_u").cast("long").alias("min_u"),
+        F.max("v_u").cast("long").alias("max_u"),
+    )
+    coded = ev.join(F.broadcast(rng), "i").select(
+        "i",
+        "v_u",
+        "min_u",
+        "max_u",
+        F.when(F.col("max_u") == F.col("min_u"), F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("CAST((v_u - min_u) * 255 DIV (max_u - min_u) AS BIGINT)")
+        )
+        .alias("code"),
+    )
+    err = coded.select(
+        "i",
+        "min_u",
+        "max_u",
+        F.expr("abs(v_u - (min_u + code * (max_u - min_u) DIV 255))").alias("e"),
+    )
+    return err.groupBy(
+        F.col("i").cast("int").alias("dim"), "min_u", "max_u"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(e) DIV count(*) AS BIGINT)").alias("mean_abs_err_u"),
+        F.max("e").cast("long").alias("max_err_u"),
+    )

@@ -575,3 +575,22 @@ def test_combined_decontam_verdict_is_union_of_gates(spark, sf_dir):
             else "semantic_only"
         )
         assert r["verdict"] == expect
+
+
+def test_int8_quant_audit_error_bound(spark, sf_dir):
+    """Quantization error must respect the grid bound: for a 255-step
+    grid over [min, max], every absolute error < span/255 + 1 µ-unit
+    (the +1 from the two integer floors)."""
+    from distributed_mapreduce_spark.workload.similarity import (
+        q_embedding_int8_quant_audit,
+    )
+
+    rows = q_embedding_int8_quant_audit(spark, sf_dir).collect()
+    assert rows
+    dims = {r["dim"] for r in rows}
+    assert dims == set(range(1, len(dims) + 1))
+    for r in rows:
+        span = r["max_u"] - r["min_u"]
+        assert r["min_u"] <= r["max_u"]
+        bound = span // 255 + (1 if span % 255 else 0) + 1
+        assert 0 <= r["mean_abs_err_u"] <= r["max_err_u"] <= bound
