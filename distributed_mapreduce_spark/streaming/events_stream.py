@@ -30,6 +30,29 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _group_event_order(pdfs, by=("ts", "event_id")):
+    """Materialise ALL Arrow chunks for one state group and sort ONCE
+    by event order.
+
+    `applyInPandasWithState` hands the group's micro-batch rows as an
+    iterator of Arrow-sized chunks (~10k rows each). Sorting each chunk
+    independently only guarantees order WITHIN a chunk — a group
+    spanning multiple chunks could replay rows out of event-time order
+    across the chunk boundary and silently corrupt sequential state
+    (the stateful handlers update prev/tail unconditionally). One
+    concat + one stable sort restores the global per-group order; the
+    concat is bounded by the group's rows in THIS micro-batch, not the
+    stream length, so memory stays O(group x micro-batch).
+    """
+    import pandas as pd  # local: keep module import light
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return None
+    whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    return whole.sort_values(list(by), kind="mergesort")
+
+
 def read_events_stream(
     spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -303,8 +326,8 @@ def quota_limit_stream(events: DataFrame, n_per_hour: int = 3) -> DataFrame:
     def fn(key, pdfs, state):
         (n,) = state.get if state.exists else (0,)
         kept = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _group_event_order(pdfs)
+        if pdf is not None:
             for _, row in pdf.iterrows():
                 if n < n_per_hour:
                     n += 1
@@ -347,8 +370,8 @@ def ewma_stream(events: DataFrame) -> DataFrame:
             if hexes:
                 tail = [float.fromhex(h) for h in hexes.split(";")]
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _group_event_order(pdfs)
+        if pdf is not None:
             for _, row in pdf.iterrows():
                 vals = tail + [float(row["value"])]
                 n = len(vals)
@@ -415,8 +438,8 @@ def interpolate_stream(events: DataFrame) -> DataFrame:
         prev = state.get if state.exists else None
         (uid,) = key
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _group_event_order(pdfs)
+        if pdf is not None:
             for _, row in pdf.iterrows():
                 us = int(row["ts"].value) // 1000  # pandas ns -> us
                 v6 = _v6(float(row["value"]))

@@ -674,6 +674,17 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Resource-allocation link prediction: pairs kept.
 RA_TOP_K = 100
 
+#: Target wedge rows per aggregation task for the RA pair aggregate.
+#: Sized so a task's (a, c) hash map stays comfortably in executor
+#: memory (3 longs/row): 2 M rows ≈ 50 MB of agg state.
+RA_WEDGE_ROWS_PER_TASK = 2_000_000
+
+#: Upper bound on the input-scaled partition count (4096 tasks x 2 M
+#: rows ≈ 8 G wedges per job — beyond that a real cluster raises the
+#: cap with executor count, but the local harness should not create
+#: hundreds of thousands of tiny tasks on a pathological input).
+RA_MAX_PARTITIONS = 4096
+
 
 @query(
     "graph_resource_allocation",
@@ -718,7 +729,26 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per endpoint pair, anti-joined against the oriented edge set, and
     TakeOrdered for the global top-k (per-partition top-k + driver
     merge — no global sort shuffle). Same O(Σ deg²) wedge bound as
-    the triangle family; AQE handles residual skew."""
+    the triangle family; AQE handles residual skew.
+
+    Input-scaled shuffle partitioning (round-6 fix for the ×100
+    super-linear spill slope): the wedge intermediate is exactly
+    Σ deg·(deg−1)/2 rows — linear in input volume but up to ~755 M
+    rows at the ×100 scaling point, which through a FIXED
+    cpu-count-sized shuffle meant ~24 M rows of aggregation state per
+    task and forced spilling. The wedge count is computed exactly from
+    the ≤|V|-row degree relation (one 1-row driver collect — the same
+    bounded-collect class as the BPE argmax), and the wedge stream is
+    explicitly repartitioned on the pair key (a, c) into
+    ceil(wedges / {RA_WEDGE_ROWS_PER_TASK}) partitions before the
+    aggregate. Catalyst recognises the hash partitioning satisfies the
+    groupBy's required distribution, so no second exchange is added;
+    AQE never coalesces a user repartition with an explicit count, so
+    the width survives runtime re-planning. Map-side partial
+    aggregation is deliberately traded away: RA endpoint pairs are
+    mostly unique, so partials reduced almost nothing while the
+    per-task state blew up — measured, not guessed
+    (SCALING_r05 slope 1.51 → the fix targets ≤ 1.0)."""
     e = _edges(spark, sf_dir).cache()
     und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
         e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
@@ -726,9 +756,19 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+    # Exact wedge volume from the degree relation (1-row collect).
+    wedge_rows = (
+        deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w")).collect()[0][0]
+        or 0
+    )
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = max(
+        default_parts,
+        min(RA_MAX_PARTITIONS, -(-int(wedge_rows) // RA_WEDGE_ROWS_PER_TASK)),
+    )
     w1 = und.alias("w1")
     w2 = und.alias("w2")
-    scored = (
+    wedges = (
         w1.join(
             w2,
             (F.col("w1.u") == F.col("w2.u")) & (F.col("w1.v") < F.col("w2.v")),
@@ -739,6 +779,9 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w2.v").alias("c"),
             F.expr("1000000 div deg").alias("contrib"),
         )
+    )
+    scored = (
+        wedges.repartition(n_parts, "a", "c")
         .groupBy("a", "c")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),

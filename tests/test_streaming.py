@@ -787,6 +787,66 @@ def test_interpolate_stream_matches_batch_bitwise(spark, events_dir):
     assert got == expected and len(got) > 0
 
 
+def test_stateful_handlers_survive_multi_chunk_groups(spark, tmp_path):
+    """Adversarial Arrow chunking: with maxRecordsPerBatch=7 and the
+    landing file written in DESCENDING event-time order, every state
+    group spans many chunks and each chunk arrives internally
+    out-of-order relative to the next. The handlers must concat+sort
+    the whole group before folding state (a per-chunk sort would
+    replay rows out of event-time order across chunk boundaries and
+    corrupt prev/tail state) — both stream outputs must still be
+    bit-identical to their batch twins."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.events_stream import (
+        ewma_stream,
+        interpolate_stream,
+    )
+    from distributed_mapreduce_spark.workload.events import (
+        q_events_ewma_trailing,
+        q_events_gap_fill_interpolate,
+    )
+    from distributed_mapreduce_spark.workload.registry import table as load
+
+    landing = str(tmp_path / "desc_landing")
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    # one file, globally DESC by ts: chunks arrive newest-first
+    ev.orderBy(F.desc("ts"), F.desc("event_id")).coalesce(1).write.parquet(landing)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        src = spark.readStream.schema(ev.schema).parquet(landing)
+        run_to_memory(ewma_stream(src), "ewma_chunked_t", output_mode="append")
+        got_ewma = {
+            r["event_id"]: r["ewma_micro"]
+            for r in spark.table("ewma_chunked_t").collect()
+        }
+        src2 = spark.readStream.schema(ev.schema).parquet(landing)
+        run_to_memory(
+            interpolate_stream(src2), "interp_chunked_t", output_mode="append"
+        )
+        got_interp = {
+            (r["user_id"], r["g_us"]): r["value_e6"]
+            for r in spark.table("interp_chunked_t").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    exp_ewma = {
+        r["event_id"]: r["ewma_micro"]
+        for r in q_events_ewma_trailing(spark, "/root/testdata/sf0.001").collect()
+    }
+    exp_interp = {
+        (r["user_id"], r["g_us"]): r["value_e6"]
+        for r in q_events_gap_fill_interpolate(spark, "/root/testdata/sf0.001")
+        .select("user_id", F.unix_micros("ts").alias("g_us"), "value_e6")
+        .collect()
+    }
+    assert got_ewma == exp_ewma and len(got_ewma) > 0
+    assert got_interp == exp_interp and len(got_interp) > 0
+
+
 def test_interpolate_stream_state_survives_batch_boundary(spark, tmp_path):
     """Two micro-batches split on event time: gaps STRADDLING the
     boundary must still interpolate — the second batch's first event

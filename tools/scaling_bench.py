@@ -25,11 +25,14 @@ row at 10x the data. 1.0 is perfectly linear; < 1 means fixed overhead
 indicate a super-linear stage that would not survive 100 TB.
 
 Usage: python tools/scaling_bench.py [src_sf_dir] [out_json] [--x100]
+       [--only=fam1,fam2] [--merge=prior.json]
 Writes the JSON artifact (default SCALING_r05.json) that bench.py
 embeds under its "scaling" key. With --x100, additionally builds a
 100x corpus and re-times the X100_FAMILIES subset (one warm-up + one
 timed run — at 6 GB+ input the run time dwarfs trial noise), recording
-the second decade's slope (x100 vs x10).
+the second decade's slope (x100 vs x10). --only restricts to a family
+subset (fast re-measure after a fix); --merge seeds the output with a
+prior artifact's rows so untouched families carry forward.
 """
 
 from __future__ import annotations
@@ -194,10 +197,23 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--x100"]
-    do_x100 = "--x100" in sys.argv[1:]
+    only: list[str] | None = None
+    merge_from: str | None = None
+    args = []
+    do_x100 = False
+    for a in sys.argv[1:]:
+        if a == "--x100":
+            do_x100 = True
+        elif a.startswith("--only="):
+            only = [f for f in a.split("=", 1)[1].split(",") if f]
+        elif a.startswith("--merge="):
+            merge_from = a.split("=", 1)[1]
+        else:
+            args.append(a)
     src_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     out_json = args[1] if len(args) > 1 else "/root/repo/SCALING_r05.json"
+    families = [q for q in FAMILIES if only is None or q in only]
+    x100_families = [q for q in X100_FAMILIES if only is None or q in only]
 
     from distributed_mapreduce_spark.session import get_spark
 
@@ -217,7 +233,9 @@ def main() -> int:
     }
 
     results = {}
-    for q in FAMILIES:
+    if merge_from:
+        results.update(json.loads(Path(merge_from).read_text())["queries"])
+    for q in families:
         t1 = run_query(spark, q, f"{base}/x1")
         t10 = run_query(spark, q, f"{base}/x10")
         n1 = rows_x1[input_table[q]]
@@ -237,7 +255,7 @@ def main() -> int:
     if do_x100:
         print("building x100 corpus ...", flush=True)
         rows_x100 = build_scaled(spark, src_dir, f"{base}/x100", 100)
-        for q in X100_FAMILIES:
+        for q in x100_families:
             # one warm-up + one timed run: at this volume run time
             # dwarfs trial noise, and 4 full runs would double the
             # harness cost for no information
