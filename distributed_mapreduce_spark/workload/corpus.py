@@ -1505,6 +1505,12 @@ def q_corpus_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _combined_decontam_oracle() -> str:
+    # Import the module that REGISTERS the semantic-overlap oracle
+    # before reading it from the registry: this helper runs at
+    # corpus.py import time, so without the explicit import it would
+    # only work when workload/__init__ happens to import similarity
+    # first (importing workload.corpus standalone raised KeyError).
+    from distributed_mapreduce_spark.workload import similarity  # noqa: F401
     from distributed_mapreduce_spark.workload.registry import ORACLES
 
     sem = ORACLES["decontam_semantic_overlap"]

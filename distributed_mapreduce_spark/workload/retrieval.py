@@ -294,8 +294,8 @@ def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused AS (
       SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
              l.rnk AS lex_rnk, s.rnk AS sem_rnk,
-             CAST(COALESCE(1000000 // (60 + l.rnk), 0)
-                  + COALESCE(1000000 // (60 + s.rnk), 0) AS BIGINT) AS rrf_e6
+             CAST(COALESCE(1000000 // ({RRF_K} + l.rnk), 0)
+                  + COALESCE(1000000 // ({RRF_K} + s.rnk), 0) AS BIGINT) AS rrf_e6
       FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
     )
     SELECT doc_id, lex_rnk, sem_rnk, rrf_e6, rnk FROM (
@@ -352,8 +352,8 @@ def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lex_rnk",
         "sem_rnk",
         (
-            F.coalesce(F.expr("1000000 div (60 + lex_rnk)"), F.lit(0))
-            + F.coalesce(F.expr("1000000 div (60 + sem_rnk)"), F.lit(0))
+            F.coalesce(F.expr(f"1000000 div ({RRF_K} + lex_rnk)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({RRF_K} + sem_rnk)"), F.lit(0))
         )
         .cast("long")
         .alias("rrf_e6"),

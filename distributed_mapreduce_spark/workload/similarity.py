@@ -862,9 +862,24 @@ def q_decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: either engine, so the repo-wide "no float reaches the comparator"
 #: policy holds even for a log-discounted metric.
 NDCG_K = 10
-import math as _math  # noqa: E402
-
-NDCG_W = {i: int(1_000_000 // _math.log2(i + 1)) for i in range(1, NDCG_K + 1)}
+#: Audited literals of ⌊10⁶/log₂(i+1)⌋ for i in 1..10 — hardcoded
+#: (not computed via math.log2 at import time) so the query definition
+#: is platform-independent: libm results are not guaranteed ulp-identical
+#: across platforms, and a 1-µ-unit drift would change persisted
+#: artifacts even though in-process differentials could not see it.
+NDCG_W = {
+    1: 1_000_000,
+    2: 630_929,
+    3: 500_000,
+    4: 430_676,
+    5: 386_852,
+    6: 356_207,
+    7: 333_333,
+    8: 315_464,
+    9: 301_029,
+    10: 289_064,
+}
+assert len(NDCG_W) == NDCG_K
 
 def _ndcg_case_sql(col: str) -> str:
     return (
