@@ -154,6 +154,19 @@ def main() -> None:
                     out[key] = json.load(f)
             except (OSError, json.JSONDecodeError):
                 pass
+    # The driver's BENCH_r{N}.json keeps only a 2000-char tail of stdout,
+    # which truncates the per-query dict (round 4/5 lost their per-query
+    # baselines). Persist the full line as a committed artifact so
+    # round-over-round per-query comparison never needs a judge re-run.
+    self_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF_r06.json")
+    )
+    try:
+        with open(self_path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

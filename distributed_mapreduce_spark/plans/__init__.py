@@ -9,7 +9,9 @@ from distributed_mapreduce_spark.plans.checks import (
     pushed_filters,
     read_schema_columns,
     unbounded_scaling_broadcasts,
+    unpartitioned_unbounded_windows,
     wholestage_codegen_count,
+    window_partition_audit,
 )
 
 __all__ = [
@@ -21,5 +23,7 @@ __all__ = [
     "read_schema_columns",
     "has_broadcast_join",
     "unbounded_scaling_broadcasts",
+    "unpartitioned_unbounded_windows",
     "wholestage_codegen_count",
+    "window_partition_audit",
 ]

@@ -136,6 +136,128 @@ def unbounded_scaling_broadcasts(df: DataFrame) -> list[str]:
     return sorted(set(flagged))
 
 
+def _top_level_groups(s: str) -> list[str]:
+    """Split ``[...], [...], [...]`` into its top-level bracket groups
+    (brackets may nest inside window/frame expressions)."""
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] | None = None
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and cur is not None:
+                groups.append("".join(cur))
+                cur = None
+                continue
+        if cur is not None:
+            cur.append(ch)
+    return groups
+
+
+def window_partition_audit(df: DataFrame) -> list[dict]:
+    """Inventory of Window nodes in the optimized logical plan: is the
+    partition spec empty, and is the window's input *bounded*?
+
+    An unpartitioned window is a single-task global sort+fold — the
+    round-2 class of scale bug when it runs over raw rows. It is FINE
+    over the documented bounded-window class: inputs already reduced to
+    ≤|groups| rows by an aggregate (or truncated by a limit) before the
+    window. Bounded here = every scan leaf under the window passes
+    through an Aggregate/Limit on its ancestor path inside the window's
+    subtree (a lone Aggregate on the OTHER side of a join does not
+    launder an unbounded branch).
+
+    Logical-node syntax (all four arities occur):
+    ``Window [funcs], [partSpec], [orderSpec]`` — partitioned+ordered;
+    ``Window [funcs], [partSpec]`` — partitioned, unordered (bare
+    attribute refs, e.g. ``[fp#5]``);
+    ``Window [funcs], [orderSpec]`` — GLOBAL ordered window (entries
+    carry ``ASC``/``DESC`` sort directions);
+    ``Window [funcs]`` — global unordered. The second group is an
+    order spec iff it contains a sort direction keyword.
+    """
+    lines = (
+        df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    )
+    out: list[dict] = []
+    for i, line in enumerate(lines):
+        stripped = line.lstrip(" :+-")
+        if not stripped.startswith("Window "):
+            continue
+        depth = _node_depth(line)
+        groups = _top_level_groups(stripped[len("Window ") :])
+        if len(groups) >= 3:
+            partitioned = groups[1].strip() != ""
+        elif len(groups) == 2:
+            g1 = groups[1]
+            partitioned = g1.strip() != "" and not (
+                " ASC" in g1 or " DESC" in g1
+            )
+        else:
+            partitioned = False
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if _node_depth(nxt) <= depth:
+                break
+            subtree.append(nxt)
+        # every unbounded leaf (parquet Relation / LogicalRDD) must have
+        # an Aggregate/Limit ancestor within the window's subtree
+        bounded = True
+        for ri, s in enumerate(subtree):
+            st = s.lstrip(" :+-")
+            if not (st.startswith("Relation ") or st.startswith("LogicalRDD")):
+                continue
+            min_d = _node_depth(s)
+            covered = False
+            for j in range(ri - 1, -1, -1):
+                dj = _node_depth(subtree[j])
+                if dj < min_d:
+                    min_d = dj
+                    anc = subtree[j].lstrip(" :+-")
+                    if anc.startswith(("Aggregate [", "GlobalLimit", "Limit")):
+                        covered = True
+                        break
+            if not covered:
+                bounded = False
+                break
+        out.append({"partitioned": partitioned, "bounded_input": bounded})
+    return out
+
+
+#: Queries ALLOWED an unpartitioned window over unbounded input — each
+#: is a documented reference-parity op whose semantics ARE a global
+#: sequential numbering, with a scalable twin or a bounded real input:
+#: - `partition_rows_assign`: contiguous row-range split parity
+#:   (fileserver.py:265-289); scale path is `partition_rows_scalable`
+#:   (range shuffle + Arrow numbering + broadcast offsets).
+#: - `partition_range_assign`: NTILE parity of the balanced range cut
+#:   (fileserver.py:700-732); physical placement at scale is
+#:   `repartitionByRange` (no global window).
+#: - `maplejuice_flagship`: pct-of-total window over the juice-phase
+#:   output, which is ≤ |distinct keys| rows by the juice contract —
+#:   the reduction happens inside the Arrow stage (FlatMapGroupsInPandas),
+#:   so the logical plan cannot prove boundedness mechanically.
+GLOBAL_WINDOW_PARITY_OPS = frozenset(
+    {"partition_rows_assign", "partition_range_assign", "maplejuice_flagship"}
+)
+
+
+def unpartitioned_unbounded_windows(df: DataFrame) -> int:
+    """Count of Window nodes with an empty partition spec over input
+    not provably bounded by an aggregate/limit — should be 0 for every
+    registered query (whitelist documented exceptions explicitly)."""
+    return sum(
+        1
+        for w in window_partition_audit(df)
+        if not w["partitioned"] and not w["bounded_input"]
+    )
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle/broadcast) operators in the plan —
     counted from the formatted details section so each operator counts

@@ -435,6 +435,247 @@ def q_dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- model-based quality gate (fastText-style hashed linear model) ----------
+
+#: Hashed bag-of-words dimensionality of the quality classifier.
+QM_DIM = 64
+#: Per-occurrence weight added to a stopword's hash bucket / the
+#: negative prior every token pays (micro-units per token).
+QM_W_STOP, QM_W_BASE = 205, -5
+
+
+def _qm_bucket_py(tok: str) -> int:
+    """Python twin of `_hash_u32(tok, 'qm_') % QM_DIM` (same md5
+    scheme, so the weight table below lines up with both engines)."""
+    import hashlib
+
+    return int(hashlib.md5(("qm_" + tok).encode()).hexdigest()[:8], 16) % QM_DIM
+
+
+#: The model: a literal integer weight per hash bucket, "trained" to
+#: reproduce the stopword-density signal (the dominant rule-gate
+#: feature) — every bucket carries the QM_W_BASE prior, buckets that a
+#: stopword hashes into additionally carry QM_W_STOP per stopword
+#: (collisions simply stack, as in any hashed-feature model). The
+#: table is computed ONCE here in Python and inlined as literals into
+#: BOTH engines, so scoring is integer-exact and platform-independent
+#: (the ndcg literal-weights pattern). At real scale this is exactly a
+#: broadcast of a trained weight vector.
+def _qm_weights() -> list[int]:
+    w = [QM_W_BASE] * QM_DIM
+    for s in STOPWORDS:
+        w[_qm_bucket_py(s)] += QM_W_STOP
+    return w
+
+
+QM_WEIGHTS = _qm_weights()
+
+_QM_SQL_W = "[" + ", ".join(str(x) for x in QM_WEIGHTS) + "]"
+#: Keep iff the 1e6-fixed-point per-token mean weight clears this bar.
+#: 40e6 (mean weight ≥ 40/token ≈ 22% of token mass in positive buckets,
+#: collisions included) sits at the harness corpus's median score, so
+#: the learned gate produces a real split for the agreement audit
+#: rather than a constant verdict.
+QM_KEEP_MIN_MICRO = 40_000_000
+
+_QM_SCORE_SQL = f"""
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform(toks,
+                    t -> ({_QM_SQL_W})[({_sql_hash_u32('t', 'qm_')} % {QM_DIM}) + 1])), 0)
+               AS BIGINT) AS logit_sum
+      FROM (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents)
+"""
+
+
+def _qm_score_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, logit_sum): the hashed-linear score, fully
+    JVM-side — one transform+aggregate over the token array against the
+    64-literal weight table; no explode, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    warr = F.array(*[F.lit(x) for x in QM_WEIGHTS])
+    toks = _tokens(F.col("text"))
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(
+            warr, (_hash_u32(t, "qm_") % QM_DIM + 1).cast("int")
+        ).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("logit_sum"),
+    )
+
+
+@query(
+    "quality_model_logit",
+    oracle=f"""
+    WITH s AS ({_QM_SCORE_SQL})
+    SELECT doc_id, n_tokens, logit_sum,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE (logit_sum * 1000000) // n_tokens END AS BIGINT)
+             AS logit_pt_micro,
+           (n_tokens > 0 AND
+            (logit_sum * 1000000) // n_tokens >= {QM_KEEP_MIN_MICRO}) AS model_keep
+    FROM s
+    """,
+)
+def q_quality_model_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a fastText-style linear classifier
+    over hashed bag-of-words features, scored entirely in-plan — the
+    standard learned corpus-quality gate alongside the rule-based
+    `quality_filter_reasons`. The weight vector (QM_WEIGHTS, {QM_DIM}
+    buckets) is inlined as literals — at 100 TB this is a broadcast
+    variable and the score remains one columnar fold per row (zero
+    shuffle, zero Python).
+
+    `logit_pt_micro` is the integer per-token mean logit (micro-units,
+    truncated toward zero identically by Spark `DIV` and DuckDB `//`);
+    `model_keep` thresholds it at {QM_KEEP_MIN_MICRO}."""
+    s = _qm_score_df(spark, sf_dir)
+    per_tok = F.expr(
+        "CASE WHEN n_tokens = 0 THEN 0 ELSE (logit_sum * 1000000) DIV n_tokens END"
+    ).cast("long")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "logit_sum",
+        per_tok.alias("logit_pt_micro"),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                F.expr("(logit_sum * 1000000) DIV n_tokens")
+                >= F.lit(QM_KEEP_MIN_MICRO)
+            )
+        ).alias("model_keep"),
+    )
+
+
+@query(
+    "quality_model_rule_agreement",
+    oracle=f"""
+    WITH m AS ({_QM_SCORE_SQL}),
+    mk AS (
+      SELECT doc_id,
+             (n_tokens > 0 AND
+              (logit_sum * 1000000) // n_tokens >= {QM_KEEP_MIN_MICRO}) AS model_keep
+      FROM m
+    ), t AS (
+      SELECT doc_id, text, {_sql_tokens('text')} AS toks FROM documents
+    ), rk AS (
+      SELECT doc_id,
+             (len(toks) >= {QF_MIN_TOKENS}
+              AND {_sql_bp("length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))", 'length(text)')} <= {QF_MAX_PUNCT_BP}
+              AND {_sql_bp(_sql_count_in('toks', STOPWORDS), 'len(toks)')} >= {QF_MIN_STOPWORD_BP}
+              AND {_sql_bp(f"len({_sql_ngrams('toks', 3)}) - len(list_distinct({_sql_ngrams('toks', 3)}))", f"len({_sql_ngrams('toks', 3)})")} <= {QF_MAX_DUP_TRI_BP})
+               AS rule_keep
+      FROM t
+    )
+    SELECT model_keep, rule_keep, CAST(count(*) AS BIGINT) AS n_docs
+    FROM mk JOIN rk USING (doc_id)
+    GROUP BY model_keep, rule_keep
+    """,
+)
+def q_quality_model_rule_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the learned gate (`quality_model_logit`)
+    and the rule gate (`quality_filter_reasons`): the 2×2 confusion
+    counts a pipeline reviews before swapping gates. Both verdicts are
+    computed per-row in the same scan pass (the equi-join on doc_id is
+    the oracle's formulation; Catalyst sees two projections of the same
+    relation), and the output is ≤4 rows."""
+    m = q_quality_model_logit(spark, sf_dir).select("doc_id", "model_keep")
+    r = q_quality_filter_reasons(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("rule_keep")
+    )
+    return (
+        m.join(r, "doc_id")
+        .groupBy("model_keep", "rule_keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+#: Exact-substring window width (tokens) for duplicated-span runs.
+ES_K = 4
+
+
+@query(
+    "dedup_exact_substring_runs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_ngrams(_sql_tokens('text'), ES_K)} AS grams
+      FROM documents
+    ), g0 AS (
+      SELECT doc_id, unnest(grams) AS gram,
+             generate_subscripts(grams, 1) - 1 AS pos
+      FROM t
+    ), g AS MATERIALIZED (
+      SELECT doc_id, pos, {_sql_hash_u32('gram', 'es_')} AS gh FROM g0
+    ), idx AS (
+      SELECT gh FROM g GROUP BY gh HAVING count(*) > 1
+    ), d AS (
+      SELECT doc_id, pos FROM g JOIN idx USING (gh)
+    ), r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS run_start,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) + {ES_K - 1} AS BIGINT) AS span_tokens
+    FROM r GROUP BY doc_id, grp
+    """,
+)
+def q_dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans, Lee et al. "Deduplicating
+    Training Data" granularity: per document, the MAXIMAL runs of
+    consecutive token positions whose {ES_K}-token window occurs more
+    than once in the corpus — the exact spans an ExactSubstr pass would
+    cut, the granularity between whole-doc fingerprints
+    (`dedup_exact`) and per-window counts (`dedup_repeated_passages`).
+
+    A run starting at `run_start` covering `n_windows` consecutive
+    duplicated windows marks a duplicated substring of
+    `n_windows + {ES_K - 1}` tokens.
+
+    Plan (suffix-array-free, shuffle-bounded): positions + window
+    hashes via one posexplode projection (strings die in the map
+    stage); ONE hash aggregate builds the duplicated-window index
+    (HAVING count>1 — the Heaps'-sublinear relation); one equi-join
+    marks duplicated positions; the gaps-and-islands merge is a
+    row_number window PARTITIONED BY doc_id (per-doc rows, never a
+    global sort). Nothing here is the O(corpus²) pairwise compare and
+    nothing needs the 100 TB suffix array — the index relation is the
+    only shuffled state.
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    g = docs.select(
+        "doc_id",
+        F.posexplode(_ngrams(_tokens(F.col("text")), ES_K)).alias("pos", "gram"),
+    ).select("doc_id", "pos", _hash_u32(F.col("gram"), "es_").alias("gh"))
+    idx = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("gh")
+    )
+    dup = g.join(idx, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    r = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return r.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("run_start"),
+        F.count(F.lit(1)).alias("n_windows"),
+        (F.count(F.lit(1)) + F.lit(ES_K - 1)).cast("long").alias("span_tokens"),
+    ).select("doc_id", "run_start", "n_windows", "span_tokens")
+
+
 #: Priority-sample size (uniform-without-replacement via hash order).
 PRIO_K = 100
 #: Per-source quota for the balanced annotation subset.

@@ -58,3 +58,51 @@ def test_repeated_passages_bounds(spark, sf_dir):
     df = QUERIES["dedup_repeated_passages"](spark, sf_dir)
     assert df.filter("n_shared > n_passages").count() == 0
     assert df.filter("boilerplate_bp < 0 OR boilerplate_bp > 10000").count() == 0
+
+
+def test_exact_substring_runs_are_maximal_and_disjoint(spark, sf_dir):
+    """Runs are gaps-and-islands of duplicated window positions: within
+    a doc they must be sorted-disjoint with a GAP between consecutive
+    runs (adjacent runs would have been merged), and every span covers
+    n_windows + ES_K - 1 tokens."""
+    from distributed_mapreduce_spark.workload.corpus import ES_K
+
+    df = QUERIES["dedup_exact_substring_runs"](spark, sf_dir)
+    assert df.filter(f"span_tokens <> n_windows + {ES_K - 1}").count() == 0
+    assert df.filter("n_windows < 1 OR run_start < 0").count() == 0
+    rows = sorted(
+        df.select("doc_id", "run_start", "n_windows").collect(),
+        key=lambda r: (r.doc_id, r.run_start),
+    )
+    prev = {}
+    for r in rows:
+        if r.doc_id in prev:
+            # next run starts at least one NON-duplicated position past
+            # the previous run's last duplicated window (maximality)
+            assert r.run_start > prev[r.doc_id] + 1
+        prev[r.doc_id] = r.run_start + r.n_windows - 1
+
+
+def test_quality_model_logit_consistent(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.corpus import (
+        QM_KEEP_MIN_MICRO,
+        QM_WEIGHTS,
+    )
+
+    assert len(QM_WEIGHTS) == 64
+    df = QUERIES["quality_model_logit"](spark, sf_dir)
+    # verdict must be exactly the documented threshold on the score
+    assert (
+        df.filter(
+            f"model_keep <> (n_tokens > 0 AND logit_pt_micro >= {QM_KEEP_MIN_MICRO})"
+        ).count()
+        == 0
+    )
+    assert df.count() == table(spark, sf_dir, "documents").count()
+
+
+def test_quality_model_agreement_covers_corpus(spark, sf_dir):
+    df = QUERIES["quality_model_rule_agreement"](spark, sf_dir)
+    rows = df.collect()
+    assert sum(r.n_docs for r in rows) == table(spark, sf_dir, "documents").count()
+    assert df.count() <= 4

@@ -30,6 +30,7 @@ def main() -> int:
         pushed_filters,
         read_schema_columns,
         unbounded_scaling_broadcasts,
+        unpartitioned_unbounded_windows,
         wholestage_codegen_count,
     )
     from distributed_mapreduce_spark.session import get_spark
@@ -58,6 +59,7 @@ def main() -> int:
             "pushed": len(pushed_filters(df)),
             "scan_cols": [len(c) for c in read_schema_columns(df)],
             "scaling_bcast": unbounded_scaling_broadcasts(df),
+            "global_win": unpartitioned_unbounded_windows(df),
         }
         rows.append((name, props))
 
@@ -76,6 +78,19 @@ def main() -> int:
         if isinstance(p, dict) and p["scaling_bcast"]
     ]
     print(f"unbounded scaling-table broadcast hints: {hinted or 'none'}")
+    # Whitelisted single-task-window parity ops (tests/test_plans.py
+    # documents each); anything else with a global window over input not
+    # bounded by an aggregate/limit is the round-2 class of scale bug.
+    from distributed_mapreduce_spark.plans.checks import GLOBAL_WINDOW_PARITY_OPS
+
+    gwin = [
+        n
+        for n, p in rows
+        if isinstance(p, dict)
+        and p["global_win"]
+        and n not in GLOBAL_WINDOW_PARITY_OPS
+    ]
+    print(f"unpartitioned unbounded windows (non-whitelisted): {gwin or 'none'}")
     return 0
 
 
