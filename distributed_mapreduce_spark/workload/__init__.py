@@ -42,6 +42,14 @@ from distributed_mapreduce_spark.workload import mlprep  # noqa: F401,E402
 # driver-graded row (`bm25_top_docs`, repeatedly green at sf0.001/0.01/
 # 0.1); dedup keeps four representatives (exact, MinHash-LSH, n-gram
 # Jaccard, clusters) — SimHash stays registered and mirror-certified.
+#
+# Round-6 prefix swap (VERDICT r05 #6): three more extension families
+# get driver-graded rows — `retrieval_rrf_fusion` (hybrid fusion ≠
+# bm25), `multimodal_decode_errors` (corrupt-payload error-row
+# semantics), `target_encode_loo` (ML-prep had no driver row). Rotated
+# out in exchange (all stay registered + sf0.1-certified): `ann_lsh`
+# (ANN keeps bruteforce/IVF/near-dup rows), `embedding_normalize`,
+# `text_fingerprint` (dedup_exact already grades fingerprinting).
 
 # The grading driver samples the FIRST 50 registered queries. Pin that
 # prefix EXPLICITLY: SURVEY §2 parity + one green representative per
@@ -62,8 +70,8 @@ _PREFIX = [
     "partition_rows_scalable", "partition_range_assign", "dedup_exact",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "bm25_top_docs",
     "dedup_clusters", "ann_bruteforce", "ann_ivf", "embedding_near_dup",
-    "ann_lsh", "embedding_normalize", "text_token_count",
-    "text_quality_score", "text_lang_id", "text_fingerprint",
+    "retrieval_rrf_fusion", "multimodal_decode_errors", "text_token_count",
+    "text_quality_score", "text_lang_id", "target_encode_loo",
     "tokenizer_bpe_merges", "text_split_assign", "text_scrub_pii",
     "maplejuice_flagship", "multimodal_features", "pagerank_converge",
     "decontam_ngram_overlap",
