@@ -17,6 +17,32 @@ from distributed_mapreduce_spark.session import get_spark  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--sf01-cert",
+        action="store_true",
+        default=False,
+        help="run the full-registry sf0.1 certification (slow, ~25 min)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sf01cert: full-registry sf0.1 differential certification "
+        "(opt-in via --sf01-cert; writes CORRECTNESS_SF01_r{N}.log)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--sf01-cert"):
+        return
+    skip = pytest.mark.skip(reason="opt-in: pass --sf01-cert")
+    for item in items:
+        if "sf01cert" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", cpus=4, shuffle_partitions=4)

@@ -39,14 +39,31 @@ def canonical(rows, colnames):
     return out
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def run(
+    sf_dir: str,
+    only: set[str] | None = None,
+    log_path: str | None = None,
+    spark=None,
+) -> int:
+    """Differential-check the registry (or `only` subset) at `sf_dir`;
+    optionally tee every PASS/FAIL line to `log_path` (the per-round
+    certification artifact). Returns the failure count."""
+    only = only or set()
+    import builtins
+
+    log_fh = open(log_path, "w") if log_path else None
+    _stdout_print = builtins.print
+
+    def print(*args, **kwargs):  # noqa: A001 - deliberate local tee
+        _stdout_print(*args, **kwargs)
+        if log_fh:
+            _stdout_print(*args, **{**kwargs, "file": log_fh})
 
     from distributed_mapreduce_spark.session import get_spark
     from distributed_mapreduce_spark.workload import ORACLES, QUERIES
 
-    spark = get_spark("check_correctness", cpus=8, shuffle_partitions=8)
+    if spark is None:
+        spark = get_spark("check_correctness", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -124,7 +141,14 @@ def main() -> int:
         print(f"registry cost: {cost['total_spark_sec']} s over {cost['n_queries']} queries")
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
-    return 1 if failures else 0
+    if log_fh:
+        log_fh.close()
+    return len(failures)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    return 1 if run(sf_dir, set(sys.argv[2:])) else 0
 
 
 if __name__ == "__main__":
