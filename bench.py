@@ -79,6 +79,12 @@ HEADLINE = [
     "target_encode_loo",
     "events_gap_fill_interpolate",
     "events_drift_tv",
+    # round-6 additions: exact-substring span dedup, learned quality
+    # gate, positional phrase retrieval, radius similarity search
+    "dedup_exact_substring_runs",
+    "quality_model_logit",
+    "retrieval_phrase_match",
+    "ann_range_search",
 ]
 
 
@@ -146,7 +152,7 @@ def main() -> None:
     # slope (tools/scaling_bench.py) and the full-registry sf0.01 cost
     # accounting (tools/check_correctness.py --timing).
     here = os.path.dirname(os.path.abspath(__file__))
-    for key, fname in (("scaling", "SCALING_r05.json"), ("registry_cost", "REGISTRY_COST.json")):
+    for key, fname in (("scaling", "SCALING_r06.json"), ("registry_cost", "REGISTRY_COST.json")):
         p = os.path.join(here, fname)
         if os.path.exists(p):
             try:

@@ -364,3 +364,118 @@ def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RRF_TOP)
         .select("doc_id", "lex_rnk", "sem_rnk", "rrf_e6", "rnk")
     )
+
+
+# --- positional phrase retrieval --------------------------------------------
+
+#: Phrase length for positional phrase match.
+PHRASE_N = 3
+
+from distributed_mapreduce_spark.workload.quality import _sql_ngrams  # noqa: E402
+
+_PHRASE_SQL = """
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM (SELECT doc_id, {toks} AS toks FROM documents)
+    ), g AS (
+      SELECT unnest(grams) AS gram
+      FROM (SELECT {ngrams} AS grams
+            FROM (SELECT {toks} AS toks FROM documents))
+    ), top AS (
+      SELECT gram FROM (
+        SELECT gram, count(*) AS c FROM g GROUP BY gram
+        ORDER BY c DESC, gram LIMIT 1
+      )
+    ), p AS (
+      SELECT string_split(gram, ' ')[1] AS w1,
+             string_split(gram, ' ')[2] AS w2,
+             string_split(gram, ' ')[3] AS w3,
+             gram AS phrase
+      FROM top
+    )
+    SELECT t1.doc_id, p.phrase,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(t1.pos) AS BIGINT) AS first_pos
+    FROM tk t1
+    JOIN p ON t1.tok = p.w1
+    JOIN tk t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+              AND t2.tok = p.w2
+    JOIN tk t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+              AND t3.tok = p.w3
+    GROUP BY t1.doc_id, p.phrase
+"""
+
+
+@query(
+    "retrieval_phrase_match",
+    oracle=_PHRASE_SQL.format(
+        toks=_sql_tokens("text"), ngrams=_sql_ngrams("toks", PHRASE_N)
+    ),
+)
+def q_retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval through a positional inverted index — the
+    operation BM25 term scoring cannot express (term adjacency). The
+    phrase itself is selected IN-PLAN (the corpus's most frequent
+    {PHRASE_N}-gram, ties by gram text), so the query is
+    scale-self-contained instead of depending on a literal that only
+    matches one corpus.
+
+    Plan: the token relation (doc_id, pos, tok) is built once by one
+    posexplode; the phrase relation is a 1-row aggregate argmax
+    (TakeOrdered over the gram counts) that BROADCASTS to filter the
+    w1 postings; adjacency is two chained equi-joins on
+    (doc_id, pos+offset) — the standard positional-index intersection,
+    shuffled on doc_id+pos, never a cross join or a LIKE scan. At
+    100 TB each join leg carries only the postings of one phrase term
+    (selectivity |postings|/|tokens|), and the final aggregate is
+    per-doc."""
+    from distributed_mapreduce_spark.workload.quality import _ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    grams = docs.select(
+        F.explode(_ngrams(_tokens(F.col("text")), PHRASE_N)).alias("gram")
+    )
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("gram"))
+        .limit(1)
+    )
+    ws = F.split(F.col("gram"), " ")
+    p = top.select(
+        ws.getItem(0).alias("w1"),
+        ws.getItem(1).alias("w2"),
+        ws.getItem(2).alias("w3"),
+        F.col("gram").alias("phrase"),
+    )
+    t1 = toks.join(F.broadcast(p), F.col("tok") == F.col("w1")).select(
+        "doc_id", "pos", "w2", "w3", "phrase"
+    )
+    t2 = toks.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("tok").alias("k2")
+    )
+    t3 = toks.select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("p3"), F.col("tok").alias("k3")
+    )
+    m = (
+        t1.join(
+            t2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("p2") == F.col("pos") + 1)
+            & (F.col("k2") == F.col("w2")),
+        )
+        .join(
+            t3,
+            (F.col("d3") == F.col("doc_id"))
+            & (F.col("p3") == F.col("pos") + 2)
+            & (F.col("k3") == F.col("w3")),
+        )
+    )
+    return m.groupBy("doc_id", "phrase").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

@@ -1103,3 +1103,51 @@ def q_embedding_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(e) DIV count(*) AS BIGINT)").alias("mean_abs_err_u"),
         F.max("e").cast("long").alias("max_err_u"),
     )
+
+
+#: Radius (cosine micro-units) for range search: ~the top 0.05% of
+#: query-corpus cosines in the harness embedding space, so the result
+#: set is small-but-real at every SF.
+RANGE_COS_U = 250_000
+
+
+@query(
+    "ann_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    )
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {_sql_cos_u('q.qv', 'e.embedding')} AS cos_u
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    WHERE {_sql_cos_u('q.qv', 'e.embedding')} >= {RANGE_COS_U}
+    """,
+)
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL neighbors within a cosine
+    threshold of each query — the other half of the ANN API surface
+    (top-k answers "the best k", range search answers "everything this
+    similar", the primitive behind near-dup blocking and density
+    estimation).
+
+    Plan: broadcast the bounded query set, stream the corpus through
+    one JVM-codegen cosine fold per (query, vector) pair, filter on the
+    integer threshold — no shuffle at all after the scan (the output
+    IS the filtered stream; no window, no sort). At 100 TB the
+    broadcast-queries × corpus-stream shape is exactly how a scoring
+    pass over a sharded vector store runs; the IVF-cell variant of the
+    same predicate is `embedding_near_dup`'s cell-blocked join."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_u(F.col("qv"), F.col("embedding")).alias("cos_u"),
+        )
+        .filter(F.col("cos_u") >= RANGE_COS_U)
+    )

@@ -71,6 +71,9 @@ FAMILIES = [
     # scan scaling, not retrieval scaling.)
     "events_gap_fill_interpolate",
     "graph_resource_allocation",
+    # round-6: positional window hashes + island merge — the heaviest
+    # new per-token pipeline (posexplode ~ one row per token).
+    "dedup_exact_substring_runs",
 ]
 
 #: Second-decade (x100) families — every family carries both decades.
