@@ -192,6 +192,68 @@ def q_lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_lm_fluency",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents
+    ), db AS MATERIALIZED (
+      SELECT doc_id, gram FROM t, unnest({_sql_ngrams('toks', 2)}) AS u(gram)
+    ), bg AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM db GROUP BY gram
+    ), ug AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c1
+      FROM t, unnest(toks) AS u(tok) GROUP BY tok
+    ), cond AS (
+      SELECT bg.gram, CAST(bg.c2 * 10000 // ug.c1 AS BIGINT) AS cond_bp
+      FROM bg JOIN ug ON string_split(bg.gram, ' ')[1] = ug.tok
+    )
+    SELECT db.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(cond_bp) // count(*) AS BIGINT) AS fluency_bp
+    FROM db JOIN cond USING (gram)
+    GROUP BY db.doc_id
+    """,
+)
+def q_quality_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM fluency score — the CCNet-style perplexity
+    filter reshaped to integer arithmetic: each document's mean
+    conditional bigram probability P(w2|w1) under the corpus's own
+    bigram LM, in exact basis points. Low fluency_bp = improbable word
+    sequences (gibberish, shuffled text, OCR noise); the per-doc score
+    a quality pipeline thresholds where a neural LM would threshold
+    perplexity. (Mean of P rather than of -log P: a monotone integer
+    surrogate — the repo-wide no-in-engine-log policy.)
+
+    Plan: the doc-bigram stream is exploded ONCE and reused for both
+    the corpus count table (hash-agg, Heaps'-sublinear output) and the
+    per-doc scoring join (equi-join on the bigram, shuffle carries
+    gram + two ints); unigram denominators join on the first token.
+    No windows, no cross joins; docs with < 2 tokens have no bigrams
+    and drop out, matching the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    db = t.select("doc_id", F.explode(_ngrams(F.col("toks"), 2)).alias("gram"))
+    bg = db.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    ug = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    cond = (
+        bg.join(ug, F.split(F.col("gram"), " ").getItem(0) == F.col("tok"))
+        .select("gram", F.expr("(c2 * 10000) DIV c1").cast("long").alias("cond_bp"))
+    )
+    return (
+        db.join(cond, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(cond_bp) DIV count(1)").cast("long").alias("fluency_bp"),
+        )
+    )
+
+
+@query(
     "tokenizer_fertility",
     oracle=f"""
     SELECT lang,

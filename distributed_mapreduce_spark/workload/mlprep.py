@@ -200,3 +200,71 @@ def q_group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leak_users",
         )
     )
+
+
+#: Cross-validation fold count.
+KFOLD_K = 5
+
+
+@query(
+    "mlprep_kfold_assign",
+    oracle=f"""
+    WITH assigned AS MATERIALIZED (
+      SELECT o_orderkey, o_custkey,
+             CAST({_sql_hash_u32("CAST(o_custkey AS VARCHAR)", "kf")}
+                  % {KFOLD_K} AS INTEGER) AS fold,
+             CASE WHEN o_totalprice > {TE_PRICE_CUT} THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), per_fold AS (
+      SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+             CAST(CAST(sum(y) AS HUGEINT) * 10000 // count(*) AS BIGINT)
+               AS pos_rate_bp
+      FROM assigned GROUP BY fold
+    ), leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS leak_custs FROM (
+        SELECT o_custkey FROM assigned GROUP BY o_custkey
+        HAVING count(DISTINCT fold) > 1
+      )
+    )
+    SELECT fold, n_rows, n_custs, pos_rate_bp, leak_custs
+    FROM per_fold CROSS JOIN leak
+    """,
+)
+def q_mlprep_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment ({KFOLD_K} folds, keyed on
+    the CUSTOMER hash so every customer's orders stay in one fold —
+    grouped CV, the leakage-safe variant) with the balance audit a
+    modeling pipeline reviews before training: per-fold row/entity
+    counts and the positive-target rate in basis points (fold rates
+    should agree within noise — a skewed fold means the entity hash
+    correlates with the target). `leak_custs` is the in-result proof
+    of entity disjointness (provably 0 for an entity-hash fold key).
+
+    Plan: fold is a pure md5 row expression; one hash aggregate with a
+    distinct-entity combine; the leakage audit aggregates ≤ |customers|
+    (customer, fold) pairs; the 1-row audit relation attaches by
+    broadcast. Same scale posture as `group_split_audit`."""
+    bucket = _hash_u32(F.col("o_custkey").cast("string"), "kf") % KFOLD_K
+    assigned = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        bucket.cast("int").alias("fold"),
+        F.when(F.col("o_totalprice") > TE_PRICE_CUT, 1).otherwise(0).alias("y"),
+    )
+    per_fold = assigned.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+        F.expr(
+            "CAST(CAST(sum(y) AS DECIMAL(38,0)) * 10000 DIV count(1) AS BIGINT)"
+        ).alias("pos_rate_bp"),
+    )
+    leak = (
+        assigned.groupBy("o_custkey")
+        .agg(F.countDistinct("fold").alias("n_folds"))
+        .filter(F.col("n_folds") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leak_custs"))
+    )
+    return per_fold.crossJoin(F.broadcast(leak)).select(
+        "fold", "n_rows", "n_custs", "pos_rate_bp", "leak_custs"
+    )

@@ -1151,3 +1151,144 @@ def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_u") >= RANGE_COS_U)
     )
+
+
+# --- MMR diversified selection ----------------------------------------------
+
+#: MMR pool size, selection count, and relevance/diversity trade-off
+#: λ = MMR_LAM_NUM/MMR_LAM_DEN (0.7 — the common default).
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAM_NUM, MMR_LAM_DEN = 7, 10
+MMR_QUERY_VEC = 0
+
+
+def _mmr_sql() -> str:
+    """Unrolled {MMR_K}-round greedy MMR in DuckDB CTEs (each round:
+    anti-join selected, max-sim-to-selected, argmax of the weighted
+    integer score 7·rel − 3·maxsim, ties by doc_id)."""
+    q = f"(SELECT embedding FROM embeddings WHERE vec_id = {MMR_QUERY_VEC})"
+    head = f"""
+    WITH pool AS MATERIALIZED (
+      SELECT vec_id AS doc_id, embedding AS v,
+             {_sql_cos_u(q, 'embedding')} AS rel_u
+      FROM embeddings WHERE vec_id <> {MMR_QUERY_VEC}
+      ORDER BY rel_u DESC, vec_id LIMIT {MMR_POOL}
+    ), sim AS MATERIALIZED (
+      SELECT a.doc_id AS da, b.doc_id AS db, {_sql_cos_u('a.v', 'b.v')} AS s
+      FROM pool a JOIN pool b ON a.doc_id <> b.doc_id
+    ), s1 AS (
+      SELECT doc_id, rel_u,
+             CAST({MMR_LAM_NUM} * rel_u AS BIGINT) AS mmr_w{MMR_LAM_DEN}_u,
+             1 AS sel_rank
+      FROM pool ORDER BY rel_u DESC, doc_id LIMIT 1
+    )"""
+    parts = [head]
+    prev_sels = "SELECT doc_id FROM s1"
+    for i in range(2, MMR_K + 1):
+        parts.append(f""", c{i} AS (
+      SELECT p.doc_id, p.rel_u, max(sim.s) AS maxsim
+      FROM pool p JOIN sim ON sim.da = p.doc_id
+                          AND sim.db IN ({prev_sels})
+      WHERE p.doc_id NOT IN ({prev_sels})
+      GROUP BY p.doc_id, p.rel_u
+    ), s{i} AS (
+      SELECT doc_id, rel_u,
+             CAST({MMR_LAM_NUM} * rel_u
+                  - {MMR_LAM_DEN - MMR_LAM_NUM} * maxsim AS BIGINT)
+               AS mmr_w{MMR_LAM_DEN}_u,
+             {i} AS sel_rank
+      FROM c{i}
+      ORDER BY {MMR_LAM_NUM} * rel_u
+               - {MMR_LAM_DEN - MMR_LAM_NUM} * maxsim DESC, doc_id
+      LIMIT 1
+    )""")
+        prev_sels += f" UNION ALL SELECT doc_id FROM s{i}"
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, rel_u, mmr_w{MMR_LAM_DEN}_u, sel_rank FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "".join(parts) + "\n    " + union
+
+
+@query("similarity_mmr_select", oracle=_mmr_sql())
+def q_similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: greedily pick {MMR_K} results from
+    the top-{MMR_POOL} cosine pool, each round maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected (λ = 0.7)
+    — the standard diversified-retrieval re-rank, used in data
+    pipelines to pick varied exemplars instead of {MMR_K} near-copies.
+    The score column is the exact integer 7·rel_u − 3·maxsim_u (scale
+    ×10 — monotone in MMR, no division).
+
+    Plan: pool selection is TakeOrderedAndProject over the scored
+    stream (distributed top-k, no global sort); everything after runs
+    on LIMIT-bounded relations (pool {MMR_POOL} rows, sim ≤
+    {MMR_POOL}² rows), so the {MMR_K}-round greedy unrolls as pure
+    DataFrame ops — anti-join, max-aggregate, 1-row TakeOrdered per
+    round — with NO driver collect and no unbounded window. At 100 TB
+    only the pool stage touches the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == MMR_QUERY_VEC).select(
+        F.col("embedding").alias("qv")
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != MMR_QUERY_VEC)
+        .join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("v"),
+            cosine_u(F.col("qv"), F.col("embedding")).alias("rel_u"),
+        )
+        .orderBy(F.col("rel_u").desc(), F.col("doc_id"))
+        .limit(MMR_POOL)
+        .cache()
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    sim = (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            cosine_u(F.col("a.v"), F.col("b.v")).alias("s"),
+        )
+        .cache()
+    )
+    lam, dam = MMR_LAM_NUM, MMR_LAM_DEN - MMR_LAM_NUM
+    score_col = f"mmr_w{MMR_LAM_DEN}_u"
+    sel = (
+        pool.orderBy(F.col("rel_u").desc(), F.col("doc_id"))
+        .limit(1)
+        .select(
+            "doc_id",
+            "rel_u",
+            (F.lit(lam) * F.col("rel_u")).cast("long").alias(score_col),
+            F.lit(1).alias("sel_rank"),
+        )
+    )
+    out = sel
+    for i in range(2, MMR_K + 1):
+        chosen = out.select("doc_id")
+        cand = (
+            pool.join(chosen.withColumnRenamed("doc_id", "dc"), F.col("doc_id") == F.col("dc"), "left_anti")
+            .join(sim, F.col("da") == F.col("doc_id"))
+            .join(
+                chosen.withColumnRenamed("doc_id", "dsel"),
+                F.col("db") == F.col("dsel"),
+            )
+            .groupBy("doc_id", "rel_u")
+            .agg(F.max("s").alias("maxsim"))
+        )
+        nxt = (
+            cand.withColumn(
+                score_col,
+                (F.lit(lam) * F.col("rel_u") - F.lit(dam) * F.col("maxsim")).cast(
+                    "long"
+                ),
+            )
+            .orderBy(F.col(score_col).desc(), F.col("doc_id"))
+            .limit(1)
+            .select("doc_id", "rel_u", score_col, F.lit(i).alias("sel_rank"))
+        )
+        out = out.unionAll(nxt)
+    return out

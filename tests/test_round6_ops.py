@@ -67,3 +67,46 @@ def test_range_search_is_exactly_the_thresholded_bruteforce(spark, sf_dir):
     )
     got = {r.query_id: r["count"] for r in df.groupBy("query_id").count().collect()}
     assert {r.qid: r["count"] for r in expect} == got
+
+
+def test_lm_fluency_is_bounded_and_covers_multi_token_docs(spark, sf_dir):
+    df = QUERIES["quality_lm_fluency"](spark, sf_dir)
+    assert df.filter("fluency_bp < 0 OR fluency_bp > 10000").count() == 0
+    from distributed_mapreduce_spark.workload.text import _tokens
+
+    n_multi = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(_tokens(F.col("text"))) >= 2)
+        .count()
+    )
+    assert df.count() == n_multi
+
+
+def test_kfold_assignment_is_entity_disjoint_and_complete(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.mlprep import KFOLD_K
+
+    rows = QUERIES["mlprep_kfold_assign"](spark, sf_dir).collect()
+    assert {r.fold for r in rows} <= set(range(KFOLD_K))
+    assert all(r.leak_custs == 0 for r in rows)
+    assert sum(r.n_rows for r in rows) == table(spark, sf_dir, "orders").count()
+    assert all(0 <= r.pos_rate_bp <= 10000 for r in rows)
+
+
+def test_mmr_first_pick_is_argmax_and_set_is_distinct(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.similarity import (
+        MMR_K,
+        MMR_LAM_NUM,
+        MMR_QUERY_VEC,
+    )
+
+    rows = sorted(
+        QUERIES["similarity_mmr_select"](spark, sf_dir).collect(),
+        key=lambda r: r.sel_rank,
+    )
+    assert [r.sel_rank for r in rows] == list(range(1, MMR_K + 1))
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == MMR_K and MMR_QUERY_VEC not in ids
+    # rank 1 is the pure-relevance argmax: its weighted score is
+    # lam*rel with no diversity penalty, and no later pick beats it
+    assert rows[0].mmr_w10_u == MMR_LAM_NUM * rows[0].rel_u
+    assert all(r.mmr_w10_u <= rows[0].mmr_w10_u for r in rows[1:])
