@@ -1079,3 +1079,87 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("fp_raw").alias("n_raw_variants"),
         F.min("doc_id").alias("keep_doc"),
     )
+
+
+#: Stand-in license tag: sources whose numeric suffix ≡ 0 (mod 4) are
+#: "restricted" (src0, src4, ...) — a deterministic proxy for the
+#: per-source license metadata a real corpus carries.
+LICENSE_RESTRICTED_MOD = 4
+
+
+def _sql_cluster_license() -> str:
+    base = _sql_minhash_pairs().replace("WITH bh", "WITH RECURSIVE bh", 1)
+    return (
+        base
+        + f", verified AS ({_SQL_VERIFY_TAIL})"
+        + f"""
+    , edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM verified
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM verified
+    ), reach(s, t) AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ), comp AS (
+      SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+      FROM reach GROUP BY s
+    ), allc AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             CAST(regexp_extract(d.source, '([0-9]+)$', 1) AS INTEGER)
+               % {LICENSE_RESTRICTED_MOD} = 0 AS restricted
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN restricted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_restricted,
+           sum(CASE WHEN restricted THEN 1 ELSE 0 END) > 0
+             AS cluster_restricted,
+           min(doc_id) AS keep_doc
+    FROM allc GROUP BY cluster_id
+    """
+    )
+
+
+@query("dedup_cluster_license_propagation", oracle=_sql_cluster_license())
+def q_dedup_cluster_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance/license propagation through near-dup clusters: after
+    MinHash clustering, each cluster inherits the MOST RESTRICTIVE tag
+    of any member — the governance rule a corpus pipeline applies
+    before keeping one representative per cluster (keeping an
+    unrestricted copy of a restricted document does not launder it).
+    Singleton documents (no near-dup) are their own cluster, so the
+    audit covers the WHOLE corpus, not just paired docs.
+
+    Plan: components from the same bounded LSH pair graph as
+    `dedup_clusters` (band-bucket self-join, iterative min-label with
+    per-round localCheckpoint); one LEFT join attaches labels to the
+    corpus scan (missing label → own id); the license rule is a pure
+    row expression on `source`; one final hash aggregate per cluster."""
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    pairs = _verify_pairs(sh_df, minhash_candidate_pairs(sh_df))
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    restricted = (
+        F.regexp_extract(F.col("source"), "([0-9]+)$", 1).cast("int")
+        % LICENSE_RESTRICTED_MOD
+        == 0
+    )
+    allc = (
+        docs.select("doc_id", restricted.alias("restricted"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "restricted",
+        )
+    )
+    n_restricted = F.sum(F.when(F.col("restricted"), 1).otherwise(0))
+    return allc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_restricted.cast("long").alias("n_restricted"),
+        (n_restricted > 0).alias("cluster_restricted"),
+        F.min("doc_id").alias("keep_doc"),
+    )

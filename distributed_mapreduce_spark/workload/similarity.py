@@ -1292,3 +1292,98 @@ def q_similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(nxt)
     return out
+
+
+#: Matryoshka-style truncation width (first dims of the 64-dim vector).
+TRUNC_D = 16
+
+
+@query(
+    "embedding_truncation_recall",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), full_rk AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_cos_u('q.qv', 'e.embedding')} DESC, e.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      ) WHERE rnk <= {TOP_K}
+    ), trunc_rk AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_cos_u(f'(q.qv)[1:{TRUNC_D}]', f'(e.embedding)[1:{TRUNC_D}]')} DESC, e.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.neighbor_id) * 10000 // {TOP_K} AS BIGINT) AS recall_bp
+    FROM full_rk f LEFT JOIN trunc_rk t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def q_embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: recall@{TOP_K} of searching with
+    only the first {TRUNC_D} of 64 dimensions against the full-vector
+    ground truth, per query — the measurement that decides whether a
+    pipeline can shard/route on cheap truncated vectors (4× less
+    bandwidth and memory) and re-rank with full vectors. Same in-plan
+    audit pattern as `ann_recall_audit` (IVF) and
+    `embedding_int8_quant_audit` (quantization); this one isolates the
+    DIMENSION axis.
+
+    Plan: both ranked lists are per-query windows over the
+    broadcast-queries × corpus scored stream; the truncated fold is a
+    {TRUNC_D}-element slice of the same 2-column projection (Catalyst
+    plans one scan per ranked list — both pruned to vec_id+embedding);
+    overlap is one equi-join of two ≤ {N_QUERIES}·{TOP_K}-row
+    relations."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_u(F.col("qv"), F.col("embedding")).alias("full_u"),
+        cosine_u(
+            F.slice(F.col("qv"), 1, TRUNC_D), F.slice(F.col("embedding"), 1, TRUNC_D)
+        ).alias("trunc_u"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("full_u").desc(), F.col("neighbor_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("trunc_u").desc(), F.col("neighbor_id")
+    )
+    full_rk = (
+        scored.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    trunc_rk = (
+        scored.withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+        )
+    )
+    joined = full_rk.join(
+        trunc_rk,
+        (F.col("tq") == F.col("query_id")) & (F.col("tn") == F.col("neighbor_id")),
+        "left",
+    )
+    overlap = F.count(F.col("tn"))
+    return joined.groupBy("query_id").agg(
+        overlap.cast("long").alias("n_overlap"),
+        F.expr(f"CAST(count(tn) * 10000 DIV {TOP_K} AS BIGINT)").alias("recall_bp"),
+    )

@@ -110,3 +110,24 @@ def test_mmr_first_pick_is_argmax_and_set_is_distinct(spark, sf_dir):
     # lam*rel with no diversity penalty, and no later pick beats it
     assert rows[0].mmr_w10_u == MMR_LAM_NUM * rows[0].rel_u
     assert all(r.mmr_w10_u <= rows[0].mmr_w10_u for r in rows[1:])
+
+
+def test_license_propagation_covers_corpus_and_is_monotone(spark, sf_dir):
+    df = QUERIES["dedup_cluster_license_propagation"](spark, sf_dir)
+    rows = df.collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.cluster_restricted == (r.n_restricted > 0)
+        assert 0 <= r.n_restricted <= r.n_docs
+        assert r.keep_doc >= r.cluster_id or r.n_docs == 1
+
+
+def test_truncation_recall_bounded_and_full_dim_is_perfect(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.similarity import N_QUERIES
+
+    rows = QUERIES["embedding_truncation_recall"](spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_overlap <= 5
+        assert r.recall_bp == r.n_overlap * 2000
