@@ -219,3 +219,45 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "media").mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id bigint, phash bigint, decode_error string"
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """Difference-hash (dHash) over decoded pixel bytes, Arrow-batched:
+    bit i of the 63-bit hash is 1 iff byte[i] > byte[i+1] — the
+    adjacent-gradient signature real perceptual image hashing computes
+    on the resized luma grid. 63 bits keeps the value positive in a
+    signed BIGINT on every engine. Same error-row discipline as the
+    other decode stages: short/null payloads yield a null hash + a
+    reason, never a raise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes: list[int | None] = []
+            errors: list[str | None] = []
+            for b in pdf["media"]:
+                if b is None:
+                    hashes.append(None)
+                    errors.append("undecodable: null payload")
+                    continue
+                if len(b) < 64:
+                    hashes.append(None)
+                    errors.append("undecodable: payload too short")
+                    continue
+                v = 0
+                for i in range(63):
+                    if b[i] > b[i + 1]:
+                        v |= 1 << i
+                hashes.append(v)
+                errors.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "decode_error": pd.array(errors, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(run, schema=PHASH_SCHEMA)

@@ -229,3 +229,41 @@ def q_multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_discard"),
     )
+
+
+def _sql_phash() -> str:
+    """DuckDB twin of `multimodal.perceptual_hash` over the fake blob:
+    byte i = ('0x' || substr(hexblob, 2i+1, 2))::INT; 63 adjacent
+    comparisons summed as powers of two (generated, not hand-written)."""
+    b = lambda i: f"('0x' || substr(hb, {2 * i + 1}, 2))::INT"  # noqa: E731
+    terms = " + ".join(
+        f"CASE WHEN {b(i)} > {b(i + 1)} THEN {1 << i} ELSE 0 END"
+        for i in range(63)
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({terms} AS BIGINT) AS phash,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM (SELECT doc_id, {_SQL_HEXBLOB} AS hb FROM documents)
+    """
+
+
+@query("multimodal_phash", oracle=_sql_phash())
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (difference) hash per image blob — the
+    dedup-BEYOND-byte-identity stage of a multimodal pipeline: after
+    `multimodal_dedup_exact` removes byte-identical blobs, dHash
+    buckets catch re-encoded/resized variants (on the stub codec the
+    hash is computed from the same deterministic bytes the oracle
+    reconstructs in SQL, so the Arrow plumbing is certified
+    bit-exactly).
+
+    Plan: blob synthesis is JVM `unhex`; the hash is one Arrow-batched
+    `mapInPandas` pass (the genuinely-Python codec boundary); nothing
+    shuffles — at 100 TB this runs scan-local, and downstream
+    Hamming-band self-joins reuse the `dedup_simhash_pairs` pattern
+    verbatim on the phash column."""
+    from distributed_mapreduce_spark.multimodal import perceptual_hash
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return perceptual_hash(attach_fake_media(docs))

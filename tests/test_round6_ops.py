@@ -131,3 +131,27 @@ def test_truncation_recall_bounded_and_full_dim_is_perfect(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_overlap <= 5
         assert r.recall_bp == r.n_overlap * 2000
+
+
+def test_multimodal_phash_matches_python_dhash_and_errors(spark, sf_dir):
+    import hashlib
+
+    df = QUERIES["multimodal_phash"](spark, sf_dir)
+    sample = {r.doc_id: r.phash for r in df.filter("doc_id < 5").collect()}
+    for doc_id, ph in sample.items():
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        # attach_fake_media reverses the HEX STRING (char-level), not bytes
+        blob = bytes.fromhex(h + h[::-1] + h + h[::-1])
+        expect = 0
+        for i in range(63):
+            if blob[i] > blob[i + 1]:
+                expect |= 1 << i
+        assert ph == expect
+    assert df.filter("decode_error IS NOT NULL").count() == 0
+    # error-row channel: a short payload must yield a null hash + reason
+    from distributed_mapreduce_spark.multimodal import perceptual_hash
+
+    bad = spark.createDataFrame([(1, bytes([7])), (2, None)], "doc_id long, media binary")
+    got = {r.doc_id: (r.phash, r.decode_error) for r in perceptual_hash(bad).collect()}
+    assert got[1] == (None, "undecodable: payload too short")
+    assert got[2] == (None, "undecodable: null payload")
