@@ -464,3 +464,48 @@ def interpolate_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def cusum_stream(hourly: DataFrame, ref_e6_by_type: dict[str, int]) -> DataFrame:
+    """Streaming twin of the batch `events_cusum_changepoint` detector:
+    per event type, the upward-CUSUM excursion C_h emitted for EVERY
+    hour of a dense hourly metric stream, with keyed state carrying the
+    running sum and running minimum across micro-batches
+    (`applyInPandasWithState`, append mode).
+
+    The reference rate `ref_e6_by_type` is a calibration input (in
+    production: the control-period mean the monitor was armed with; in
+    the twin test: the batch query's own ref_e6) — a sequential monitor
+    cannot know the full-window mean upfront, so the closed form's
+    C_h = S_h − min(0, min_{j≤h} S_j) runs against the armed reference.
+    Input is the dense (event_type, h, n) hourly grid — the shape a
+    metric pipeline emits every interval including zeros — so state
+    stays two BIGINTs per type and every arithmetic step is integer
+    (bit-identical to the batch windows on closed, time-ordered input;
+    asserted in tests/test_streaming.py)."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "event_type string, h timestamp, c_e6 bigint"
+    state_schema = "s_e6 bigint, min_s_e6 bigint"
+
+    def fn(key, pdfs, state):
+        (etype,) = key
+        ref = int(ref_e6_by_type[etype])
+        s, min_s = state.get if state.exists else (0, 0)
+        rows = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("h")
+            for _, row in pdf.iterrows():
+                s += int(row["n"]) * 1_000_000 - ref
+                if s < min_s:
+                    min_s = s
+                c = s - min(0, min_s)
+                rows.append((etype, row["h"], c))
+        state.update((s, min_s))
+        yield pd.DataFrame(rows, columns=["event_type", "h", "c_e6"])
+
+    return hourly.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

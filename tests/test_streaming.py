@@ -902,3 +902,103 @@ def test_interpolate_stream_state_survives_batch_boundary(spark, tmp_path):
     # lies in a gap that straddles the cutoff
     straddling = [g for (_, g) in got if g > cutoff]
     assert straddling
+
+
+def test_cusum_stream_matches_batch_closed_form(spark, tmp_path):
+    """Streaming CUSUM (keyed running sum + running min) over the dense
+    hourly grid, split into two micro-batches on event time, must
+    reproduce the batch closed form C_h = S_h - min(0, min S_j)
+    bit-exactly for EVERY hour, and its max excursion must equal the
+    batch changepoint query's answer."""
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.events_stream import (
+        cusum_stream,
+        run_to_memory,
+    )
+    from distributed_mapreduce_spark.workload.registry import table as load
+    from distributed_mapreduce_spark.workload.robust import (
+        q_events_cusum_changepoint,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dense = spine.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    ref = {
+        r.event_type: r.ref_e6
+        for r in dense.groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(n) AS DECIMAL(38,0)) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("ref_e6")
+        )
+        .collect()
+    }
+
+    cutoff = dense.agg(F.expr("percentile_approx(unix_micros(h), 0.5)")).first()[0]
+    src = str(tmp_path / "grid_src")
+    dense.filter(F.unix_micros("h") <= cutoff).coalesce(1).write.parquet(src + "/b1")
+    dense.filter(F.unix_micros("h") > cutoff).coalesce(1).write.parquet(src + "/b2")
+    flat = str(tmp_path / "grid_flat")
+    os.makedirs(flat)
+    now = _time.time()
+    for i, sub in enumerate(["b1", "b2"]):
+        for f in os.listdir(src + "/" + sub):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{i:03d}.parquet"
+                shutil.copy(f"{src}/{sub}/{f}", dst)
+                os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream_src = (
+        spark.readStream.schema(dense.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    run_to_memory(cusum_stream(stream_src, ref), "cusum_stream_t", output_mode="append")
+    got = {
+        (r.event_type, r.h): r.c_e6
+        for r in spark.table("cusum_stream_t").collect()
+    }
+
+    # independent Python recompute of the full excursion series
+    exp = {}
+    series: dict[str, list] = {}
+    for r in dense.collect():
+        series.setdefault(r.event_type, []).append((r.h, r.n))
+    for et, rows in series.items():
+        s = mins = 0
+        for h, n in sorted(rows):
+            s += n * 1_000_000 - ref[et]
+            mins = min(mins, s)
+            exp[(et, h)] = s - min(0, mins)
+    assert got == exp and len(got) > 0
+
+    # the streamed series' max excursion equals the batch query's row
+    batch = {
+        r.event_type: (r.max_cusum_e6, r.peak_hour)
+        for r in q_events_cusum_changepoint(spark, sf).collect()
+    }
+    best: dict[str, tuple] = {}
+    for (et, h), c in got.items():
+        cur = best.get(et)
+        if cur is None or c > cur[0] or (c == cur[0] and h < cur[1]):
+            best[et] = (c, h)
+    assert best == batch
