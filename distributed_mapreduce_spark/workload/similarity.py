@@ -1177,7 +1177,7 @@ def _mmr_sql() -> str:
     ), sim AS MATERIALIZED (
       SELECT a.doc_id AS da, b.doc_id AS db, {_sql_cos_u('a.v', 'b.v')} AS s
       FROM pool a JOIN pool b ON a.doc_id <> b.doc_id
-    ), s1 AS (
+    ), s1 AS MATERIALIZED (
       SELECT doc_id, rel_u,
              CAST({MMR_LAM_NUM} * rel_u AS BIGINT) AS mmr_w{MMR_LAM_DEN}_u,
              1 AS sel_rank
@@ -1192,7 +1192,7 @@ def _mmr_sql() -> str:
                           AND sim.db IN ({prev_sels})
       WHERE p.doc_id NOT IN ({prev_sels})
       GROUP BY p.doc_id, p.rel_u
-    ), s{i} AS (
+    ), s{i} AS MATERIALIZED (
       SELECT doc_id, rel_u,
              CAST({MMR_LAM_NUM} * rel_u
                   - {MMR_LAM_DEN - MMR_LAM_NUM} * maxsim AS BIGINT)

@@ -323,3 +323,69 @@ def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("risky_rows"),
         F.sum("grp_n").cast("long").alias("n_rows"),
     )
+
+
+#: Minimum distinct-sensitive-values per QI group (distinct l-diversity).
+LDIV_L = 2
+
+
+@query(
+    "ldiversity_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS sens
+      FROM customer
+    ), g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS grp_n,
+             CAST(count(DISTINCT sens) AS BIGINT) AS l
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(count(*) FILTER (l < {LDIV_L}) AS BIGINT) AS weak_groups,
+           CAST(coalesce(sum(grp_n) FILTER (l < {LDIV_L}), 0) AS BIGINT)
+             AS weak_rows,
+           CAST(sum(grp_n) AS BIGINT) AS n_rows
+    FROM g
+    """,
+)
+def q_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion gate to `kanonymity_audit`:
+    a QI group can be large (k-anonymous) yet still leak if every
+    member shares the SAME sensitive value. Treating (nation, market
+    segment) as the quasi-identifier and the account-balance band
+    (neg/mid/high) as the sensitive attribute, report the minimum
+    distinct-sensitive count per group and how many groups/rows fall
+    below l={LDIV_L} (homogeneity-attack exposure).
+
+    Plan: one hash-agg with a distinct-combine to QI group rows, one
+    re-agg over |groups| rows — identical scale posture to the
+    k-anonymity gate."""
+    cust = table(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    g = (
+        cust.select("c_nationkey", "c_mktsegment", sens.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("grp_n"),
+            F.countDistinct("sens").cast("long").alias("l"),
+        )
+    )
+    weak = F.col("l") < LDIV_L
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("l").alias("min_l"),
+        F.sum(weak.cast("long")).alias("weak_groups"),
+        F.coalesce(F.sum(F.when(weak, F.col("grp_n"))), F.lit(0))
+        .cast("long")
+        .alias("weak_rows"),
+        F.sum("grp_n").cast("long").alias("n_rows"),
+    )

@@ -155,3 +155,11 @@ def test_multimodal_phash_matches_python_dhash_and_errors(spark, sf_dir):
     got = {r.doc_id: (r.phash, r.decode_error) for r in perceptual_hash(bad).collect()}
     assert got[1] == (None, "undecodable: payload too short")
     assert got[2] == (None, "undecodable: null payload")
+
+
+def test_ldiversity_audit_consistency(spark, sf_dir):
+    r = QUERIES["ldiversity_audit"](spark, sf_dir).collect()[0]
+    assert r.n_rows == table(spark, sf_dir, "customer").count()
+    assert 1 <= r.min_l <= 3
+    assert 0 <= r.weak_groups <= r.n_groups
+    assert (r.weak_groups == 0) == (r.weak_rows == 0)
