@@ -159,6 +159,42 @@ def _top_level_groups(s: str) -> list[str]:
     return groups
 
 
+def _imr_cached_plan_bounded(sub: list[str]) -> bool:
+    """Whether an InMemoryRelation's printed cached *physical* plan (its
+    inner-children lines) bounds its output: every scan leaf inside must
+    pass through a physical aggregate/limit on its ancestor path. A
+    cache over a grouped/global aggregate is ≤|groups| rows (bounded); a
+    cache wrapped directly around a raw FileScan is just the scan with a
+    StorageLevel and must stay flagged."""
+    for ri, s in enumerate(sub):
+        st = s.lstrip(" :+-").lstrip("*(0123456789) ")
+        if not st.startswith(("FileScan", "Scan ", "InMemoryTableScan")):
+            continue
+        min_d = _node_depth(s)
+        covered = False
+        for j in range(ri - 1, -1, -1):
+            dj = _node_depth(sub[j])
+            if dj < min_d:
+                min_d = dj
+                anc = sub[j].lstrip(" :+-").lstrip("*(0123456789) ")
+                if anc.startswith(
+                    (
+                        "HashAggregate",
+                        "SortAggregate",
+                        "ObjectHashAggregate",
+                        "CollectLimit",
+                        "GlobalLimit",
+                        "LocalLimit",
+                        "TakeOrderedAndProject",
+                    )
+                ):
+                    covered = True
+                    break
+        if not covered:
+            return False
+    return True
+
+
 def window_partition_audit(df: DataFrame) -> list[dict]:
     """Inventory of Window nodes in the optimized logical plan: is the
     partition spec empty, and is the window's input *bounded*?
@@ -205,13 +241,29 @@ def window_partition_audit(df: DataFrame) -> list[dict]:
             if _node_depth(nxt) <= depth:
                 break
             subtree.append(nxt)
-        # every unbounded leaf (parquet Relation / LogicalRDD) must have
-        # an Aggregate/Limit ancestor within the window's subtree
+        # every unbounded leaf (parquet Relation / LogicalRDD / cached
+        # InMemoryRelation — a .cache() must not launder a scaling scan)
+        # must have an Aggregate/Limit ancestor within the window's
+        # subtree
         bounded = True
         for ri, s in enumerate(subtree):
             st = s.lstrip(" :+-")
-            if not (st.startswith("Relation ") or st.startswith("LogicalRDD")):
+            if not st.startswith(
+                ("Relation ", "LogicalRDD", "InMemoryRelation")
+            ):
                 continue
+            if st.startswith("InMemoryRelation"):
+                # the cache prints its cached physical plan as inner
+                # children — a cache over a grouped aggregate is bounded
+                # by construction; a cache over a raw scan is not
+                imr_d = _node_depth(s)
+                inner = []
+                for nxt in subtree[ri + 1 :]:
+                    if _node_depth(nxt) <= imr_d:
+                        break
+                    inner.append(nxt)
+                if _imr_cached_plan_bounded(inner):
+                    continue
             min_d = _node_depth(s)
             covered = False
             for j in range(ri - 1, -1, -1):

@@ -491,12 +491,17 @@ def cusum_stream(hourly: DataFrame, ref_e6_by_type: dict[str, int]) -> DataFrame
 
     def fn(key, pdfs, state):
         (etype,) = key
+        if etype not in ref_e6_by_type:
+            # un-armed type (appeared after calibration): emit nothing
+            # and keep no state rather than killing the whole query —
+            # the monitor covers exactly the armed set
+            yield pd.DataFrame(columns=["event_type", "h", "c_e6"])
+            return
         ref = int(ref_e6_by_type[etype])
         s, min_s = state.get if state.exists else (0, 0)
         rows = []
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            pdf = pd.concat(chunks).sort_values("h")
+        pdf = _group_event_order(pdfs, by=("h",))
+        if pdf is not None:
             for _, row in pdf.iterrows():
                 s += int(row["n"]) * 1_000_000 - ref
                 if s < min_s:

@@ -540,7 +540,7 @@ def _sql_dedup_clusters() -> str:
     base = _sql_minhash_pairs().replace("WITH bh", "WITH RECURSIVE bh", 1)
     return (
         base
-        + f", verified AS ({_SQL_VERIFY_TAIL})"
+        + f", verified AS MATERIALIZED ({_SQL_VERIFY_TAIL})"
         + """
     , edges AS (
       SELECT doc_a AS s, doc_b AS t FROM verified
@@ -625,7 +625,7 @@ def bfs_hops_to_root(pairs: DataFrame, max_hops: int = MAX_HOPS) -> DataFrame:
 @query(
     "dedup_cluster_hops",
     oracle=_sql_minhash_pairs().replace("WITH bh", "WITH RECURSIVE bh", 1)
-    + f", verified AS ({_SQL_VERIFY_TAIL})"
+    + f", verified AS MATERIALIZED ({_SQL_VERIFY_TAIL})"
     + f"""
     , edges AS MATERIALIZED (
       SELECT doc_a AS s, doc_b AS t FROM verified
@@ -1091,7 +1091,7 @@ def _sql_cluster_license() -> str:
     base = _sql_minhash_pairs().replace("WITH bh", "WITH RECURSIVE bh", 1)
     return (
         base
-        + f", verified AS ({_SQL_VERIFY_TAIL})"
+        + f", verified AS MATERIALIZED ({_SQL_VERIFY_TAIL})"
         + f"""
     , edges AS (
       SELECT doc_a AS s, doc_b AS t FROM verified

@@ -756,11 +756,17 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    # Exact wedge volume from the degree relation (1-row collect).
+    # Exact wedge volume from the degree relation (1-row collect; the
+    # sizing pass is the documented bounded-collect class). The cache
+    # only spans this sizing job — unpersisted immediately so repeated
+    # plan-only constructions (plan_report / test sweeps) don't
+    # accumulate pinned copies; execution re-derives the cheap edge
+    # projection instead.
     wedge_rows = (
         deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w")).collect()[0][0]
         or 0
     )
+    e.unpersist()
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_parts = max(
         default_parts,

@@ -453,26 +453,28 @@ def q_retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gram").alias("phrase"),
     )
     t1 = toks.join(F.broadcast(p), F.col("tok") == F.col("w1")).select(
-        "doc_id", "pos", "w2", "w3", "phrase"
+        "doc_id", "pos", "phrase"
     )
-    t2 = toks.select(
-        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("tok").alias("k2")
-    )
-    t3 = toks.select(
-        F.col("doc_id").alias("d3"), F.col("pos").alias("p3"), F.col("tok").alias("k3")
-    )
+    # each adjacency leg is reduced to ITS OWN term's postings by a
+    # broadcast join against the 1-row phrase relation BEFORE the
+    # positional join — without this the (doc_id, pos) legs would
+    # shuffle the entire positional index instead of one term's rows
+    t2 = toks.join(
+        F.broadcast(p.select("w2")), F.col("tok") == F.col("w2")
+    ).select(F.col("doc_id").alias("d2"), F.col("pos").alias("p2"))
+    t3 = toks.join(
+        F.broadcast(p.select("w3")), F.col("tok") == F.col("w3")
+    ).select(F.col("doc_id").alias("d3"), F.col("pos").alias("p3"))
     m = (
         t1.join(
             t2,
             (F.col("d2") == F.col("doc_id"))
-            & (F.col("p2") == F.col("pos") + 1)
-            & (F.col("k2") == F.col("w2")),
+            & (F.col("p2") == F.col("pos") + 1),
         )
         .join(
             t3,
             (F.col("d3") == F.col("doc_id"))
-            & (F.col("p3") == F.col("pos") + 2)
-            & (F.col("k3") == F.col("w3")),
+            & (F.col("p3") == F.col("pos") + 2),
         )
     )
     return m.groupBy("doc_id", "phrase").agg(

@@ -103,17 +103,23 @@ def test_no_unpartitioned_unbounded_window_in_any_plan(spark, sf_dir):
     from distributed_mapreduce_spark.plans.checks import GLOBAL_WINDOW_PARITY_OPS
 
     offenders = {}
+    skipped = set()
     for name, fn in QUERIES.items():
         if name in GLOBAL_WINDOW_PARITY_OPS:
             continue
         try:
             df = fn(spark, sf_dir)
         except Exception:
-            continue  # materializing/streaming entries, checked elsewhere
+            skipped.add(name)
+            continue
         n = unpartitioned_unbounded_windows(df)
         if n:
             offenders[name] = n
     assert offenders == {}
+    # every registered query constructs today; a construction failure
+    # must FAIL this sweep (not silently shrink its coverage) until
+    # someone consciously whitelists it here
+    assert skipped == set()
 
 
 def test_window_audit_detects_global_window_over_raw_rows(spark, sf_dir):
@@ -129,6 +135,14 @@ def test_window_audit_detects_global_window_over_raw_rows(spark, sf_dir):
         "rn", F.row_number().over(W.orderBy("o_orderkey"))
     )
     assert unpartitioned_unbounded_windows(bad) == 1
+    # a .cache() must not launder the scaling scan into "bounded"
+    bad_cached = orders.cache().withColumn(
+        "rn", F.row_number().over(W.orderBy("o_orderkey"))
+    )
+    try:
+        assert unpartitioned_unbounded_windows(bad_cached) == 1
+    finally:
+        orders.unpersist()
     good_partitioned = orders.withColumn(
         "rn", F.row_number().over(W.partitionBy("o_orderstatus").orderBy("o_orderkey"))
     )

@@ -59,6 +59,16 @@ def run(
         if log_fh:
             _stdout_print(*args, **{**kwargs, "file": log_fh})
 
+    try:
+        return _run_inner(sf_dir, only, spark, print)
+    finally:
+        # close on EVERY exit path so a mid-certification exception
+        # still flushes the buffered PASS/FAIL tail to the artifact
+        if log_fh:
+            log_fh.close()
+
+
+def _run_inner(sf_dir, only, spark, print):  # noqa: A002
     from distributed_mapreduce_spark.session import get_spark
     from distributed_mapreduce_spark.workload import ORACLES, QUERIES
 
@@ -141,8 +151,6 @@ def run(
         print(f"registry cost: {cost['total_spark_sec']} s over {cost['n_queries']} queries")
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
-    if log_fh:
-        log_fh.close()
     return len(failures)
 
 
