@@ -37,6 +37,7 @@ from distributed_mapreduce_spark.workload import versioning  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import bpe  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import retrieval  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import mlprep  # noqa: F401,E402
+from distributed_mapreduce_spark.workload import importance  # noqa: F401,E402
 
 # Round-5 prefix swap: retrieval is a new first-class family and gets a
 # driver-graded row (`bm25_top_docs`, repeatedly green at sf0.001/0.01/

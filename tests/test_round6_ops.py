@@ -163,3 +163,43 @@ def test_ldiversity_audit_consistency(spark, sf_dir):
     assert 1 <= r.min_l <= 3
     assert 0 <= r.weak_groups <= r.n_groups
     assert (r.weak_groups == 0) == (r.weak_rows == 0)
+
+
+def test_dsir_weights_cover_corpus_and_mean_identity(spark, sf_dir):
+    """Every document scores exactly once; the per-gram mean is the
+    truncating integer quotient; gram counts match the unigram+bigram
+    arithmetic of the doc's own token stream."""
+    rows = QUERIES["dsir_importance_weights"](spark, sf_dir).collect()
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}
+    assert {r.doc_id for r in rows} == set(docs) and len(rows) == len(docs)
+    for r in rows:
+        toks = [t for t in docs[r.doc_id].split(" ") if t]
+        assert r.n_grams == len(toks) + max(0, len(toks) - 1)
+        if r.n_grams == 0:
+            assert (r.weight_sum, r.weight_pg_ppm, r.dsir_keep) == (0, 0, False)
+        else:
+            assert r.weight_pg_ppm == r.weight_sum // r.n_grams
+            assert r.dsir_keep == (r.weight_pg_ppm >= 1_000_000)
+
+
+def test_dsir_retention_tilts_toward_target_sources(spark, sf_dir):
+    """The resampling gate must prefer the target domain: the
+    gram-weighted mean importance of the target sources exceeds every
+    non-target source's mean, and per-source keep counts agree with the
+    per-doc verdicts."""
+    from distributed_mapreduce_spark.workload.importance import IR_TARGET_SOURCES
+
+    ret = {r.source: r for r in QUERIES["dsir_retention_by_source"](spark, sf_dir).collect()}
+    tgt_means = [ret[s].mean_w_ppm for s in IR_TARGET_SOURCES]
+    rest_means = [r.mean_w_ppm for s, r in ret.items() if s not in IR_TARGET_SOURCES]
+    assert min(tgt_means) > max(rest_means)
+    assert all(r.mean_w_ppm >= 1_000_000 for s, r in ret.items() if s in IR_TARGET_SOURCES)
+    per_doc = (
+        QUERIES["dsir_importance_weights"](spark, sf_dir)
+        .join(table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum(F.col("dsir_keep").cast("long")).alias("k"))
+        .collect()
+    )
+    for r in per_doc:
+        assert ret[r.source].n_keep == r.k
