@@ -159,16 +159,58 @@ def _top_level_groups(s: str) -> list[str]:
     return groups
 
 
-def _imr_cached_plan_bounded(sub: list[str]) -> bool:
-    """Whether an InMemoryRelation's printed cached *physical* plan (its
-    inner-children lines) bounds its output: every scan leaf inside must
-    pass through a physical aggregate/limit on its ancestor path. A
-    cache over a grouped/global aggregate is ≤|groups| rows (bounded); a
-    cache wrapped directly around a raw FileScan is just the scan with a
+#: Leaf nodes whose row count scales with input — logical (Relation/
+#: LogicalRDD) and physical (FileScan/Scan ExistingRDD/InMemoryTableScan,
+#: which appear verbatim when an InMemoryRelation prints its cached
+#: physical plan as inner children).
+_UNBOUNDED_LEAVES = (
+    "Relation ",
+    "LogicalRDD",
+    "FileScan",
+    "Scan ",
+    "InMemoryTableScan",
+)
+#: Ancestors that bound a leaf's contribution to ≤|groups| (or ≤limit)
+#: rows — logical and physical spellings ("Limit" also covers
+#: LocalLimit/GlobalLimit-prefixed logical nodes).
+_BOUNDING_ANCESTORS = (
+    "Aggregate [",
+    "GlobalLimit",
+    "LocalLimit",
+    "Limit",
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+)
+
+
+def _node_text(line: str) -> str:
+    """Node text past tree scaffolding and any `*(n) ` codegen tag."""
+    return re.sub(r"^\*\(\d+\) ", "", line.lstrip(" :+-"))
+
+
+def _leaves_covered(sub: list[str]) -> bool:
+    """Whether every unbounded leaf in `sub` (a tree-art plan fragment,
+    logical or physical) passes through a bounding aggregate/limit on
+    its ancestor path inside the fragment. Used both for a Window's
+    subtree and for an InMemoryRelation's printed cached plan: a cache
+    over a grouped/global aggregate is ≤|groups| rows (bounded); a cache
+    wrapped directly around a raw FileScan is just the scan with a
     StorageLevel and must stay flagged."""
     for ri, s in enumerate(sub):
-        st = s.lstrip(" :+-").lstrip("*(0123456789) ")
-        if not st.startswith(("FileScan", "Scan ", "InMemoryTableScan")):
+        st = _node_text(s)
+        if st.startswith("InMemoryRelation"):
+            # with printed inner children, the cached plan's own scan
+            # leaves are audited directly below (FileScan + physical
+            # bounders); a childless IMR print must count as a leaf
+            has_children = ri + 1 < len(sub) and _node_depth(
+                sub[ri + 1]
+            ) > _node_depth(s)
+            if has_children:
+                continue
+        elif not st.startswith(_UNBOUNDED_LEAVES):
             continue
         min_d = _node_depth(s)
         covered = False
@@ -176,18 +218,7 @@ def _imr_cached_plan_bounded(sub: list[str]) -> bool:
             dj = _node_depth(sub[j])
             if dj < min_d:
                 min_d = dj
-                anc = sub[j].lstrip(" :+-").lstrip("*(0123456789) ")
-                if anc.startswith(
-                    (
-                        "HashAggregate",
-                        "SortAggregate",
-                        "ObjectHashAggregate",
-                        "CollectLimit",
-                        "GlobalLimit",
-                        "LocalLimit",
-                        "TakeOrderedAndProject",
-                    )
-                ):
+                if _node_text(sub[j]).startswith(_BOUNDING_ANCESTORS):
                     covered = True
                     break
         if not covered:
@@ -222,7 +253,7 @@ def window_partition_audit(df: DataFrame) -> list[dict]:
     )
     out: list[dict] = []
     for i, line in enumerate(lines):
-        stripped = line.lstrip(" :+-")
+        stripped = _node_text(line)
         if not stripped.startswith("Window "):
             continue
         depth = _node_depth(line)
@@ -241,43 +272,14 @@ def window_partition_audit(df: DataFrame) -> list[dict]:
             if _node_depth(nxt) <= depth:
                 break
             subtree.append(nxt)
-        # every unbounded leaf (parquet Relation / LogicalRDD / cached
-        # InMemoryRelation — a .cache() must not launder a scaling scan)
-        # must have an Aggregate/Limit ancestor within the window's
+        # every unbounded leaf (logical Relation/LogicalRDD, or the
+        # physical FileScan/Scan lines an InMemoryRelation prints as its
+        # cached plan — a .cache() must not launder a scaling scan) must
+        # have a bounding Aggregate/Limit ancestor within the window's
         # subtree
-        bounded = True
-        for ri, s in enumerate(subtree):
-            st = s.lstrip(" :+-")
-            if not st.startswith(
-                ("Relation ", "LogicalRDD", "InMemoryRelation")
-            ):
-                continue
-            if st.startswith("InMemoryRelation"):
-                # the cache prints its cached physical plan as inner
-                # children — a cache over a grouped aggregate is bounded
-                # by construction; a cache over a raw scan is not
-                imr_d = _node_depth(s)
-                inner = []
-                for nxt in subtree[ri + 1 :]:
-                    if _node_depth(nxt) <= imr_d:
-                        break
-                    inner.append(nxt)
-                if _imr_cached_plan_bounded(inner):
-                    continue
-            min_d = _node_depth(s)
-            covered = False
-            for j in range(ri - 1, -1, -1):
-                dj = _node_depth(subtree[j])
-                if dj < min_d:
-                    min_d = dj
-                    anc = subtree[j].lstrip(" :+-")
-                    if anc.startswith(("Aggregate [", "GlobalLimit", "Limit")):
-                        covered = True
-                        break
-            if not covered:
-                bounded = False
-                break
-        out.append({"partitioned": partitioned, "bounded_input": bounded})
+        out.append(
+            {"partitioned": partitioned, "bounded_input": _leaves_covered(subtree)}
+        )
     return out
 
 

@@ -616,31 +616,26 @@ def q_quality_model_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quality_model_rule_agreement",
-    oracle=f"""
-    WITH m AS ({_QM_SCORE_SQL}),
-    mk AS (
-      SELECT doc_id,
-             (n_tokens > 0 AND
-              (logit_sum * 1000000) // n_tokens >= {QM_KEEP_MIN_MICRO}) AS model_keep
-      FROM m
-    ), t AS (
-      SELECT doc_id, text, {_sql_tokens('text')} AS toks FROM documents
-    ), rk AS (
-      SELECT doc_id,
-             (len(toks) >= {QF_MIN_TOKENS}
-              AND {_sql_bp("length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))", 'length(text)')} <= {QF_MAX_PUNCT_BP}
-              AND {_sql_bp(_sql_count_in('toks', STOPWORDS), 'len(toks)')} >= {QF_MIN_STOPWORD_BP}
-              AND {_sql_bp(f"len({_sql_ngrams('toks', 3)}) - len(list_distinct({_sql_ngrams('toks', 3)}))", f"len({_sql_ngrams('toks', 3)})")} <= {QF_MAX_DUP_TRI_BP})
-               AS rule_keep
-      FROM t
-    )
+def _agreement_oracle() -> str:
+    """Compose the agreement oracle from the REGISTERED gate oracles
+    (both defined earlier in this module, so no cross-module import
+    -order dependency — the `_combined_decontam_oracle` pattern): the
+    rule expression lives in exactly one SQL string, mirroring how the
+    Spark side reuses q_quality_filter_reasons/q_quality_model_logit."""
+    from distributed_mapreduce_spark.workload.registry import ORACLES
+
+    mk = ORACLES["quality_model_logit"]
+    rk = ORACLES["quality_filter_reasons"]
+    return f"""
+    WITH mk AS MATERIALIZED (SELECT doc_id, model_keep FROM ({mk})),
+    rk AS MATERIALIZED (SELECT doc_id, kept AS rule_keep FROM ({rk}))
     SELECT model_keep, rule_keep, CAST(count(*) AS BIGINT) AS n_docs
     FROM mk JOIN rk USING (doc_id)
     GROUP BY model_keep, rule_keep
-    """,
-)
+    """
+
+
+@query("quality_model_rule_agreement", oracle=_agreement_oracle())
 def q_quality_model_rule_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement audit between the learned gate (`quality_model_logit`)
     and the rule gate (`quality_filter_reasons`): the 2×2 confusion

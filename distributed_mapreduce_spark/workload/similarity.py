@@ -1227,7 +1227,15 @@ def q_similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     {MMR_POOL}² rows), so the {MMR_K}-round greedy unrolls as pure
     DataFrame ops — anti-join, max-aggregate, 1-row TakeOrdered per
     round — with NO driver collect and no unbounded window. At 100 TB
-    only the pool stage touches the corpus."""
+    only the pool stage touches the corpus.
+
+    The pool/sim caches are deliberately NOT unpersisted here (contrast
+    `graph_resource_allocation`, which uncaches its sizing relation):
+    the returned plan references them in every greedy round, so they
+    must live until the caller evaluates, and they are LIMIT-bounded
+    (≤ {MMR_POOL} + {MMR_POOL}² rows) — repeated constructions dedupe
+    to the same CacheManager entry by plan equality, so session cache
+    growth is bounded by the handful of distinct sf_dirs used."""
     emb = table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == MMR_QUERY_VEC).select(
         F.col("embedding").alias("qv")

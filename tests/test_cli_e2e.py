@@ -11,6 +11,7 @@ ingest a file, SELECT with a regex, run a maple exe then a juice exe
 from __future__ import annotations
 
 import csv
+import os
 import json
 
 import duckdb
@@ -73,7 +74,8 @@ def test_cli_put_select_maple_juice_get_roundtrip(
     capsys.readouterr()
     assert main(base + ["ls", "result"]) == 0
     meta = json.loads(capsys.readouterr().out)
-    assert meta and meta.get("name", "result") == "result"
+    assert meta["name"] == "result"
+    assert meta["bytes"] > 0 and os.path.isdir(meta["path"])
 
     # get: merged local CSV equals the flagship oracle's counts exactly.
     out_csv = str(tmp_path / "result.csv")

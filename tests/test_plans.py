@@ -143,6 +143,21 @@ def test_window_audit_detects_global_window_over_raw_rows(spark, sf_dir):
         assert unpartitioned_unbounded_windows(bad_cached) == 1
     finally:
         orders.unpersist()
+    # ... nor must caching the WINDOW ITSELF hide it: the global window
+    # then lives inside the InMemoryRelation's printed cached physical
+    # plan (FileScan leaves, physical node names) and must still flag
+    bad_c = bad.cache()
+    good_c = orders.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("o_orderstatus").orderBy("o_orderkey")),
+    ).cache()
+    try:
+        assert unpartitioned_unbounded_windows(bad_c.select("o_orderkey", "rn")) == 1
+        # and a cached PARTITIONED window stays clean through the same path
+        assert unpartitioned_unbounded_windows(good_c.select("o_orderkey", "rn")) == 0
+    finally:
+        bad_c.unpersist()
+        good_c.unpersist()
     good_partitioned = orders.withColumn(
         "rn", F.row_number().over(W.partitionBy("o_orderstatus").orderBy("o_orderkey"))
     )

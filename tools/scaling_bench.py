@@ -75,6 +75,12 @@ FAMILIES = [
     # round-6: positional window hashes + island merge — the heaviest
     # new per-token pipeline (posexplode ~ one row per token).
     "dedup_exact_substring_runs",
+    # round-6: DSIR importance weights — explode-to-bucket counts with a
+    # fixed 256-row model relation; data-derived hashed features, so the
+    # Caesar-rotated replicas exercise it fairly (unlike fixed-literal
+    # retrieval terms) and `source` survives replication, keeping the
+    # target share at 20% across factors.
+    "dsir_importance_weights",
 ]
 
 #: Second-decade (x100) families — every family carries both decades.
