@@ -733,6 +733,146 @@ def q_dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "run_start", "n_windows", "span_tokens")
 
 
+@query(
+    "dedup_exact_substring_strip",
+    oracle=f"""
+    WITH t0 AS MATERIALIZED (
+      SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents
+    ), tk AS MATERIALIZED (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS t
+      FROM t0
+    ), gr AS (
+      SELECT doc_id, {_sql_ngrams('toks', ES_K)} AS grams FROM t0
+    ), g0 AS (
+      SELECT doc_id, unnest(grams) AS gram,
+             generate_subscripts(grams, 1) - 1 AS pos
+      FROM gr
+    ), g AS MATERIALIZED (
+      SELECT doc_id, pos, {_sql_hash_u32('gram', 'es_')} AS gh FROM g0
+    ), idx AS MATERIALIZED (
+      SELECT gh, MIN(doc_id) AS cd FROM g GROUP BY gh HAVING count(*) > 1
+    ), can AS MATERIALIZED (
+      SELECT g.gh, idx.cd, MIN(g.pos) AS cp
+      FROM g JOIN idx ON g.gh = idx.gh AND g.doc_id = idx.cd
+      GROUP BY g.gh, idx.cd
+    ), occ AS (
+      SELECT g.doc_id, g.pos,
+             (g.doc_id = can.cd AND g.pos = can.cp) AS is_canon
+      FROM g JOIN can ON g.gh = can.gh
+    ), cover AS (
+      SELECT doc_id, pos + k.i AS t, is_canon
+      FROM occ, unnest(generate_series(0, {ES_K - 1})) AS k(i)
+    ), rem AS MATERIALIZED (
+      SELECT doc_id, t FROM cover GROUP BY doc_id, t
+      HAVING max(CASE WHEN is_canon THEN 1 ELSE 0 END) = 0
+    ), kept AS (
+      SELECT tk.doc_id, tk.t, tk.tok
+      FROM tk LEFT JOIN rem ON tk.doc_id = rem.doc_id AND tk.t = rem.t
+      WHERE rem.doc_id IS NULL
+    ), cl AS MATERIALIZED (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY t) AS clean_text,
+             COUNT(*)::BIGINT AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_tokens,
+           COALESCE(cl.n_kept, 0) AS n_kept,
+           CAST(len({_sql_tokens('text')}) - COALESCE(cl.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(cl.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN cl USING (doc_id)
+    """,
+)
+def q_dedup_exact_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORMATION twin of `dedup_exact_substring_runs`: emit the
+    cleaned corpus itself, Lee et al. "keep one occurrence" semantics. A
+    token is dropped iff it is covered by a duplicated {ES_K}-token
+    window AND none of its covering windows is the canonical (global
+    min-(doc_id,pos)) occurrence of that window's hash — so exactly one
+    copy of every duplicated substring survives, and tokens shared
+    between a canonical and a non-canonical span stay put.
+
+    `clean_text` is the single-space re-join of the surviving token
+    stream (token-stream semantics, as any whitespace tokenizer sees
+    the document).
+
+    Plan (nothing all-pairs, nothing driver-side): the duplicated-
+    window index and its canonical occurrence are one aggregate each
+    over the window-hash relation; coverage explodes ONLY duplicated
+    occurrences ({ES_K}× those rows, not the corpus); removal verdicts
+    and reassembly group by (doc, pos) / doc — per-doc bounded state.
+    At 100 TB the canonical choice is the same corpus-global
+    min-(doc, pos) rule Lee et al.'s suffix-array pass applies, found
+    here with a hash aggregate instead of a suffix array."""
+    from pyspark.sql import Window as _W  # noqa: F401 (parity with runs)
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("t", "tok")
+    )
+    g = docs.select(
+        "doc_id",
+        F.posexplode(_ngrams(_tokens(F.col("text")), ES_K)).alias("pos", "gram"),
+    ).select("doc_id", "pos", _hash_u32(F.col("gram"), "es_").alias("gh"))
+    idx = (
+        g.groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("canon"),
+        )
+        .filter(F.col("cnt") > 1)
+        .select("gh", "canon")
+    )
+    occ = g.join(idx, "gh").select(
+        "doc_id",
+        "pos",
+        (
+            (F.col("canon.doc_id") == F.col("doc_id"))
+            & (F.col("canon.pos") == F.col("pos"))
+        ).alias("is_canon"),
+    )
+    cover = occ.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (ES_K - 1))).alias("t"),
+        "is_canon",
+    )
+    rem = (
+        cover.groupBy("doc_id", "t")
+        .agg(F.max(F.col("is_canon").cast("int")).alias("has_canon"))
+        .filter(F.col("has_canon") == 0)
+        .select("doc_id", "t")
+    )
+    kept = toks.join(rem, ["doc_id", "t"], "left_anti")
+    cl = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        docs.select(
+            "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+        )
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 #: Priority-sample size (uniform-without-replacement via hash order).
 PRIO_K = 100
 #: Per-source quota for the balanced annotation subset.

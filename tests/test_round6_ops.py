@@ -203,3 +203,40 @@ def test_dsir_retention_tilts_toward_target_sources(spark, sf_dir):
     )
     for r in per_doc:
         assert ret[r.source].n_keep == r.k
+
+
+def test_exact_substring_strip_keeps_one_canonical_occurrence(spark, sf_dir):
+    """Lee et al. semantics end-to-end: token accounting is exact, a doc
+    only loses tokens if it contains a duplicated window, and EVERY
+    duplicated window string still occurs somewhere in the cleaned
+    corpus (its canonical occurrence survives contiguously)."""
+    from collections import Counter
+
+    from distributed_mapreduce_spark.workload.corpus import ES_K
+
+    rows = QUERIES["dedup_exact_substring_strip"](spark, sf_dir).collect()
+    orig = {
+        r.doc_id: [t for t in r.text.split(" ") if t]
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    cnt = Counter()
+    for toks in orig.values():
+        for i in range(len(toks) - ES_K + 1):
+            cnt[" ".join(toks[i : i + ES_K])] += 1
+    dup = {g for g, c in cnt.items() if c > 1}
+    assert dup, "corpus must contain duplicated windows for the test to bite"
+    clean_grams = set()
+    for r in rows:
+        ct = [t for t in r.clean_text.split(" ") if t]
+        assert len(ct) == r.n_kept
+        assert r.n_kept + r.n_removed == r.n_tokens == len(orig[r.doc_id])
+        for i in range(len(ct) - ES_K + 1):
+            clean_grams.add(" ".join(ct[i : i + ES_K]))
+        if r.n_removed:
+            toks = orig[r.doc_id]
+            assert any(
+                " ".join(toks[i : i + ES_K]) in dup
+                for i in range(len(toks) - ES_K + 1)
+            )
+    assert sum(r.n_removed for r in rows) > 0, "strip must actually remove"
+    assert [g for g in dup if g not in clean_grams] == []
