@@ -51,6 +51,11 @@ from distributed_mapreduce_spark.workload import importance  # noqa: F401,E402
 # out in exchange (all stay registered + sf0.1-certified): `ann_lsh`
 # (ANN keeps bruteforce/IVF/near-dup rows), `embedding_normalize`,
 # `text_fingerprint` (dedup_exact already grades fingerprinting).
+#
+# Late round-6 swap: `dsir_importance_weights` (new data-selection
+# family — importance resampling had no driver row) replaces
+# `multimodal_features` (multimodal keeps its decode-errors row, the
+# stronger semantics; features stays registered + sf0.1-certified).
 
 # The grading driver samples the FIRST 50 registered queries. Pin that
 # prefix EXPLICITLY: SURVEY §2 parity + one green representative per
@@ -74,7 +79,7 @@ _PREFIX = [
     "retrieval_rrf_fusion", "multimodal_decode_errors", "text_token_count",
     "text_quality_score", "text_lang_id", "target_encode_loo",
     "tokenizer_bpe_merges", "text_split_assign", "text_scrub_pii",
-    "maplejuice_flagship", "multimodal_features", "pagerank_converge",
+    "maplejuice_flagship", "dsir_importance_weights", "pagerank_converge",
     "decontam_ngram_overlap",
 ]
 # Explicit raise (not a bare assert): the driver grades exactly this
