@@ -224,3 +224,56 @@ def corpus_prep_stream(docs: DataFrame) -> DataFrame:
     return fps.groupBy("fp").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def dsir_gate_stream(docs: DataFrame, lam_by_bucket: dict[int, int]) -> DataFrame:
+    """Online DSIR gating against a FROZEN model — the production shape
+    of `workload/importance.py`: the λ table is trained offline
+    (`train_dsir_model`, a ≤IR_DIM-row collect) and inlined here as a
+    literal array (a broadcast variable at scale), so scoring incoming
+    documents is one stateless columnar fold per row. Append-mode
+    streaming with no state store, no watermark, no shuffle — the gate
+    keeps up with any ingest rate the scan itself sustains.
+
+    Emits (doc_id, n_grams, weight_sum, weight_pg_ppm, dsir_keep) with
+    the batch query's exact integer semantics; certified bit-equal to
+    `dsir_importance_weights` on a closed corpus in
+    tests/test_streaming.py."""
+    from distributed_mapreduce_spark.workload.dedup import _hash_u32
+    from distributed_mapreduce_spark.workload.importance import (
+        IR_DIM,
+        IR_KEEP_MIN_PPM,
+        IR_SEED,
+        _grams,
+    )
+
+    if sorted(lam_by_bucket) != list(range(IR_DIM)):
+        raise ValueError(f"model must be total over [0, {IR_DIM})")
+    warr = F.array(*[F.lit(int(lam_by_bucket[b])) for b in range(IR_DIM)])
+    grams = _grams(F.col("text"))
+    weight = F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.element_at(
+            warr, (_hash_u32(g, IR_SEED) % IR_DIM + 1).cast("int")
+        ).cast("long"),
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        weight.alias("weight_sum"),
+    )
+    per_gram = F.expr(
+        "CAST(CASE WHEN n_grams = 0 THEN 0"
+        "     ELSE weight_sum DIV n_grams END AS BIGINT)"
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "weight_sum",
+        per_gram.alias("weight_pg_ppm"),
+        ((F.col("n_grams") > 0) & (per_gram >= F.lit(IR_KEEP_MIN_PPM))).alias(
+            "dsir_keep"
+        ),
+    )

@@ -113,11 +113,9 @@ _SQL_IR_CORE = f"""
 """
 
 
-def _scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, n_grams, weight_sum, weight_pg_ppm): the DSIR
-    importance score of every document."""
-    docs = table(spark, sf_dir, "documents")
-    ex = docs.select(
+def _ex_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, b): one row per gram occurrence, bucketed."""
+    return docs.select(
         "doc_id",
         "source",
         F.explode(_grams(F.col("text"))).alias("g"),
@@ -126,23 +124,62 @@ def _scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (_hash_u32(F.col("g"), IR_SEED) % IR_DIM).alias("b"),
     )
+
+
+def _bt_df(ex: DataFrame) -> DataFrame:
+    """(b, c_g, t_g): the two bucket unigram models — ≤{IR_DIM} rows."""
     is_t = F.when(F.col("source").isin(*IR_TARGET_SOURCES), 1).otherwise(0)
-    bt = ex.groupBy("b").agg(
+    return ex.groupBy("b").agg(
         F.count(F.lit(1)).cast("long").alias("c_g"),
         F.sum(is_t).cast("long").alias("t_g"),
     )
+
+
+def _lam_df(bt: DataFrame) -> DataFrame:
+    """(b, l_ppm): the smoothed likelihood-ratio table.
+
+    {IR_DIM}-row model × 1-row totals: both sides bounded, broadcast
+    BNLJ; the DECIMAL(38,0) product stays confined to these rows."""
     tot = bt.agg(
         F.sum("c_g").cast("long").alias("c_all"),
         F.sum("t_g").cast("long").alias("t_all"),
     )
-    # 256-row model × 1-row totals: both sides bounded, broadcast BNLJ.
-    lam = bt.crossJoin(F.broadcast(tot)).select(
+    return bt.crossJoin(F.broadcast(tot)).select(
         "b",
         F.expr(
             f"CAST((CAST(1000000 AS DECIMAL(38,0)) * (t_g + 1) * (c_all + {IR_DIM}))"
             f" DIV (CAST(c_g + 1 AS DECIMAL(38,0)) * (t_all + {IR_DIM})) AS BIGINT)"
         ).alias("l_ppm"),
     )
+
+
+def train_dsir_model(spark: SparkSession, sf_dir: str) -> dict[int, int]:
+    """Freeze the batch model for online gating: collect the bucket
+    counts (≤{IR_DIM} rows — the broadcast-variable shape, NOT a corpus
+    collect) and compute every bucket's λ_ppm in exact integer
+    arithmetic (Python `//` on non-negative ints truncates identically
+    to Spark `DIV`/DuckDB `//`), including the add-one default for
+    buckets unseen in training, so the returned table is total over
+    [0, {IR_DIM})."""
+    docs = table(spark, sf_dir, "documents")
+    rows = _bt_df(_ex_df(docs)).collect()
+    c_all = sum(r.c_g for r in rows)
+    t_all = sum(r.t_g for r in rows)
+    by_b = {r.b: (r.c_g, r.t_g) for r in rows}
+    return {
+        b: (1_000_000 * (t + 1) * (c_all + IR_DIM))
+        // ((c + 1) * (t_all + IR_DIM))
+        for b in range(IR_DIM)
+        for c, t in (by_b.get(b, (0, 0)),)
+    }
+
+
+def _scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_grams, weight_sum, weight_pg_ppm): the DSIR
+    importance score of every document."""
+    docs = table(spark, sf_dir, "documents")
+    ex = _ex_df(docs)
+    lam = _lam_df(_bt_df(ex))
     dc = ex.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
     pd_ = (
         dc.join(F.broadcast(lam), "b")

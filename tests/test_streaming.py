@@ -1002,3 +1002,41 @@ def test_cusum_stream_matches_batch_closed_form(spark, tmp_path):
         if cur is None or c > cur[0] or (c == cur[0] and h < cur[1]):
             best[et] = (c, h)
     assert best == batch
+
+
+def test_streaming_dsir_gate_matches_batch_weights(spark, docs_dir):
+    """Frozen-model online gating == the batch in-plan scoring, bit for
+    bit: train λ offline (bounded collect), stream the same closed
+    corpus through the stateless gate in 4 micro-batches, and compare
+    every (n_grams, weight_sum, weight_pg_ppm, dsir_keep) row to
+    `dsir_importance_weights`."""
+    from distributed_mapreduce_spark.streaming.documents_stream import (
+        dsir_gate_stream,
+        read_documents_stream,
+    )
+    from distributed_mapreduce_spark.workload import QUERIES
+    from distributed_mapreduce_spark.workload.importance import train_dsir_model
+
+    lam = train_dsir_model(spark, "/root/testdata/sf0.001")
+    stream = dsir_gate_stream(
+        read_documents_stream(spark, docs_dir, max_files_per_trigger=1), lam
+    )
+    run_to_memory(stream, "dsir_stream", output_mode="append")
+    got = {
+        r.doc_id: (r.n_grams, r.weight_sum, r.weight_pg_ppm, r.dsir_keep)
+        for r in spark.table("dsir_stream").collect()
+    }
+    expected = {
+        r.doc_id: (r.n_grams, r.weight_sum, r.weight_pg_ppm, r.dsir_keep)
+        for r in QUERIES["dsir_importance_weights"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expected and len(got) == 500
+    # model totality is enforced, not assumed
+    import pytest
+
+    with pytest.raises(ValueError):
+        dsir_gate_stream(
+            read_documents_stream(spark, docs_dir), {0: 1_000_000}
+        )

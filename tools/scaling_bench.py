@@ -75,6 +75,10 @@ FAMILIES = [
     # round-6: positional window hashes + island merge — the heaviest
     # new per-token pipeline (posexplode ~ one row per token).
     "dedup_exact_substring_runs",
+    # round-6: the strip TRANSFORMATION on top of the runs index — adds
+    # canonical-occurrence selection, coverage explode (duplicated
+    # occurrences only), and full token-stream reassembly per doc.
+    "dedup_exact_substring_strip",
     # round-6: DSIR importance weights — explode-to-bucket counts with a
     # fixed 256-row model relation; data-derived hashed features, so the
     # Caesar-rotated replicas exercise it fairly (unlike fixed-literal
