@@ -56,7 +56,11 @@ from distributed_mapreduce_spark.workload.similarity import (
     _sql_cos_u,
     cosine_u,
 )
-from distributed_mapreduce_spark.workload.text import _sql_tokens, _tokens
+from distributed_mapreduce_spark.workload.text import (
+    STOPWORDS,
+    _sql_tokens,
+    _tokens,
+)
 
 #: Fixed keyword queries (terms from the harness vocabulary).
 BM25_QUERIES: dict[int, tuple[str, ...]] = {
@@ -107,14 +111,25 @@ def _two_stage_topk(
 
 
 def _bm25_scored(
-    spark: SparkSession, sf_dir: str, queries: dict[int, tuple[str, ...]]
+    spark: SparkSession,
+    sf_dir: str,
+    queries: dict[int, tuple[str, ...]],
+    divisors: dict[tuple[int, str], int] | None = None,
 ) -> DataFrame:
-    """(query_id, doc_id, score_e9) for every doc matching ≥1 term."""
+    """(query_id, doc_id, score_e9) for every doc matching ≥1 term.
+
+    `divisors` optionally down-weights individual (query, term) pairs:
+    that term's integer score is further truncated by `DIV gdiv`
+    (PRF expansion terms use {PRF_GDIV}; original terms stay at 1)."""
     docs = table(spark, sf_dir, "documents")
     terms = sorted({t for ts in queries.values() for t in ts})
     q = spark.createDataFrame(
-        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
-        "query_id INT, term STRING",
+        [
+            (qid, t, int((divisors or {}).get((qid, t), 1)))
+            for qid, ts in sorted(queries.items())
+            for t in ts
+        ],
+        "query_id INT, term STRING, gdiv INT",
     )
     tokd = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     dl = tokd.select("doc_id", F.size("toks").cast("long").alias("dl"))
@@ -161,7 +176,7 @@ def _bm25_scored(
             F.expr(
                 "CAST(CAST(idf_e6 AS DECIMAL(38,0)) * 22 * tf * total_len * 1000"
                 " DIV (CAST(10 AS DECIMAL(38,0)) * tf * total_len"
-                "      + 3 * total_len + 9 * dl * n_docs) AS BIGINT)"
+                "      + 3 * total_len + 9 * dl * n_docs) DIV gdiv AS BIGINT)"
             ).alias("term_score_e9"),
         )
         .groupBy("query_id", "doc_id")
@@ -481,3 +496,221 @@ def q_retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.min("pos").cast("long").alias("first_pos"),
     )
+
+
+# --- pseudo-relevance feedback (RM1-style query expansion) ------------------
+
+#: Feedback depth (docs per query whose language model feeds expansion).
+PRF_FB_K = 5
+#: Expansion terms appended per query.
+PRF_EXP_K = 3
+#: Integer down-weight divisor for expansion-term BM25 scores (γ = 1/2).
+PRF_GDIV = 2
+
+_SQL_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+#: Shared oracle prelude: pass-1 BM25 + top-PRF_FB_K feedback docs +
+#: RM1 candidate weights + top-PRF_EXP_K expansion pick. `q`/`tokd`/
+#: `dl`/`tot` come from `_bm25_scored_sql`; `s1`/`s2` from the fb
+#: top-k instance.
+_SQL_PRF_PRELUDE = f"""
+    WITH {{scored}},
+    {{fb_topk}},
+    fb AS (SELECT query_id, doc_id FROM s2 WHERE rnk <= {PRF_FB_K}),
+    cd AS MATERIALIZED (
+      SELECT f.query_id, u.tok AS term, t.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS dl
+      FROM fb f JOIN tokd t ON f.doc_id = t.doc_id, unnest(t.toks) AS u(tok)
+    ), ctf AS (
+      SELECT query_id, term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+      FROM cd GROUP BY 1, 2, 3, 4
+    ), cw AS MATERIALIZED (
+      SELECT query_id, term,
+             CAST(sum(tf * 1000000 // dl) AS BIGINT) AS w_e6
+      FROM ctf GROUP BY 1, 2
+    ), cexp AS MATERIALIZED (
+      SELECT query_id, term, w_e6,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY w_e6 DESC, term) AS INTEGER)
+               AS exp_rank
+      FROM cw
+      WHERE NOT EXISTS (SELECT 1 FROM q
+                        WHERE q.query_id = cw.query_id AND q.term = cw.term)
+        AND term NOT IN ({_SQL_STOP_LIST})
+    )
+"""
+
+
+def _prf_prelude_sql() -> str:
+    return _SQL_PRF_PRELUDE.format(
+        scored=_bm25_scored_sql(BM25_QUERIES).lstrip(),
+        fb_topk=_sql_two_stage_topk("scored", "query_id,", PRF_FB_K, "pf"),
+    )
+
+
+def _prf_exp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, term, w_e6, exp_rank ≤ {PRF_EXP_K}): the RM1-style
+    expansion pick. Candidate weight is the integer relevance-model
+    mass w_e6 = Σ_{{d ∈ feedback}} tf(t,d)·10⁶ DIV dl(d) — no log, no
+    df pass over the corpus; original query terms and stopwords are
+    excluded; ties break on the term string. The candidate relation is
+    bounded by the feedback docs' vocabulary (≤ {PRF_FB_K}·dl rows per
+    query), so the ranking window is a partitioned pass over a
+    LIMIT-bounded relation."""
+    docs = table(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    fb = _two_stage_topk(
+        _bm25_scored(spark, sf_dir, BM25_QUERIES),
+        ["query_id"],
+        [F.col("score_e9").desc(), F.col("doc_id")],
+        PRF_FB_K,
+        "pf",
+    ).select("query_id", "doc_id")
+    cand = (
+        tokd.join(fb, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("query_id", "doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select(
+            "query_id",
+            "term",
+            F.expr("CAST(tf * 1000000 DIV dl AS BIGINT)").alias("p_e6"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.sum("p_e6").cast("long").alias("w_e6"))
+    )
+    orig = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id INT, term STRING",
+    )
+    cand = cand.join(orig, ["query_id", "term"], "left_anti").filter(
+        ~F.col("term").isin(*STOPWORDS)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("w_e6").desc(), F.col("term"))
+    return cand.withColumn("exp_rank", F.row_number().over(w)).filter(
+        F.col("exp_rank") <= PRF_EXP_K
+    )
+
+
+@query(
+    "retrieval_prf_terms",
+    oracle=_SQL_PRF_PRELUDE.replace("{scored}", "PLACEHOLDER")  # built below
+)
+def q_retrieval_prf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expansion terms themselves: per query the top-{PRF_EXP_K}
+    RM1 candidates with their integer relevance-model mass — the
+    auditable intermediate the second retrieval pass consumes (and the
+    cross-engine certificate that lets `retrieval_prf_expansion`
+    inline the collected pick as literals)."""
+    return _prf_exp_df(spark, sf_dir).select(
+        "query_id", "exp_rank", "term", "w_e6"
+    )
+
+
+@query(
+    "retrieval_prf_expansion",
+    oracle="PLACEHOLDER",  # built below
+)
+def q_retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass pseudo-relevance-feedback retrieval: BM25 → top-
+    {PRF_FB_K} feedback docs → RM1 expansion pick ({PRF_EXP_K} terms,
+    `retrieval_prf_terms`) → second BM25 pass over original + expansion
+    terms with expansion scores integer-down-weighted by DIV {PRF_GDIV}
+    → salted two-stage top-{BM25_TOP_K}.
+
+    The expansion pick is collected (≤ {PRF_EXP_K}·|queries| rows — the
+    documented bounded-collect class, same as the BPE one-argmax-per-
+    round loop) and inlined as literals into the second pass, keeping
+    the pass-2 token filter BELOW the explode exactly like pass 1; the
+    DuckDB oracle derives the same pick fully in-SQL, so the
+    differential check certifies the two formulations agree."""
+    exp = _prf_exp_df(spark, sf_dir).select("query_id", "term").collect()
+    q2 = {qid: list(ts) for qid, ts in BM25_QUERIES.items()}
+    div: dict[tuple[int, str], int] = {}
+    for r in exp:
+        q2[r.query_id].append(r.term)
+        div[(r.query_id, r.term)] = PRF_GDIV
+    scored = _bm25_scored(
+        spark, sf_dir, {k: tuple(v) for k, v in q2.items()}, divisors=div
+    )
+    top = _two_stage_topk(
+        scored,
+        ["query_id"],
+        [F.col("score_e9").desc(), F.col("doc_id")],
+        BM25_TOP_K,
+        "pk",
+    )
+    return top.select("query_id", "doc_id", "score_e9", "rnk")
+
+
+# Build the two PRF oracles (placeholders above keep the decorator
+# call-order simple; the registry holds the final strings).
+from distributed_mapreduce_spark.workload.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["retrieval_prf_terms"] = (
+    _prf_prelude_sql()
+    + f"""
+    SELECT query_id, exp_rank, term, w_e6 FROM cexp
+    WHERE exp_rank <= {PRF_EXP_K}
+    """
+)
+
+_ORACLES["retrieval_prf_expansion"] = (
+    _prf_prelude_sql()
+    + f"""
+    , q2 AS (
+      SELECT query_id, term, 1 AS gdiv FROM q
+      UNION ALL
+      SELECT query_id, term, {PRF_GDIV} AS gdiv FROM cexp
+      WHERE exp_rank <= {PRF_EXP_K}
+    ), t2 AS (SELECT list(DISTINCT term) AS tl FROM q2),
+    tf2 AS MATERIALIZED (
+      SELECT doc_id, tok AS term,
+             CAST(len(list_filter(toks, x -> x = tok)) AS BIGINT) AS tf
+      FROM tokd CROSS JOIN t2, unnest(list_intersect(toks, t2.tl)) AS u(tok)
+    ),
+    df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1),
+    idf2 AS (
+      SELECT term, df,
+             CAST((CAST(2 AS HUGEINT) * (n_docs - df) + 1) * 1000000
+                  // (2 * df + 1) AS BIGINT) AS idf_e6
+      FROM df2 CROSS JOIN tot
+    ),
+    scored2 AS (
+      SELECT q2.query_id, tf2.doc_id,
+             CAST(sum(
+               CAST(idf2.idf_e6 AS HUGEINT) * 22 * tf2.tf * total_len * 1000
+               // (CAST(10 AS HUGEINT) * tf2.tf * total_len
+                   + 3 * total_len + 9 * dl.dl * n_docs)
+               // q2.gdiv
+             ) AS BIGINT) AS score_e9
+      FROM tf2
+      JOIN idf2 ON tf2.term = idf2.term
+      JOIN q2 ON tf2.term = q2.term
+      JOIN dl ON tf2.doc_id = dl.doc_id
+      CROSS JOIN tot
+      GROUP BY 1, 2
+    ),
+    salted2 AS (
+      SELECT *, {_sql_salt('doc_id', 'pk', TOPK_SALTS)} AS _salt FROM scored2
+    ),
+    p1 AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id, _salt
+                                   ORDER BY score_e9 DESC, doc_id) AS r1
+      FROM salted2
+    ),
+    p2 AS (
+      SELECT * EXCLUDE (r1, _salt),
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_e9 DESC, doc_id)
+                  AS INTEGER) AS rnk
+      FROM p1 WHERE r1 <= {BM25_TOP_K}
+    )
+    SELECT query_id, doc_id, score_e9, rnk FROM p2 WHERE rnk <= {BM25_TOP_K}
+    """
+)

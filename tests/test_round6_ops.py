@@ -240,3 +240,46 @@ def test_exact_substring_strip_keeps_one_canonical_occurrence(spark, sf_dir):
             )
     assert sum(r.n_removed for r in rows) > 0, "strip must actually remove"
     assert [g for g in dup if g not in clean_grams] == []
+
+
+def test_prf_expansion_terms_and_reranking(spark, sf_dir):
+    """RM1 expansion: exactly PRF_EXP_K fresh terms per query (no
+    originals, no stopwords), ranked by descending integer mass with
+    term tie-break; the second pass genuinely re-ranks; every returned
+    doc contains at least one expanded-query term."""
+    from distributed_mapreduce_spark.workload.retrieval import (
+        BM25_QUERIES,
+        PRF_EXP_K,
+    )
+    from distributed_mapreduce_spark.workload.text import STOPWORDS
+
+    by_q: dict[int, list] = {}
+    for r in QUERIES["retrieval_prf_terms"](spark, sf_dir).collect():
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(BM25_QUERIES)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.exp_rank)
+        assert [r.exp_rank for r in rows] == list(range(1, PRF_EXP_K + 1))
+        keys = [(-r.w_e6, r.term) for r in rows]
+        assert keys == sorted(keys)
+        for r in rows:
+            assert r.term not in BM25_QUERIES[qid]
+            assert r.term not in STOPWORDS
+    base = {
+        (r.query_id, r.rnk): r.doc_id
+        for r in QUERIES["bm25_top_docs"](spark, sf_dir).collect()
+    }
+    prf_rows = QUERIES["retrieval_prf_expansion"](spark, sf_dir).collect()
+    prf = {(r.query_id, r.rnk): r.doc_id for r in prf_rows}
+    assert set(base) == set(prf)
+    assert any(base[k] != prf[k] for k in base)
+    docs = {
+        r.doc_id: {t for t in r.text.split(" ") if t}
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    expset = {
+        qid: set(BM25_QUERIES[qid]) | {r.term for r in by_q[qid]}
+        for qid in by_q
+    }
+    for r in prf_rows:
+        assert docs[r.doc_id] & expset[r.query_id]
