@@ -85,6 +85,11 @@ HEADLINE = [
     "quality_model_logit",
     "retrieval_phrase_match",
     "ann_range_search",
+    # late round-6 additions: DSIR importance resampling, the
+    # exact-substring strip transformation, PRF two-pass retrieval
+    "dsir_importance_weights",
+    "dedup_exact_substring_strip",
+    "retrieval_prf_expansion",
 ]
 
 
