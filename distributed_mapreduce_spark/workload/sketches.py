@@ -483,3 +483,259 @@ def q_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(HLL_BOUND_PCT) * F.col("n_exact")
         ).alias(f"within_{HLL_BOUND_PCT}pct"),
     )
+
+
+# --- KMV (k-minimum-values / theta) distinct sketches -----------------------
+#
+# The one set operation HLL cannot do is INTERSECTION; the KMV/theta
+# sketch (Bar-Yossef et al.; Dasu/Johnson "Mining Database Structure")
+# supports union AND intersection estimates from the k smallest hash
+# values of a set. With the repo's portable md5-u32 hash the sketch is
+# bit-reproducible on both engines, so even the estimates are exactly
+# differential-checkable. Estimator (hashes uniform on [0, 2^32)):
+# D-hat = (K-1) * 2^32 DIV (h_K + 1); sets with < K distinct hashes are
+# estimated exactly by their count. All-integer; +1 guards h_K = 0 and
+# matches the expected-gap correction on the discrete domain.
+#
+# Scale shape (100 TB): the distinct-(source, hash) aggregate is the
+# only corpus-wide shuffle; the k-smallest per group is the salted
+# two-stage device (k smallest within (source, h % KMV_SALTS), then k
+# smallest of the <= salts*k survivors) — never a single-partition pass
+# over a group's full distinct set. The sketch relations themselves are
+# <= K rows per group.
+
+#: Sketch size (minimum hash values kept per set).
+KMV_K = 64
+#: Salt fan-out of the two-stage k-smallest.
+KMV_SALTS = 8
+#: The two sources whose sketches the set-operation audit combines.
+KMV_SRC_A, KMV_SRC_B = "src0", "src1"
+
+_KMV_EST = (
+    f"CAST(CASE WHEN n_kmv < {KMV_K} THEN n_kmv"
+    f" ELSE ({KMV_K - 1} * 4294967296) DIV (h_k + 1) END AS BIGINT)"
+)
+_SQL_KMV_EST = _KMV_EST.replace(" DIV ", " // ")
+
+from distributed_mapreduce_spark.workload.quality import (  # noqa: E402
+    _sql_ngrams as _kmv_sql_ngrams,
+)
+
+#: The sketched domain: bigram strings of the token stream (see
+#: `_kmv_hashes` for why not unigrams).
+_bigrams_sql = _kmv_sql_ngrams("toks", 2)
+
+
+def _kmv_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, h): the distinct BIGRAM-hash sets per source (bigrams,
+    not unigrams — the harness vocabulary is only ~60 words, which
+    would leave every sketch in its exact n<K regime; bigram
+    cardinality ~700/source actually exercises the estimator)."""
+    from distributed_mapreduce_spark.workload.dedup import _hash_u32, _tokens
+    from distributed_mapreduce_spark.workload.quality import _ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.explode(_ngrams(_tokens(F.col("text")), 2)).alias("g"),
+        )
+        .select("source", _hash_u32(F.col("g"), "kv_").alias("h"))
+        .distinct()
+    )
+
+
+def _k_smallest(df: DataFrame, part: list[str], k: int) -> DataFrame:
+    """Salted two-stage k-smallest `h` per `part` group (exact)."""
+    from pyspark.sql import Window
+
+    s1 = Window.partitionBy(*(part + ["_s"])).orderBy("h")
+    s2 = Window.partitionBy(*part).orderBy("h") if part else Window.orderBy("h")
+    return (
+        df.withColumn("_s", F.col("h") % KMV_SALTS)
+        .withColumn("_r1", F.row_number().over(s1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(s2))
+        .filter(F.col("_r2") <= k)
+        .drop("_s", "_r1", "_r2")
+    )
+
+
+_SQL_KMV_PER_SOURCE = f"""
+    hs AS MATERIALIZED (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5('kv_' || tok), 1, 8))::BIGINT AS h
+      FROM (SELECT source, unnest({_bigrams_sql}) AS tok
+            FROM (SELECT source,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS toks
+                  FROM documents))
+    ), s1 AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source, h % {KMV_SALTS}
+                                ORDER BY h) AS r1
+      FROM hs
+    ), s2 AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS r2
+      FROM s1 WHERE r1 <= {KMV_K}
+    ), sk AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kmv,
+             CAST(max(h) AS BIGINT) AS h_k
+      FROM s2 WHERE r2 <= {KMV_K} GROUP BY source
+    ), ex AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_distinct FROM hs
+      GROUP BY source
+    )
+"""
+
+
+@query(
+    "kmv_distinct_by_source",
+    oracle=f"""
+    WITH {_SQL_KMV_PER_SOURCE}
+    SELECT sk.source, ex.n_distinct, sk.n_kmv, sk.h_k,
+           {_SQL_KMV_EST} AS est_distinct,
+           CAST(abs({_SQL_KMV_EST} - ex.n_distinct) * 10000
+                // ex.n_distinct AS BIGINT) AS err_bp
+    FROM sk JOIN ex USING (source)
+    """,
+)
+def q_kmv_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV distinct-token estimate, certified against the
+    exact distinct count in the same plan (the HLL-audit pattern, but
+    with a mergeable-AND-intersectable sketch). ≤|sources| rows."""
+    hs = _kmv_hashes(spark, sf_dir)
+    sk = (
+        _k_smallest(hs, ["source"], KMV_K)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kmv"),
+            F.max("h").cast("long").alias("h_k"),
+        )
+    )
+    ex = hs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    est = F.expr(_KMV_EST)
+    return (
+        sk.join(ex, "source")
+        .select(
+            "source",
+            "n_distinct",
+            "n_kmv",
+            "h_k",
+            est.alias("est_distinct"),
+            F.expr(
+                f"CAST(abs({_KMV_EST} - n_distinct) * 10000"
+                " DIV n_distinct AS BIGINT)"
+            ).alias("err_bp"),
+        )
+    )
+
+
+@query(
+    "kmv_set_ops_audit",
+    oracle=f"""
+    WITH hs0 AS MATERIALIZED (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5('kv_' || tok), 1, 8))::BIGINT AS h
+      FROM (SELECT source, unnest({_bigrams_sql}) AS tok
+            FROM (SELECT source,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS toks
+                  FROM documents))
+      WHERE source IN ('{KMV_SRC_A}', '{KMV_SRC_B}')
+    ), ua AS MATERIALIZED (SELECT DISTINCT h FROM hs0),
+    u1 AS (
+      SELECT h, row_number() OVER (PARTITION BY h % {KMV_SALTS}
+                                   ORDER BY h) AS r1
+      FROM ua
+    ), u2 AS MATERIALIZED (
+      SELECT h, row_number() OVER (ORDER BY h) AS r2
+      FROM u1 WHERE r1 <= {KMV_K}
+    ), x AS MATERIALIZED (SELECT h FROM u2 WHERE r2 <= {KMV_K}),
+    usk AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_kmv,
+             CAST(max(h) AS BIGINT) AS h_k
+      FROM x
+    ),
+    a AS MATERIALIZED (SELECT h FROM hs0 WHERE source = '{KMV_SRC_A}'),
+    b AS MATERIALIZED (SELECT h FROM hs0 WHERE source = '{KMV_SRC_B}'),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS matched
+      FROM x
+      WHERE EXISTS (SELECT 1 FROM a WHERE a.h = x.h)
+        AND EXISTS (SELECT 1 FROM b WHERE b.h = x.h)
+    ),
+    exact AS (
+      SELECT CAST((SELECT count(*) FROM ua) AS BIGINT) AS exact_union,
+             CAST((SELECT count(*) FROM a
+                   WHERE EXISTS (SELECT 1 FROM b WHERE b.h = a.h))
+                  AS BIGINT) AS exact_inter
+    )
+    SELECT {_SQL_KMV_EST} AS est_union,
+           exact_union,
+           CAST(abs({_SQL_KMV_EST} - exact_union) * 10000
+                // exact_union AS BIGINT) AS union_err_bp,
+           matched,
+           CAST(CASE WHEN n_kmv = 0 THEN 0
+                     ELSE matched * {_SQL_KMV_EST} // n_kmv END
+                AS BIGINT) AS est_inter,
+           exact_inter
+    FROM usk, m, exact
+    """,
+)
+def q_kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union AND intersection estimates from KMV sketches of two
+    sources' token sets, certified against the exact counts in-plan:
+    the union estimate comes from the k-minimum of the combined set;
+    the intersection estimate is the theta-sketch rule
+    est_inter = |X ∩ A ∩ B| · est_union DIV |X| over the union sketch X.
+    1-row output; the only unbounded work is the distinct-hash
+    aggregate and two semi-joins against ≤K-row sketch relations."""
+    hs0 = _kmv_hashes(spark, sf_dir).filter(
+        F.col("source").isin(KMV_SRC_A, KMV_SRC_B)
+    )
+    ua = hs0.select("h").distinct()
+    x = _k_smallest(ua, [], KMV_K)
+    usk = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kmv"),
+        F.max("h").cast("long").alias("h_k"),
+    )
+    a = hs0.filter(F.col("source") == KMV_SRC_A).select("h")
+    b = hs0.filter(F.col("source") == KMV_SRC_B).select("h")
+    m = (
+        x.join(a, "h", "left_semi")
+        .join(b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("matched"))
+    )
+    exact = (
+        ua.agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+        .crossJoin(
+            F.broadcast(
+                a.join(b, "h", "left_semi").agg(
+                    F.count(F.lit(1)).cast("long").alias("exact_inter")
+                )
+            )
+        )
+    )
+    est = F.expr(_KMV_EST)
+    return (
+        usk.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            est.alias("est_union"),
+            "exact_union",
+            F.expr(
+                f"CAST(abs({_KMV_EST} - exact_union) * 10000"
+                " DIV exact_union AS BIGINT)"
+            ).alias("union_err_bp"),
+            "matched",
+            F.expr(
+                f"CAST(CASE WHEN n_kmv = 0 THEN 0"
+                f"     ELSE matched * {_KMV_EST} DIV n_kmv END AS BIGINT)"
+            ).alias("est_inter"),
+            "exact_inter",
+        )
+    )

@@ -283,3 +283,42 @@ def test_prf_expansion_terms_and_reranking(spark, sf_dir):
     }
     for r in prf_rows:
         assert docs[r.doc_id] & expset[r.query_id]
+
+
+def test_kmv_sketch_matches_driver_recomputation(spark, sf_dir):
+    """Recompute one source's KMV sketch driver-side from raw text
+    (same md5-u32 hash) and check h_k / n_kmv / estimator; sketch
+    estimates must sit within the theoretical error regime; the
+    intersection audit's internals must be mutually consistent."""
+    import hashlib
+
+    from distributed_mapreduce_spark.workload.sketches import KMV_K
+
+    rows = {r.source: r for r in QUERIES["kmv_distinct_by_source"](spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").collect()
+    hashes: dict[str, set[int]] = {}
+    for d in docs:
+        s = hashes.setdefault(d.source, set())
+        toks = [t for t in d.text.split(" ") if t]
+        for i in range(len(toks) - 1):
+            g = toks[i] + " " + toks[i + 1]
+            s.add(int(hashlib.md5(("kv_" + g).encode()).hexdigest()[:8], 16))
+    assert set(rows) == set(hashes)
+    saturated = 0
+    for src, r in rows.items():
+        hs = sorted(hashes[src])
+        kmv = hs[:KMV_K]
+        assert r.n_distinct == len(hs)
+        assert r.n_kmv == len(kmv) and r.h_k == kmv[-1]
+        expect = len(hs) if len(kmv) < KMV_K else ((KMV_K - 1) * 4294967296) // (kmv[-1] + 1)
+        assert r.est_distinct == expect
+        assert r.err_bp == abs(expect - len(hs)) * 10000 // len(hs)
+        assert r.err_bp <= 5000  # ~12.7% RSE regime; 50% is a safe gate
+        saturated += r.n_kmv == KMV_K
+    assert saturated == len(rows), "estimator must leave its exact n<K regime"
+    audit = QUERIES["kmv_set_ops_audit"](spark, sf_dir).collect()[0]
+    assert audit.exact_inter > 0 and audit.exact_union >= audit.exact_inter
+    n_x = min(KMV_K, audit.exact_union)
+    assert audit.est_inter == audit.matched * audit.est_union // n_x
+    assert 0 <= audit.matched <= n_x
+    assert abs(audit.est_inter - audit.exact_inter) * 2 <= audit.exact_inter
