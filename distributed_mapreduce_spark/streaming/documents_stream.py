@@ -277,3 +277,66 @@ def dsir_gate_stream(docs: DataFrame, lam_by_bucket: dict[int, int]) -> DataFram
             "dsir_keep"
         ),
     )
+
+
+def kmv_sketch_stream(docs: DataFrame) -> DataFrame:
+    """Streaming KMV/theta distinct sketch per source — the mergeable-
+    sketch shape that makes KMV the streaming structure of choice: the
+    keyed state is just the K smallest bigram hashes seen so far (an
+    `array<bigint>` of ≤ KMV_K values), merged per micro-batch in
+    O(batch + K); the distinct estimate is recomputed from state on
+    every emit. Certified in tests/test_streaming.py: the final state
+    on a closed corpus equals the batch `kmv_distinct_by_source` sketch
+    (n_kmv, h_k, est_distinct) bit-for-bit.
+
+    Note the state carries NO exact distinct count — that is the point
+    of the sketch (bounded state regardless of cardinality), and why
+    the emitted rows have no `n_distinct`/`err_bp` columns: ground
+    truth is a batch-side audit, not streaming state."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from distributed_mapreduce_spark.workload.dedup import _hash_u32, _tokens
+    from distributed_mapreduce_spark.workload.quality import _ngrams
+    from distributed_mapreduce_spark.workload.sketches import KMV_K
+
+    out_schema = "source string, n_kmv bigint, h_k bigint, est_distinct bigint"
+    state_schema = "mins array<bigint>"
+
+    def fn(key, pdfs, state):
+        (mins,) = state.get if state.exists else ([],)
+        s = set(int(x) for x in mins)
+        for pdf in pdfs:
+            for h in pdf["h"]:
+                s.add(int(h))
+        if not s:
+            # invoked with only empty chunks and no prior state: nothing
+            # to sketch yet and nothing worth storing
+            yield pd.DataFrame(
+                columns=["source", "n_kmv", "h_k", "est_distinct"]
+            )
+            return
+        mins = sorted(s)[:KMV_K]
+        state.update((mins,))
+        h_k = mins[-1]
+        est = (
+            len(mins)
+            if len(mins) < KMV_K
+            else ((KMV_K - 1) * 4294967296) // (h_k + 1)
+        )
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_kmv": [len(mins)],
+                "h_k": [h_k],
+                "est_distinct": [est],
+            }
+        )
+
+    hs = docs.select(
+        "source",
+        F.explode(_ngrams(_tokens(F.col("text")), 2)).alias("g"),
+    ).select("source", _hash_u32(F.col("g"), "kv_").alias("h"))
+    return hs.groupBy("source").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

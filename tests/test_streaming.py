@@ -1040,3 +1040,40 @@ def test_streaming_dsir_gate_matches_batch_weights(spark, docs_dir):
         dsir_gate_stream(
             read_documents_stream(spark, docs_dir), {0: 1_000_000}
         )
+
+
+def test_streaming_kmv_sketch_matches_batch(spark, docs_dir):
+    """Mergeable-sketch certification: after streaming the closed
+    corpus in 4 micro-batches, each source's FINAL emitted sketch row
+    (n_kmv, h_k, est_distinct) is bit-equal to the batch
+    `kmv_distinct_by_source` sketch, with state genuinely merged
+    across batches (more emissions than sources)."""
+    from distributed_mapreduce_spark.streaming.documents_stream import (
+        kmv_sketch_stream,
+        read_documents_stream,
+    )
+    from distributed_mapreduce_spark.workload import QUERIES
+
+    stream = kmv_sketch_stream(
+        read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
+    )
+    run_to_memory(stream, "kmv_stream", output_mode="update")
+    emitted = spark.table("kmv_stream").collect()
+    # update-mode sink appends one row per touched key per batch; the
+    # final state per source has the largest n_kmv and, at equal n_kmv,
+    # the smallest h_k (the k-min set only ever improves)
+    final: dict[str, tuple[int, int, int]] = {}
+    for r in emitted:
+        cur = final.get(r.source)
+        cand = (r.n_kmv, -r.h_k, r.est_distinct)
+        if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+            final[r.source] = cand
+    got = {s: (v[0], -v[1], v[2]) for s, v in final.items()}
+    expected = {
+        r.source: (r.n_kmv, r.h_k, r.est_distinct)
+        for r in QUERIES["kmv_distinct_by_source"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expected and len(got) == 20
+    assert len(emitted) > len(got), "state must carry across micro-batches"
