@@ -1163,3 +1163,125 @@ def q_dedup_cluster_license_propagation(spark: SparkSession, sf_dir: str) -> Dat
         (n_restricted > 0).alias("cluster_restricted"),
         F.min("doc_id").alias("keep_doc"),
     )
+
+
+#: Content-defined chunking: boundary gram width and the divisor that
+#: sets the expected chunk length (hash % 64 == 0 → ~64-char chunks).
+CDC_GRAM = 8
+CDC_DIV = 64
+
+_SQL_CDC_BOUNDS = (
+    f"list_filter(range({CDC_GRAM}, n), i -> "
+    f"((('0x' || substr(md5('cdck_' || substr(text, i - {CDC_GRAM - 1}, "
+    f"{CDC_GRAM})), 1, 8))::BIGINT % {CDC_DIV}) = 0))"
+)
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, text, length(text) AS n FROM documents
+    ), b AS (
+      SELECT doc_id, source, text, n, {_SQL_CDC_BOUNDS} AS bl FROM d
+    ), p AS (
+      SELECT doc_id, source, text,
+             list_concat(list_concat([0], bl), [n]) AS pl
+      FROM b
+    ), c AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(pl)), j -> struct_pack(
+               chunk_idx := j,
+               chunk := substr(text, pl[j] + 1, pl[j + 1] - pl[j])
+             ))) AS ch
+      FROM p
+    ), r AS (
+      SELECT source, doc_id,
+             ch.chunk_idx AS chunk_idx,
+             length(ch.chunk) AS clen,
+             md5('cdcid_' || ch.chunk) AS cid
+      FROM c
+    ), rk AS (
+      SELECT source, clen,
+             row_number() OVER (PARTITION BY cid ORDER BY doc_id, chunk_idx)
+               AS rn
+      FROM r
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (rn > 1) AS BIGINT) AS dup_instances,
+           CAST(sum(clen) AS BIGINT) AS total_chars,
+           CAST(coalesce(sum(clen) FILTER (rn > 1), 0) AS BIGINT)
+             AS chars_saved
+    FROM rk GROUP BY source ORDER BY source
+    """,
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/LBFS shape — Muthitacharoen
+    et al., SOSP'01 — at the granularity storage dedup and CAS blob stores
+    use): split every document at positions where the rolling 8-gram hash
+    satisfies h % {CDC_DIV} == 0 (so chunk boundaries are CONTENT-anchored
+    and survive insertions, unlike fixed-size blocks), then dedupe chunks
+    globally by content hash and report, per source, how many chunk
+    instances are redundant and how many characters a chunk-level store
+    would save. The first global occurrence (by doc_id, chunk_idx) is the
+    kept copy. Complements `dedup_exact_substring_runs` (position-aligned
+    window granularity) and `dedup_exact` (whole-doc granularity).
+
+    Plan: boundary detection and chunk slicing are pure JVM columnar
+    higher-order functions (filter/transform over sequence — no UDF, no
+    explode until chunks exist), one explode to O(total_chars / {CDC_DIV})
+    chunk rows, one hash-window over chunk_id for first-occurrence ranking
+    (shuffle keyed on content hash — uniform by construction), one
+    per-source re-agg. At 100 TB this is the standard chunk-store
+    ingest: a single scan, a single content-hash shuffle, no all-pairs
+    anything."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.length("text").alias("n")
+    )
+    bounds = (
+        f"filter(sequence({CDC_GRAM}, n - 1), i -> "
+        f"CAST(conv(substring(md5(concat('cdck_', "
+        f"substring(text, i - {CDC_GRAM - 1}, {CDC_GRAM}))), 1, 8), 16, 10) "
+        f"AS BIGINT) % {CDC_DIV} = 0)"
+    )
+    withp = docs.selectExpr(
+        "doc_id",
+        "source",
+        "text",
+        f"concat(array(0), CASE WHEN n >= {CDC_GRAM + 1} THEN {bounds} "
+        "ELSE CAST(array() AS ARRAY<INT>) END, array(n)) AS pl",
+    )
+    chunks = withp.selectExpr(
+        "doc_id",
+        "source",
+        "explode(transform(sequence(1, size(pl) - 1), j -> named_struct("
+        "'chunk_idx', j, "
+        "'chunk', substring(text, element_at(pl, j) + 1, "
+        "element_at(pl, j + 1) - element_at(pl, j))))) AS ch",
+    ).select(
+        "source",
+        "doc_id",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.length("ch.chunk").alias("clen"),
+        F.md5(F.concat(F.lit("cdcid_"), F.col("ch.chunk"))).alias("cid"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cid").orderBy("doc_id", "chunk_idx")
+    rk = chunks.withColumn("rn", F.row_number().over(w))
+    dup = F.col("rn") > 1
+    return (
+        rk.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("rn") == 1).cast("long")).cast("long").alias("n_kept"),
+            F.sum(dup.cast("long")).cast("long").alias("dup_instances"),
+            F.sum("clen").cast("long").alias("total_chars"),
+            F.coalesce(F.sum(F.when(dup, F.col("clen"))), F.lit(0))
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .orderBy("source")
+    )

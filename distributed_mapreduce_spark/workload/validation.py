@@ -389,3 +389,131 @@ def q_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weak_rows"),
         F.sum("grp_n").cast("long").alias("n_rows"),
     )
+
+
+#: t-closeness threshold in ppm of total-variation distance (0.20).
+TCLOSE_T_PPM = 200_000
+
+
+@query(
+    "tcloseness_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS sens
+      FROM customer
+    ), cnt AS MATERIALIZED (
+      SELECT c_nationkey, c_mktsegment, sens,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM s GROUP BY 1, 2, 3
+    ), grp AS MATERIALIZED (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS grp_n
+      FROM cnt GROUP BY 1, 2
+    ), gband AS MATERIALIZED (
+      SELECT sens, CAST(sum(cnt) AS BIGINT) AS band_n FROM cnt GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(band_n) AS BIGINT) AS n_rows FROM gband
+    ), grid AS (
+      SELECT g.c_nationkey, g.c_mktsegment, g.grp_n, b.sens
+      FROM grp g CROSS JOIN (SELECT unnest(['neg','mid','high']) AS sens) b
+    ), sh AS (
+      SELECT grid.c_nationkey, grid.c_mktsegment, grid.grp_n,
+             (1000000 * coalesce(c.cnt, 0)) // grid.grp_n AS share_ppm,
+             (1000000 * gl.band_n) // t.n_rows AS glob_ppm
+      FROM grid
+      LEFT JOIN cnt c
+        ON c.c_nationkey = grid.c_nationkey
+       AND c.c_mktsegment = grid.c_mktsegment
+       AND c.sens = grid.sens
+      JOIN gband gl ON gl.sens = grid.sens
+      CROSS JOIN tot t
+    ), tv AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(any_value(grp_n) AS BIGINT) AS grp_n,
+             CAST(sum(abs(share_ppm - glob_ppm)) // 2 AS BIGINT) AS tv_ppm
+      FROM sh GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(max(tv_ppm) AS BIGINT) AS max_tv_ppm,
+           CAST(count(*) FILTER (tv_ppm > {TCLOSE_T_PPM}) AS BIGINT)
+             AS far_groups,
+           CAST(coalesce(sum(grp_n) FILTER (tv_ppm > {TCLOSE_T_PPM}), 0)
+             AS BIGINT) AS far_rows,
+           CAST(sum(grp_n) AS BIGINT) AS n_rows
+    FROM tv
+    """,
+)
+def q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third gate of the governance triad
+    (`kanonymity_audit`, `ldiversity_audit`): a QI group can be large
+    AND diverse yet still leak if its sensitive-value DISTRIBUTION
+    deviates sharply from the global one (skewness attack). Treating
+    (nation, market segment) as the quasi-identifier and the
+    account-balance band as the sensitive attribute, compute each
+    group's total-variation distance to the global band distribution
+    in exact ppm (shares as truncated micro-unit integers, TV =
+    sum(|p_g - p|)/2) and report the max plus how many groups/rows
+    exceed t=0.20.
+
+    Plan: one hash-agg to (QI x band) counts (|groups| x 3 rows), a
+    dense 3-band grid via a literal unnest, one broadcast join against
+    the 3-row global distribution, re-agg per group, final re-agg to
+    one row. Every post-scan relation is bounded by |groups| x 3 —
+    the 100 TB cost is the single scan.
+    """
+    cust = table(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    cnt = (
+        cust.select("c_nationkey", "c_mktsegment", sens.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment", "sens")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    grp = cnt.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("long").alias("grp_n")
+    )
+    glob = cnt.groupBy("sens").agg(F.sum("cnt").cast("long").alias("band_n"))
+    tot = glob.agg(F.sum("band_n").cast("long").alias("n_rows"))
+    grid = grp.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "grp_n",
+        F.explode(F.array(F.lit("neg"), F.lit("mid"), F.lit("high"))).alias(
+            "sens"
+        ),
+    )
+    sh = (
+        grid.join(cnt, ["c_nationkey", "c_mktsegment", "sens"], "left")
+        .join(F.broadcast(glob), "sens")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "grp_n",
+            F.expr("(1000000 * coalesce(cnt, 0)) DIV grp_n").alias(
+                "share_ppm"
+            ),
+            F.expr("(1000000 * band_n) DIV n_rows").alias("glob_ppm"),
+        )
+    )
+    tv = sh.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.first("grp_n").cast("long").alias("grp_n"),
+        F.expr("CAST(sum(abs(share_ppm - glob_ppm)) DIV 2 AS BIGINT)").alias(
+            "tv_ppm"
+        ),
+    )
+    far = F.col("tv_ppm") > TCLOSE_T_PPM
+    return tv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max("tv_ppm").cast("long").alias("max_tv_ppm"),
+        F.sum(far.cast("long")).cast("long").alias("far_groups"),
+        F.coalesce(F.sum(F.when(far, F.col("grp_n"))), F.lit(0))
+        .cast("long")
+        .alias("far_rows"),
+        F.sum("grp_n").cast("long").alias("n_rows"),
+    )

@@ -322,3 +322,89 @@ def test_kmv_sketch_matches_driver_recomputation(spark, sf_dir):
     assert audit.est_inter == audit.matched * audit.est_union // n_x
     assert 0 <= audit.matched <= n_x
     assert abs(audit.est_inter - audit.exact_inter) * 2 <= audit.exact_inter
+
+
+def test_tcloseness_audit_matches_pure_python_recompute(spark, sf_dir):
+    """Recompute the exact integer TV audit driver-side from raw rows:
+    truncated ppm shares over the dense 3-band grid, TV = sum|.|//2,
+    then the same summary — must match the distributed result field
+    for field."""
+    from collections import Counter
+
+    from distributed_mapreduce_spark.workload.validation import TCLOSE_T_PPM
+
+    r = QUERIES["tcloseness_audit"](spark, sf_dir).collect()[0]
+    cust = table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    band = lambda b: "neg" if b < 0 else ("mid" if b < 5000 else "high")
+    by_group, by_band = Counter(), Counter()
+    for c in cust:
+        by_group[(c.c_nationkey, c.c_mktsegment, band(c.c_acctbal))] += 1
+        by_band[band(c.c_acctbal)] += 1
+    n = len(cust)
+    groups = {(k[0], k[1]) for k in by_group}
+    glob_ppm = {s: (1_000_000 * by_band[s]) // n for s in ("neg", "mid", "high")}
+    max_tv, far_groups, far_rows = 0, 0, 0
+    for g in groups:
+        grp_n = sum(by_group[(g[0], g[1], s)] for s in ("neg", "mid", "high"))
+        tv = (
+            sum(
+                abs(
+                    (1_000_000 * by_group[(g[0], g[1], s)]) // grp_n
+                    - glob_ppm[s]
+                )
+                for s in ("neg", "mid", "high")
+            )
+            // 2
+        )
+        max_tv = max(max_tv, tv)
+        if tv > TCLOSE_T_PPM:
+            far_groups += 1
+            far_rows += grp_n
+    assert (r.n_groups, r.n_rows) == (len(groups), n)
+    assert r.max_tv_ppm == max_tv
+    assert (r.far_groups, r.far_rows) == (far_groups, far_rows)
+
+
+def test_cdc_chunks_match_pure_python_recompute(spark, sf_dir):
+    """Recompute content-defined chunking driver-side: same boundary
+    rule (md5-u32 of each 8-gram % 64 == 0), same first-occurrence
+    ranking, same per-source summary."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = {r.source: r for r in QUERIES["dedup_cdc_chunks"](spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+
+    def u32(s):
+        return int(hashlib.md5(("cdck_" + s).encode()).hexdigest()[:8], 16)
+
+    first_seen = {}
+    per_source = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        t, n = d.text, len(d.text)
+        bounds = [i for i in range(8, n) if u32(t[i - 8 : i]) % 64 == 0]
+        pl = [0] + bounds + [n]
+        for j in range(1, len(pl)):
+            chunk = t[pl[j - 1] : pl[j]]
+            cid = hashlib.md5(("cdcid_" + chunk).encode()).hexdigest()
+            s = per_source[d.source]
+            s[0] += 1
+            s[3] += len(chunk)
+            if cid not in first_seen:
+                first_seen[cid] = True
+                s[1] += 1
+            else:
+                s[2] += 1
+                s[4] += len(chunk)
+    assert set(rows) == set(per_source)
+    for src, (n_chunks, n_kept, dup_i, total_c, saved) in per_source.items():
+        r = rows[src]
+        assert (
+            r.n_chunks, r.n_kept, r.dup_instances, r.total_chars, r.chars_saved
+        ) == (n_chunks, n_kept, dup_i, total_c, saved), src
+    # chunking must actually split: some doc has >1 chunk
+    assert sum(v[0] for v in per_source.values()) > len(docs)
