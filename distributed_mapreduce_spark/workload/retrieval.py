@@ -714,3 +714,142 @@ _ORACLES["retrieval_prf_expansion"] = (
     SELECT query_id, doc_id, score_e9, rnk FROM p2 WHERE rnk <= {BM25_TOP_K}
     """
 )
+
+
+#: Dirichlet-smoothing pseudo-count for query-likelihood retrieval.
+QL_MU = 2000
+QL_TOP_K = 10
+
+
+def _ql_sql() -> str:
+    """CTE chain ending in scored(query_id, doc_id, score_e9) for the
+    linearized Dirichlet query-likelihood model over BM25_QUERIES."""
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts in sorted(BM25_QUERIES.items())
+        for t in ts
+    )
+    terms = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    )
+    return f"""
+    q(query_id, term) AS (VALUES {values}),
+    tokd AS MATERIALIZED (
+      SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tokd
+    ),
+    tot AS (SELECT CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS MATERIALIZED (
+      SELECT doc_id, tok AS term,
+             CAST(len(list_filter(toks, x -> x = tok)) AS BIGINT) AS tf
+      FROM tokd, unnest(list_intersect(toks, [{terms}])) AS u(tok)
+    ),
+    cf AS MATERIALIZED (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, tf.doc_id FROM tf JOIN q USING (term)
+    ),
+    grid AS (
+      SELECT c.query_id, c.doc_id, q.term
+      FROM cand c JOIN q ON q.query_id = c.query_id
+    ),
+    scored AS (
+      SELECT g.query_id, g.doc_id,
+             CAST(sum(
+               CAST(1000000000 AS HUGEINT)
+               * (coalesce(tf.tf, 0) * total_len + {QL_MU} * cf.cf)
+               // (CAST(total_len AS HUGEINT) * (dl.dl + {QL_MU}))
+             ) AS BIGINT) AS score_e9
+      FROM grid g
+      LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+      JOIN cf ON cf.term = g.term
+      JOIN dl ON dl.doc_id = g.doc_id
+      CROSS JOIN tot
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "retrieval_query_likelihood",
+    oracle=f"""
+    WITH {_ql_sql()},
+    {_sql_two_stage_topk('scored', 'query_id,', QL_TOP_K, 'ql')}
+    SELECT query_id, doc_id, score_e9, rnk
+    FROM s2 WHERE rnk <= {QL_TOP_K}
+    """,
+)
+def q_retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR'01) — the language-modeling counterpart to
+    `bm25_top_docs`, scoring p(t|d) = (tf + mu*p(t|C)) / (dl + mu) with
+    mu={QL_MU} and collection model p(t|C) = cf/total_len. Exactness: the
+    per-term smoothed probability is the truncated integer
+    (1e9*(tf*total_len + mu*cf)) DIV (total_len*(dl+mu)), and the doc
+    score is the SUM of per-term e9 probabilities — a documented
+    linearization (the true model multiplies/log-sums; each per-term
+    factor is preserved exactly, so single-term rankings are identical
+    and multi-term ranking is the arithmetic- rather than geometric-mean
+    blend). Zero-tf terms still contribute their smoothing mass, which
+    depends on dl — so candidates (docs matching >=1 term) are scored
+    over the DENSE (candidate x query-term) grid.
+
+    Plan: same skeleton as BM25 — tf via array_intersect BELOW the
+    explode, cf on the tiny term relation, the dense grid built by
+    joining candidates against the broadcast |q|-row term list, doc
+    lengths equi-joined, totals broadcast, then the salted two-stage
+    top-{QL_TOP_K}. The only unbounded relations ever shuffled are tf and
+    the grid (<= |matches| * |terms| rows)."""
+    docs = table(spark, sf_dir, "documents")
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id INT, term STRING",
+    )
+    tokd = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    dl = tokd.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tot = dl.agg(F.sum("dl").cast("long").alias("total_len"))
+    tf = tokd.select(
+        "doc_id",
+        F.explode(
+            F.array_intersect("toks", F.array(*[F.lit(t) for t in terms]))
+        ).alias("term"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "term",
+        F.size(F.filter("toks", lambda x: x == F.col("term")))
+        .cast("long")
+        .alias("tf"),
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    cand = tf.join(F.broadcast(q), "term").select("query_id", "doc_id").distinct()
+    grid = cand.join(F.broadcast(q), "query_id")
+    scored = (
+        grid.join(tf, ["doc_id", "term"], "left")
+        .join(F.broadcast(cf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"CAST(CAST(1000000000 AS DECIMAL(38,0))"
+                f" * (coalesce(tf, 0) * total_len + {QL_MU} * cf)"
+                f" DIV (CAST(total_len AS DECIMAL(38,0)) * (dl + {QL_MU}))"
+                " AS BIGINT)"
+            ).alias("p_e9"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("p_e9").cast("long").alias("score_e9"))
+    )
+    top = _two_stage_topk(
+        scored,
+        ["query_id"],
+        [F.col("score_e9").desc(), F.col("doc_id")],
+        QL_TOP_K,
+        "ql",
+    )
+    return top.select("query_id", "doc_id", "score_e9", "rnk")

@@ -408,3 +408,43 @@ def test_cdc_chunks_match_pure_python_recompute(spark, sf_dir):
         ) == (n_chunks, n_kept, dup_i, total_c, saved), src
     # chunking must actually split: some doc has >1 chunk
     assert sum(v[0] for v in per_source.values()) > len(docs)
+
+
+def test_query_likelihood_semantics(spark, sf_dir):
+    """Pin the LM-retrieval invariants: every (query, doc) result doc
+    contains >=1 query term; scores equal the pure-python dense-grid
+    recompute for the top doc of each query; ranks are 1..k dense."""
+    import hashlib
+
+    from distributed_mapreduce_spark.workload.retrieval import (
+        BM25_QUERIES,
+        QL_MU,
+        QL_TOP_K,
+    )
+
+    rows = QUERIES["retrieval_query_likelihood"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: [t for t in r.text.split(" ") if t]
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    total_len = sum(len(v) for v in docs.values())
+    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    cf = {
+        t: sum(toks.count(t) for toks in docs.values()) for t in all_terms
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(BM25_QUERIES)
+    for qid, rs in by_q.items():
+        assert sorted(x.rnk for x in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= QL_TOP_K
+        for x in rs:
+            toks = docs[x.doc_id]
+            assert any(t in toks for t in BM25_QUERIES[qid])
+            expect = sum(
+                (10**9 * (toks.count(t) * total_len + QL_MU * cf[t]))
+                // (total_len * (len(toks) + QL_MU))
+                for t in BM25_QUERIES[qid]
+            )
+            assert x.score_e9 == expect, (qid, x.doc_id)
