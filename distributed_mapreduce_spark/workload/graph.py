@@ -686,6 +686,24 @@ RA_WEDGE_ROWS_PER_TASK = 2_000_000
 RA_MAX_PARTITIONS = 4096
 
 
+def _wedge_shuffle_parts(spark: SparkSession, deg: DataFrame) -> int:
+    """Input-scaled shuffle width for a wedge-pair aggregate: exact
+    wedge volume Σ deg·(deg−1)/2 from the ≤|V|-row degree relation
+    (1-row collect — the documented bounded-collect class), divided
+    into {RA_WEDGE_ROWS_PER_TASK}-row tasks, clamped to
+    [shuffle.partitions, {RA_MAX_PARTITIONS}]. See
+    `q_graph_resource_allocation` for the measured rationale."""
+    wedge_rows = (
+        deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w")).collect()[0][0]
+        or 0
+    )
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(
+        default_parts,
+        min(RA_MAX_PARTITIONS, -(-int(wedge_rows) // RA_WEDGE_ROWS_PER_TASK)),
+    )
+
+
 @query(
     "graph_resource_allocation",
     oracle=f"""
@@ -762,16 +780,8 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan-only constructions (plan_report / test sweeps) don't
     # accumulate pinned copies; execution re-derives the cheap edge
     # projection instead.
-    wedge_rows = (
-        deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w")).collect()[0][0]
-        or 0
-    )
+    n_parts = _wedge_shuffle_parts(spark, deg)
     e.unpersist()
-    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    n_parts = max(
-        default_parts,
-        min(RA_MAX_PARTITIONS, -(-int(wedge_rows) // RA_WEDGE_ROWS_PER_TASK)),
-    )
     w1 = und.alias("w1")
     w2 = und.alias("w2")
     wedges = (
@@ -803,6 +813,107 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_pairs.orderBy(F.desc("ra_e6"), "a", "c")
         .limit(RA_TOP_K)
         .select("a", "c", "n_common", "ra_e6")
+    )
+
+
+#: Jaccard link prediction: pairs kept.
+JACC_TOP_K = 100
+
+
+@query(
+    "graph_jaccard_linkpred",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_EDGES_SQL}),
+    und AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL
+      SELECT dst AS u, src AS v FROM e
+    ),
+    deg AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u
+    ),
+    pairs AS (
+      SELECT w1.v AS a, w2.v AS c, CAST(count(*) AS BIGINT) AS n_common
+      FROM und w1
+      JOIN und w2 ON w1.u = w2.u AND w1.v < w2.v
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.a, p.c, p.n_common,
+             CAST((1000000 * p.n_common)
+                  // (da.deg + dc.deg - p.n_common) AS BIGINT) AS jaccard_ppm
+      FROM pairs p
+      JOIN deg da ON da.node = p.a
+      JOIN deg dc ON dc.node = p.c
+    )
+    SELECT a, c, n_common, jaccard_ppm
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = s.a AND e.dst = s.c)
+    ORDER BY jaccard_ppm DESC, a, c
+    LIMIT {JACC_TOP_K}
+    """,
+)
+def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard similarity (Liben-Nowell
+    & Kleinberg, CIKM'03): for every non-adjacent pair (a, c),
+    J = |N(a)∩N(c)| / |N(a)∪N(c)| in exact truncated ppm, with the
+    union by inclusion-exclusion deg(a)+deg(c)−common — the normalized
+    counterpart of `graph_common_neighbors` (raw overlap) and
+    `graph_resource_allocation` (hub-damped overlap): high-degree
+    nodes no longer dominate just by having many wedges.
+
+    Plan: the same input-scaled wedge aggregate as the RA family
+    (`_wedge_shuffle_parts` sizes the pair shuffle from the exact
+    Σ deg² wedge volume), then two equi-joins against the ≤|V|-row
+    degree relation for the endpoint degrees — deg is tiny relative
+    to pairs, so AQE broadcasts it; the denominator needs no second
+    pass over wedges. Anti-join removes existing edges; TakeOrdered
+    yields the global top-{JACC_TOP_K} without a global sort."""
+    e = _edges(spark, sf_dir).cache()
+    und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    n_parts = _wedge_shuffle_parts(spark, deg)
+    e.unpersist()
+    w1 = und.alias("w1")
+    w2 = und.alias("w2")
+    pairs = (
+        w1.join(
+            w2,
+            (F.col("w1.u") == F.col("w2.u")) & (F.col("w1.v") < F.col("w2.v")),
+        )
+        .select(F.col("w1.v").alias("a"), F.col("w2.v").alias("c"))
+        .repartition(n_parts, "a", "c")
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    dc = deg.select(F.col("node").alias("c"), F.col("deg").alias("deg_c"))
+    scored = (
+        pairs.join(da, "a")
+        .join(dc, "c")
+        .select(
+            "a",
+            "c",
+            "n_common",
+            F.expr(
+                "CAST((1000000 * n_common) DIV (deg_a + deg_c - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    new_pairs = scored.join(
+        e,
+        (scored["a"] == e["src"]) & (scored["c"] == e["dst"]),
+        "left_anti",
+    )
+    return (
+        new_pairs.orderBy(F.desc("jaccard_ppm"), "a", "c")
+        .limit(JACC_TOP_K)
+        .select("a", "c", "n_common", "jaccard_ppm")
     )
 
 

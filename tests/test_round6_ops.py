@@ -448,3 +448,46 @@ def test_query_likelihood_semantics(spark, sf_dir):
                 for t in BM25_QUERIES[qid]
             )
             assert x.score_e9 == expect, (qid, x.doc_id)
+
+
+def test_jaccard_linkpred_matches_adjacency_recompute(spark, sf_dir):
+    """Rebuild the co-occurrence graph driver-side and verify every
+    reported pair: non-adjacent, exact common/union counts, truncated
+    ppm score, and that no non-reported pair beats the reported
+    minimum (top-k completeness)."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_spark.workload.graph import (
+        JACC_TOP_K,
+        _edges,
+    )
+
+    rows = QUERIES["graph_jaccard_linkpred"](spark, sf_dir).collect()
+    edges = {(r.src, r.dst) for r in _edges(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    assert rows and len(rows) <= JACC_TOP_K
+    for r in rows:
+        assert (r.a, r.c) not in edges and r.a < r.c
+        common = len(adj[r.a] & adj[r.c])
+        assert r.n_common == common > 0
+        assert r.jaccard_ppm == (1_000_000 * common) // (
+            len(adj[r.a] | adj[r.c])
+        )
+    # completeness: every candidate pair not in the result scores <= min
+    reported = {(r.a, r.c) for r in rows}
+    if len(rows) == JACC_TOP_K:
+        floor_key = min((r.jaccard_ppm, -r.a, -r.c) for r in rows)
+        for b in adj:
+            nb = sorted(adj[b])
+            for i in range(len(nb)):
+                for j in range(i + 1, len(nb)):
+                    a, c = nb[i], nb[j]
+                    if (a, c) in reported or (a, c) in edges:
+                        continue
+                    ppm = (1_000_000 * len(adj[a] & adj[c])) // len(
+                        adj[a] | adj[c]
+                    )
+                    assert (ppm, -a, -c) <= floor_key, (a, c, ppm)
