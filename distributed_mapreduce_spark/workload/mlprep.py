@@ -268,3 +268,154 @@ def q_mlprep_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_fold.crossJoin(F.broadcast(leak)).select(
         "fold", "n_rows", "n_custs", "pos_rate_bp", "leak_custs"
     )
+
+
+#: Hashing-trick dimensionality (buckets) for the featurizer audit.
+FH_DIM = 1024
+
+
+@query(
+    "mlprep_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT u.tok AS token
+      FROM documents,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(tok)
+    ), tc AS MATERIALIZED (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+    ), hashed AS MATERIALIZED (
+      SELECT token, cnt,
+             {_sql_hash_u32('token', 'fh_')} % {FH_DIM} AS bucket,
+             CASE WHEN ({_sql_hash_u32('token', 'fs_')} % 2) = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tc
+    ), buckets AS MATERIALIZED (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(cnt) AS BIGINT) AS total_cnt,
+             CAST(abs(sum(sgn * cnt)) AS BIGINT) AS abs_signed
+      FROM hashed GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM tc) AS BIGINT) AS n_distinct_tokens,
+           CAST(count(*) AS BIGINT) AS n_used_buckets,
+           CAST(max(n_tokens) AS BIGINT) AS max_bucket_tokens,
+           CAST((SELECT coalesce(sum(n_tokens), 0) FROM buckets
+                 WHERE n_tokens > 1) AS BIGINT) AS colliding_tokens,
+           CAST(sum(total_cnt) AS BIGINT) AS total_count,
+           CAST(sum(total_cnt) - sum(abs_signed) AS BIGINT)
+             AS cancelled_mass
+    FROM buckets
+    """,
+)
+def q_mlprep_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization audit (Weinberger et al., ICML'09):
+    map every corpus token into {FH_DIM} hashed buckets with a second
+    independent sign hash, then report the statistics that tell you
+    whether the chosen dimensionality is safe — distinct vocabulary vs
+    used buckets, the worst bucket's token pile-up, how many tokens
+    share a bucket with another token (collision exposure), and the
+    signed-sum `cancelled_mass`: total count minus Σ_b|Σ_t sgn·cnt|,
+    exactly the mass the ± sign trick cancels inside collided buckets
+    (the Weinberger argument for why collisions stay unbiased).
+
+    Plan: one token explode → hash-agg to the ≤|vocab| term relation;
+    bucket/sign are pure row expressions over that tiny relation; the
+    bucket aggregate is ≤{FH_DIM} rows and the summary is one row. At
+    100 TB only the first aggregate touches corpus-scale data — the
+    map-side combine does the heavy lifting."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")
+        ).alias("token")
+    )
+    tc = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    hashed = tc.select(
+        "token",
+        "cnt",
+        (_hash_u32(F.col("token"), "fh_") % FH_DIM).alias("bucket"),
+        F.when(_hash_u32(F.col("token"), "fs_") % 2 == 0, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    buckets = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("cnt").cast("long").alias("total_cnt"),
+        F.abs(F.sum(F.col("sgn") * F.col("cnt"))).cast("long").alias(
+            "abs_signed"
+        ),
+    )
+    nvocab = tc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens")
+    )
+    colliding = buckets.filter(F.col("n_tokens") > 1).agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("long")
+        .alias("colliding_tokens")
+    )
+    summary = buckets.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used_buckets"),
+        F.max("n_tokens").cast("long").alias("max_bucket_tokens"),
+        F.sum("total_cnt").cast("long").alias("total_count"),
+        (F.sum("total_cnt") - F.sum("abs_signed"))
+        .cast("long")
+        .alias("cancelled_mass"),
+    )
+    return (
+        nvocab.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(colliding))
+        .select(
+            "n_distinct_tokens",
+            "n_used_buckets",
+            "max_bucket_tokens",
+            "colliding_tokens",
+            "total_count",
+            "cancelled_mass",
+        )
+    )
+
+
+@query(
+    "mlprep_class_weights",
+    oracle="""
+    WITH c AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS cnt
+      FROM embeddings GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_classes
+      FROM c
+    )
+    SELECT c.label, c.cnt,
+           CAST((1000000 * t.total) // (t.n_classes * c.cnt) AS BIGINT)
+             AS weight_ppm
+    FROM c CROSS JOIN t
+    ORDER BY c.label
+    """,
+)
+def q_mlprep_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class weights for a skewed label column — the
+    sklearn-style `n / (k * n_c)` inverse-frequency weight every
+    imbalanced classifier run computes first, in exact truncated ppm.
+
+    Plan: one hash-agg to ≤|classes| rows, a 1-row total broadcast
+    back over it. Nothing at corpus scale after the scan."""
+    c = (
+        table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    t = c.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "label",
+            "cnt",
+            F.expr(
+                "CAST((1000000 * total) DIV (n_classes * cnt) AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+        .orderBy("label")
+    )

@@ -491,3 +491,58 @@ def test_jaccard_linkpred_matches_adjacency_recompute(spark, sf_dir):
                         adj[a] | adj[c]
                     )
                     assert (ppm, -a, -c) <= floor_key, (a, c, ppm)
+
+
+def test_feature_hashing_audit_invariants(spark, sf_dir):
+    """Counting identities of the hashing-trick audit: buckets bound
+    the vocab, collisions+singletons partition the vocab, cancelled
+    mass is even and only arises in collided buckets."""
+    from distributed_mapreduce_spark.workload.mlprep import FH_DIM
+
+    r = QUERIES["mlprep_feature_hashing"](spark, sf_dir).collect()[0]
+    assert 0 < r.n_used_buckets <= min(FH_DIM, r.n_distinct_tokens)
+    assert r.max_bucket_tokens >= -(-r.n_distinct_tokens // FH_DIM)
+    singles = r.n_distinct_tokens - r.colliding_tokens
+    assert 0 <= singles <= r.n_used_buckets
+    # cancellation happens only through sign pairing: parity is even
+    assert r.cancelled_mass % 2 == 0
+    assert 0 <= r.cancelled_mass <= r.total_count
+    # exact recompute driver-side
+    import hashlib
+    from collections import Counter
+
+    cnt = Counter()
+    for row in table(spark, sf_dir, "documents").select("text").collect():
+        cnt.update(t for t in row.text.split(" ") if t)
+    assert r.n_distinct_tokens == len(cnt)
+    assert r.total_count == sum(cnt.values())
+
+    def u32(seed, s):
+        return int(hashlib.md5((seed + s).encode()).hexdigest()[:8], 16)
+
+    bt, bs = Counter(), Counter()
+    for t, c in cnt.items():
+        b = u32("fh_", t) % FH_DIM
+        bt[b] += 1
+        bs[b] += c if u32("fs_", t) % 2 == 0 else -c
+    assert r.n_used_buckets == len(bt)
+    assert r.max_bucket_tokens == max(bt.values())
+    assert r.colliding_tokens == sum(v for v in bt.values() if v > 1)
+    assert r.cancelled_mass == r.total_count - sum(
+        abs(v) for v in bs.values()
+    )
+
+
+def test_class_weights_balance_identity(spark, sf_dir):
+    """Σ cnt·weight ≈ total·1e6 (exact up to per-class truncation) and
+    minority classes get strictly larger weights."""
+    rows = QUERIES["mlprep_class_weights"](spark, sf_dir).collect()
+    total = sum(r.cnt for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert r.weight_ppm == (1_000_000 * total) // (k * r.cnt)
+    wsum = sum(r.cnt * r.weight_ppm for r in rows)
+    assert total * 1_000_000 - k * total <= wsum <= total * 1_000_000
+    by_cnt = sorted(rows, key=lambda r: r.cnt)
+    for lo, hi in zip(by_cnt, by_cnt[1:]):
+        assert lo.weight_ppm >= hi.weight_ppm
