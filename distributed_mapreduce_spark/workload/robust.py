@@ -694,3 +694,123 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_e6").cast("long").alias("max_cusum_e6"),
         F.col("h").alias("peak_hour"),
     )
+
+
+@query(
+    "robust_theil_sen_trend",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', ts)) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), nd AS MATERIALIZED (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily
+      GROUP BY 1
+    ), slopes AS MATERIALIZED (
+      SELECT a.event_type,
+             (1000000 * (b.y - a.y)) // (b.x - a.x) AS slope_e6
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ), sr AS (
+      SELECT event_type, slope_e6,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_e6) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_pairs
+      FROM slopes
+    ), med AS MATERIALIZED (
+      SELECT event_type, n_pairs, slope_e6
+      FROM sr WHERE rn = (n_pairs + 1) // 2
+    ), resid AS (
+      SELECT d.event_type,
+             1000000 * d.y - m.slope_e6 * d.x AS r_e6
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+    ), rr AS (
+      SELECT event_type, r_e6,
+             row_number() OVER (PARTITION BY event_type ORDER BY r_e6) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+      FROM resid
+    )
+    SELECT m.event_type, n.n_days, m.n_pairs,
+           CAST(m.slope_e6 AS BIGINT) AS slope_e6,
+           CAST(rr.r_e6 AS BIGINT) AS intercept_e6
+    FROM med m
+    JOIN nd n ON n.event_type = m.event_type
+    JOIN rr ON rr.event_type = m.event_type AND rr.rn = (rr.nn + 1) // 2
+    ORDER BY m.event_type
+    """,
+)
+def q_robust_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the breakdown-resistant
+    counterpart of `events_daily_trend`'s OLS slope (Sen, JASA 1968):
+    the slope is the LOWER MEDIAN of all pairwise daily slopes
+    ⌊10⁶(y₂−y₁)/(x₂−x₁)⌋ (exact micro-units, truncation toward zero on
+    both engines), and the intercept is the lower median of the daily
+    residuals 10⁶y − slope·x. Up to ~29% of days can be corrupted
+    (load spikes, outages) without moving the estimate.
+
+    Plan: events aggregate to one row per (type, day) FIRST — the
+    pairwise O(D²) slope join runs over the CALENDAR-bounded daily
+    relation (D grows with elapsed days, not data volume), so at
+    100 TB the cost is still the single scan + one hash-agg. Medians
+    via partitioned rank windows over ≤D² rows per type."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(datediff(date_trunc('day', ts),"
+                " TIMESTAMP '1970-01-01') AS BIGINT)"
+            ).alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr("(1000000 * (b.y - a.y)) DIV (b.x - a.x)").alias("slope_e6"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("slope_e6")
+    wc = Window.partitionBy("event_type")
+    med = (
+        slopes.withColumn("rn", F.row_number().over(ws))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.expr("rn = (n_pairs + 1) DIV 2"))
+        .select("event_type", "n_pairs", "slope_e6")
+    )
+    resid = daily.join(med, "event_type").select(
+        "event_type",
+        (F.lit(1_000_000) * F.col("y") - F.col("slope_e6") * F.col("x")).alias(
+            "r_e6"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy("r_e6")
+    rmed = (
+        resid.withColumn("rn", F.row_number().over(wr))
+        .withColumn("nn", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.expr("rn = (nn + 1) DIV 2"))
+        .select("event_type", F.col("r_e6").alias("intercept_e6"))
+    )
+    return (
+        med.join(nd, "event_type")
+        .join(rmed, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.col("slope_e6").cast("long").alias("slope_e6"),
+            F.col("intercept_e6").cast("long").alias("intercept_e6"),
+        )
+        .orderBy("event_type")
+    )

@@ -517,3 +517,88 @@ def q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("far_rows"),
         F.sum("grp_n").cast("long").alias("n_rows"),
     )
+
+
+#: Benford first-digit expectation, exact ppm of log10(1+1/d) — the
+#: nine constants sum to exactly 1,000,000 (public values, inlined as
+#: literals so no in-engine log is ever taken; same device as the
+#: NDCG weights in workload/similarity.py).
+BENFORD_PPM = {
+    1: 301_030, 2: 176_091, 3: 124_939, 4: 96_910, 5: 79_181,
+    6: 66_947, 7: 57_992, 8: 51_153, 9: 45_757,
+}
+
+
+@query(
+    "dq_benford_audit",
+    oracle=f"""
+    WITH exp_p(digit, exp_ppm) AS (VALUES {", ".join(
+        f"({d}, {p})" for d, p in sorted(BENFORD_PPM.items())
+    )}),
+    obs AS MATERIALIZED (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT e.digit,
+           CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST((1000000 * coalesce(o.n_obs, 0)) // t.n AS BIGINT) AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(abs((1000000 * coalesce(o.n_obs, 0)) // t.n - e.exp_ppm)
+                AS BIGINT) AS dev_ppm
+    FROM exp_p e
+    LEFT JOIN obs o ON o.digit = e.digit
+    CROSS JOIN tot t
+    ORDER BY e.digit
+    """,
+)
+def q_dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    data-quality screen fraud/anomaly reviews run on financial
+    columns (Benford 1938; Nigrini's forensic-accounting usage):
+    compare the observed first-significant-digit distribution against
+    log10(1+1/d), digit by digit, in exact ppm. The nine expected
+    shares are inlined as integer literals (they sum to exactly 10⁶),
+    so no in-engine logarithm is taken and both engines agree
+    bit-for-bit. Deviations flag synthetic or truncated data — note
+    TPC-H totalprice is a bounded uniform-ish synthetic, so large
+    dev_ppm here is the CORRECT verdict, which is exactly what makes
+    it a useful fixture for the audit.
+
+    Plan: one scan → 9-group hash-agg, dense digit grid from the
+    9-row literal relation, 1-row total broadcast. Nothing after the
+    scan exceeds nine rows."""
+    orders = table(spark, sf_dir, "orders")
+    obs = (
+        orders.select(
+            F.expr(
+                "CAST(substring(CAST(CAST(o_totalprice AS BIGINT) AS STRING),"
+                " 1, 1) AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    exp_df = spark.createDataFrame(
+        sorted(BENFORD_PPM.items()), "digit INT, exp_ppm BIGINT"
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    return (
+        F.broadcast(exp_df)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.expr("(1000000 * coalesce(n_obs, 0)) DIV n")
+            .cast("long")
+            .alias("obs_ppm"),
+            F.col("exp_ppm").cast("long").alias("exp_ppm"),
+            F.expr("abs((1000000 * coalesce(n_obs, 0)) DIV n - exp_ppm)")
+            .cast("long")
+            .alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -546,3 +546,61 @@ def test_class_weights_balance_identity(spark, sf_dir):
     by_cnt = sorted(rows, key=lambda r: r.cnt)
     for lo, hi in zip(by_cnt, by_cnt[1:]):
         assert lo.weight_ppm >= hi.weight_ppm
+
+
+def test_theil_sen_matches_pure_python_recompute(spark, sf_dir):
+    """Lower-median pairwise-slope recompute per event type, including
+    truncation-toward-zero division on negative slopes."""
+    from collections import Counter
+
+    rows = {r.event_type: r for r in QUERIES["robust_theil_sen_trend"](spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(datediff(date_trunc('day', ts), TIMESTAMP '1970-01-01') AS BIGINT) AS x",
+    ).collect()
+    daily = Counter((e.event_type, e.x) for e in ev)
+    types = {t for t, _ in daily}
+    assert set(rows) == types
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    for t in types:
+        pts = sorted((x, c) for (tt, x), c in daily.items() if tt == t)
+        slopes = sorted(
+            tdiv(1_000_000 * (y2 - y1), x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        )
+        n_pairs = len(slopes)
+        slope = slopes[(n_pairs + 1) // 2 - 1]
+        resid = sorted(1_000_000 * y - slope * x for x, y in pts)
+        inter = resid[(len(resid) + 1) // 2 - 1]
+        r = rows[t]
+        assert (r.n_days, r.n_pairs, r.slope_e6, r.intercept_e6) == (
+            len(pts), n_pairs, slope, inter,
+        ), t
+
+
+def test_benford_audit_identities(spark, sf_dir):
+    """Expected shares are the exact public constants summing to 1e6;
+    observed counts re-derived from the raw column."""
+    from collections import Counter
+
+    from distributed_mapreduce_spark.workload.validation import BENFORD_PPM
+
+    assert sum(BENFORD_PPM.values()) == 1_000_000
+    rows = QUERIES["dq_benford_audit"](spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    prices = [
+        int(r.o_totalprice)
+        for r in table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    ]
+    cnt = Counter(int(str(p)[0]) for p in prices)
+    n = len(prices)
+    for r in rows:
+        assert r.n_obs == cnt.get(r.digit, 0)
+        assert r.exp_ppm == BENFORD_PPM[r.digit]
+        assert r.obs_ppm == (1_000_000 * r.n_obs) // n
+        assert r.dev_ppm == abs(r.obs_ppm - r.exp_ppm)
