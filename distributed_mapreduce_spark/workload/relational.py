@@ -1173,3 +1173,50 @@ def q_join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
+
+
+#: Digit-tree hierarchy rollup via WITH RECURSIVE — the same SQL text
+#: runs verbatim on Spark 4 (recursive CTE support, SPARK-24497) and
+#: DuckDB. Integer division is spelled floor(x/10.0) because the
+#: engines disagree on the token (`DIV` vs `//`) but agree exactly on
+#: IEEE floor of a small-integer double quotient.
+_RECURSIVE_ROLLUP_SQL = """
+WITH RECURSIVE chain(anc, dollars) AS (
+  SELECT p_partkey AS anc, CAST(floor(p_retailprice) AS BIGINT) AS dollars
+  FROM part
+  UNION ALL
+  SELECT CAST(floor(anc / 10.0) AS BIGINT) AS anc, dollars
+  FROM chain WHERE anc > 0
+)
+SELECT anc AS ancestor,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(dollars) AS BIGINT) AS total_dollars
+FROM chain
+WHERE anc < 1000
+GROUP BY anc
+HAVING count(*) >= 2
+ORDER BY ancestor
+"""
+
+
+@query("sql_recursive_hierarchy_rollup", oracle=_RECURSIVE_ROLLUP_SQL)
+def q_sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (BOM-style) rollup through a recursive CTE — the
+    classic WITH RECURSIVE workload (org charts, bill-of-materials,
+    account trees), here over the implicit decimal-digit tree
+    parent(k) = ⌊k/10⌋: every part's whole-dollar retail price is
+    propagated up its ancestor chain and summed per ancestor. The SAME
+    SQL text executes on Spark 4's recursive-CTE front-end and on
+    DuckDB — proving the engine's declarative recursion surface, the
+    complement of the driver-loop iteration family
+    (`graph_sssp_bounded`, `pagerank_converge`) where the loop lives
+    in Python and each round is a checkpointed DataFrame.
+
+    Termination/scale: the hierarchy is a FOREST (one parent per
+    node, strictly decreasing key), so UNION ALL recursion emits
+    exactly depth(k) ≤ ⌈log₁₀ max_key⌉ rows per part — the recursion
+    is linear in input, no walk explosion; each round is one
+    hash-join-free projection and the final rollup is a single
+    hash-agg over ~7n rows."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_ROLLUP_SQL)

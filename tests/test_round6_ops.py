@@ -604,3 +604,31 @@ def test_benford_audit_identities(spark, sf_dir):
         assert r.exp_ppm == BENFORD_PPM[r.digit]
         assert r.obs_ppm == (1_000_000 * r.n_obs) // n
         assert r.dev_ppm == abs(r.obs_ppm - r.exp_ppm)
+
+
+def test_recursive_hierarchy_rollup_subtree_identity(spark, sf_dir):
+    """Digit-tree semantics recomputed driver-side: each reported
+    ancestor's (n_parts, total_dollars) equals the sum over all parts
+    whose decimal-prefix chain passes through it (self included)."""
+    import math
+    from collections import defaultdict
+
+    rows = {r.ancestor: r for r in QUERIES["sql_recursive_hierarchy_rollup"](spark, sf_dir).collect()}
+    parts = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0])
+    for p in parts:
+        k, d = p.p_partkey, int(math.floor(p.p_retailprice))
+        while True:
+            agg[k][0] += 1
+            agg[k][1] += d
+            if k == 0:
+                break
+            k //= 10
+    expect = {
+        a: v for a, v in agg.items() if a < 1000 and v[0] >= 2
+    }
+    assert set(rows) == set(expect)
+    for a, (n, tot) in expect.items():
+        assert (rows[a].n_parts, rows[a].total_dollars) == (n, tot), a
