@@ -56,6 +56,13 @@ from distributed_mapreduce_spark.workload import importance  # noqa: F401,E402
 # family — importance resampling had no driver row) replaces
 # `multimodal_features` (multimodal keeps its decode-errors row, the
 # stronger semantics; features stays registered + sf0.1-certified).
+#
+# Late round-6 swap 2: `tcloseness_audit` (governance triad had no
+# driver row) replaces `dedup_ngram_jaccard` (dedup keeps exact /
+# MinHash / clusters); `sql_recursive_hierarchy_rollup` (Spark 4
+# WITH RECURSIVE — verbatim-SQL engine surface) replaces
+# `text_token_count` (text keeps quality/lang-id/split/PII rows).
+# Rotated-out queries stay registered + sf0.1-certified.
 
 # The grading driver samples the FIRST 50 registered queries. Pin that
 # prefix EXPLICITLY: SURVEY §2 parity + one green representative per
@@ -74,9 +81,10 @@ _PREFIX = [
     "join_multiway", "window_rank", "window_running", "topk",
     "union_distinct", "partition_hash_assign", "maplejuice_exe_pipeline",
     "partition_rows_scalable", "partition_range_assign", "dedup_exact",
-    "dedup_minhash_pairs", "dedup_ngram_jaccard", "bm25_top_docs",
+    "dedup_minhash_pairs", "tcloseness_audit", "bm25_top_docs",
     "dedup_clusters", "ann_bruteforce", "ann_ivf", "embedding_near_dup",
-    "retrieval_rrf_fusion", "multimodal_decode_errors", "text_token_count",
+    "retrieval_rrf_fusion", "multimodal_decode_errors",
+    "sql_recursive_hierarchy_rollup",
     "text_quality_score", "text_lang_id", "target_encode_loo",
     "tokenizer_bpe_merges", "text_split_assign", "text_scrub_pii",
     "maplejuice_flagship", "dsir_importance_weights", "pagerank_converge",

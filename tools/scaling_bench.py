@@ -85,6 +85,11 @@ FAMILIES = [
     # retrieval terms) and `source` survives replication, keeping the
     # target share at 20% across factors.
     "dsir_importance_weights",
+    # round-6 late: content-defined chunking — O(total chars) boundary
+    # hashes via columnar higher-order fns, chunk explode, one
+    # content-hash shuffle. Boundaries are data-derived hashes, so
+    # Caesar rotation re-chunks each replica fairly.
+    "dedup_cdc_chunks",
 ]
 
 #: Second-decade (x100) families — every family carries both decades.
