@@ -1395,3 +1395,141 @@ def q_embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         overlap.cast("long").alias("n_overlap"),
         F.expr(f"CAST(count(tn) * 10000 DIV {TOP_K} AS BIGINT)").alias("recall_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining: mutual-nearest-neighbour pairs with additive margin.
+# ---------------------------------------------------------------------------
+
+#: Query-batch sample on the `en` side: doc_id % BITEXT_SAMPLE_MOD == 0.
+BITEXT_SAMPLE_MOD = 8
+#: Neighbourhood size for the margin normalizer.
+BITEXT_K = 4
+#: Keep pairs whose additive margin (micro-units) clears this floor.
+BITEXT_MARGIN_MIN_U = 25_000
+
+
+def _bitext_sql() -> str:
+    return f"""
+    WITH a AS MATERIALIZED (
+      SELECT e.vec_id AS en_id, e.embedding AS av
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en' AND e.vec_id % {BITEXT_SAMPLE_MOD} = 0
+    ), b AS MATERIALIZED (
+      SELECT e.vec_id AS zh_id, e.embedding AS bv
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'zh'
+    ), s AS MATERIALIZED (
+      SELECT a.en_id, b.zh_id, {_sql_cos_u('a.av', 'b.bv')} AS cos_u
+      FROM a, b
+    ), ak AS MATERIALIZED (
+      SELECT en_id,
+             CAST(sum(cos_u) AS BIGINT) AS sumk_a,
+             CAST(count(*) AS BIGINT) AS ka,
+             CAST(max(CASE WHEN rnk = 1 THEN zh_id END) AS BIGINT) AS best_zh,
+             CAST(max(CASE WHEN rnk = 1 THEN cos_u END) AS BIGINT) AS best_cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY en_id
+                                         ORDER BY cos_u DESC, zh_id) AS rnk
+            FROM s)
+      WHERE rnk <= {BITEXT_K}
+      GROUP BY en_id
+    ), bk AS MATERIALIZED (
+      SELECT zh_id,
+             CAST(sum(cos_u) AS BIGINT) AS sumk_b,
+             CAST(count(*) AS BIGINT) AS kb,
+             CAST(max(CASE WHEN rnk = 1 THEN en_id END) AS BIGINT) AS best_en
+      FROM (SELECT *, row_number() OVER (PARTITION BY zh_id
+                                         ORDER BY cos_u DESC, en_id) AS rnk
+            FROM s)
+      WHERE rnk <= {BITEXT_K}
+      GROUP BY zh_id
+    )
+    SELECT ak.en_id, ak.best_zh AS zh_id, ak.best_cos AS cos_u,
+           CAST(ak.best_cos
+                - (ak.sumk_a + bk.sumk_b) // (ak.ka + bk.kb)
+                AS BIGINT) AS margin_e6
+    FROM ak JOIN bk ON bk.zh_id = ak.best_zh AND bk.best_en = ak.en_id
+    WHERE ak.best_cos - (ak.sumk_a + bk.sumk_b) // (ak.ka + bk.kb)
+          >= {BITEXT_MARGIN_MIN_U}
+    """
+
+
+@query("bitext_margin_mining", oracle=_bitext_sql())
+def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext (translation-pair) mining over the embedding space — the
+    LASER/CCMatrix shape: candidate (en, zh) pairs are MUTUAL nearest
+    neighbours, scored by the ADDITIVE margin cos(x,y) minus the mean
+    of the two local top-K neighbourhoods (Artetxe & Schwenk's margin
+    criterion; the additive variant keeps every term in integer
+    micro-units — no ratio, so no float division to diverge on).
+
+    The en side is a deterministic query batch (doc_id % 8 == 0); the
+    zh side is the full candidate pool. Mutuality = each is the
+    other's rank-1 neighbour; margin normalizer = mean cos over the
+    UNION of the two top-K lists (exact integer `DIV`, denominator =
+    actual list sizes, so short neighbourhoods at tiny SF stay exact).
+
+    Plan: the query batch is broadcast into the scoring join (no
+    shuffle grows with the pool side); both top-K passes are windows
+    PARTITIONED by doc id; the mutual join touches two <=|A|+|B|-row
+    aggregates. At 100 TB the pool side scales out by partition and
+    the batch stays a broadcast — the same IVF-cell equi-join used by
+    `ann_ivf` slots in front of this scoring when the pool no longer
+    fits a per-batch broadcast sweep."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id)
+    a = joined.filter(
+        (F.col("lang") == "en") & (F.col("vec_id") % BITEXT_SAMPLE_MOD == 0)
+    ).select(F.col("vec_id").alias("en_id"), F.col("embedding").alias("av"))
+    b = joined.filter(F.col("lang") == "zh").select(
+        F.col("vec_id").alias("zh_id"), F.col("embedding").alias("bv")
+    )
+    s = b.join(F.broadcast(a)).select(
+        "en_id", "zh_id", cosine_u(F.col("av"), F.col("bv")).alias("cos_u")
+    )
+
+    wa = Window.partitionBy("en_id").orderBy(F.col("cos_u").desc(), F.col("zh_id"))
+    ak = (
+        s.withColumn("rnk", F.row_number().over(wa))
+        .filter(F.col("rnk") <= BITEXT_K)
+        .groupBy("en_id")
+        .agg(
+            F.sum("cos_u").cast("long").alias("sumk_a"),
+            F.count(F.lit(1)).cast("long").alias("ka"),
+            F.max(F.when(F.col("rnk") == 1, F.col("zh_id")))
+            .cast("long")
+            .alias("best_zh"),
+            F.max(F.when(F.col("rnk") == 1, F.col("cos_u")))
+            .cast("long")
+            .alias("best_cos"),
+        )
+    )
+    wb = Window.partitionBy("zh_id").orderBy(F.col("cos_u").desc(), F.col("en_id"))
+    bk = (
+        s.withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= BITEXT_K)
+        .groupBy("zh_id")
+        .agg(
+            F.sum("cos_u").cast("long").alias("sumk_b"),
+            F.count(F.lit(1)).cast("long").alias("kb"),
+            F.max(F.when(F.col("rnk") == 1, F.col("en_id")))
+            .cast("long")
+            .alias("best_en"),
+        )
+    )
+    margin = F.expr("best_cos - (sumk_a + sumk_b) DIV (ka + kb)").cast("long")
+    return (
+        ak.join(
+            bk,
+            (bk.zh_id == ak.best_zh) & (bk.best_en == ak.en_id),
+        )
+        .withColumn("margin_e6", margin)
+        .filter(F.col("margin_e6") >= BITEXT_MARGIN_MIN_U)
+        .select(
+            "en_id",
+            F.col("best_zh").alias("zh_id"),
+            F.col("best_cos").alias("cos_u"),
+            "margin_e6",
+        )
+    )

@@ -739,3 +739,153 @@ def q_kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-grid quantile sketch with an in-plan error audit.
+# ---------------------------------------------------------------------------
+
+#: Grid geometry: power-of-two bin width over a fixed, data-independent
+#: domain [0, QGRID_BINS * QGRID_W). Dividing an IEEE double by a power
+#: of two is EXACT (pure exponent shift), so `floor(p / 128.0)` is
+#: bit-identical on every engine — the whole "probabilistic" structure
+#: stays differentially testable, like the Bloom filter above.
+QGRID_W = 128
+QGRID_BINS = 1024
+
+#: Percentiles audited (lower empirical quantile, rank = ceil(p*N/100)).
+QGRID_PCTS = (50, 90, 99)
+
+
+@query(
+    "quantile_grid_sketch_audit",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT CAST(floor(l_extendedprice / {QGRID_W}.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ), c AS MATERIALIZED (
+      SELECT bin, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS total
+      FROM b
+    ), p AS (SELECT unnest([{', '.join(str(x) for x in QGRID_PCTS)}]) AS pct),
+    est AS MATERIALIZED (
+      SELECT p.pct, (c.bin + 1) * {QGRID_W} AS est_price
+      FROM p JOIN c ON c.cum * 100 >= p.pct * c.total
+                   AND (c.cum - c.cnt) * 100 < p.pct * c.total
+    ), r AS MATERIALIZED (
+      SELECT l_extendedprice AS price,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber, l_partkey, l_quantity,
+                                l_shipdate) AS rk,
+             count(*) OVER () AS total
+      FROM lineitem
+    ), ex AS (
+      SELECT p.pct, r.price AS exact_price
+      FROM p JOIN r ON r.rk * 100 >= p.pct * r.total
+                   AND (r.rk - 1) * 100 < p.pct * r.total
+    )
+    SELECT CAST(est.pct AS BIGINT) AS pct,
+           CAST(est.est_price AS BIGINT) AS est_price,
+           ex.exact_price AS exact_price,
+           CAST(est.est_price * 100
+                - CAST(floor(ex.exact_price * 100) AS BIGINT)
+                AS BIGINT) AS err_cents
+    FROM est JOIN ex ON est.pct = ex.pct
+    """,
+)
+def q_quantile_grid_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch (the histogram-sketch shape
+    behind t-digest/KLL deployments when the value domain is known a
+    priori), audited in-plan against the exact percentile.
+
+    Sketch build: bin = floor(price / 128) over a FIXED domain — a
+    groupBy(bin).count() whose merge operator is plain `sum`, so
+    per-partition / per-day sketches combine associatively (the whole
+    point of a sketch at 100 TB: one ≤1024-row state per shard, no raw
+    re-scan to combine). Estimate for percentile p = upper edge of the
+    first bin whose cumulative count reaches ceil(p*N/100); the integer
+    cross-multiplied form `cum*100 >= pct*total` avoids any division.
+    The audit joins the exact rank-`ceil(p*N/100)` value (distributed
+    `global_rank` — range shuffle + offsets, no single-task sort) and
+    reports the error in cents, bounded by construction to one bin
+    width (1 <= err_cents <= {QGRID_W}*100 — asserted in tests).
+
+    Engine-portability: bin width 128 = 2^7, and dividing an IEEE-754
+    double by a power of two only decrements the exponent, so the bin
+    assignment is exact and identical on Spark and DuckDB (no decimal
+    rounding, no libm).
+
+    Plan: one scan -> hash-agg to <=1024 bins; cumulative windows run
+    over the AGGREGATED relation (bounded-window class, auto-detected
+    by plans.checks); the exact side reuses the `global_rank` range
+    shuffle. The pct fan-out is a 3-element explode on bounded rows.
+    """
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("p"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_quantity",
+        "l_shipdate",
+    )
+    pcts = F.explode(F.array(*[F.lit(x) for x in QGRID_PCTS])).alias("pct")
+
+    bins = li.groupBy(
+        F.floor(F.col("p") / F.lit(float(QGRID_W))).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cums = bins.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("total"),
+    )
+    est = (
+        cums.select("bin", "cnt", "cum", "total", pcts)
+        .filter(
+            (F.col("cum") * 100 >= F.col("pct") * F.col("total"))
+            & ((F.col("cum") - F.col("cnt")) * 100 < F.col("pct") * F.col("total"))
+        )
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            ((F.col("bin") + 1) * QGRID_W).cast("long").alias("est_price"),
+        )
+    )
+
+    ranked = global_rank(
+        li,
+        [
+            F.col("p"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.col("l_quantity"),
+            F.col("l_shipdate"),
+        ],
+    )
+    ex = (
+        ranked.select(F.col("p").alias("exact_price"), "rank", "total", pcts)
+        .filter(
+            (F.col("rank") * 100 >= F.col("pct") * F.col("total"))
+            & ((F.col("rank") - 1) * 100 < F.col("pct") * F.col("total"))
+        )
+        .select(F.col("pct").cast("long").alias("pct"), "exact_price")
+    )
+
+    return est.join(ex, "pct").select(
+        "pct",
+        "est_price",
+        "exact_price",
+        (
+            F.col("est_price") * 100
+            - F.floor(F.col("exact_price") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("err_cents"),
+    )

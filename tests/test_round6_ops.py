@@ -632,3 +632,94 @@ def test_recursive_hierarchy_rollup_subtree_identity(spark, sf_dir):
     assert set(rows) == set(expect)
     for a, (n, tot) in expect.items():
         assert (rows[a].n_parts, rows[a].total_dollars) == (n, tot), a
+
+
+def test_quantile_grid_sketch_error_bounded_and_exact_side_correct(spark, sf_dir):
+    """The grid estimate must sit exactly one bin above the true
+    percentile (upper-edge estimator): 1 <= err_cents <= 128*100, the
+    estimate is a multiple of the bin width, and the exact side equals
+    a driver-side sorted-rank recomputation."""
+    from distributed_mapreduce_spark.workload.sketches import QGRID_PCTS, QGRID_W
+
+    rows = {r.pct: r for r in QUERIES["quantile_grid_sketch_audit"](spark, sf_dir).collect()}
+    assert set(rows) == set(QGRID_PCTS)
+
+    prices = sorted(
+        r.p
+        for r in table(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("p"))
+        .collect()
+    )
+    n = len(prices)
+    for pct, r in rows.items():
+        exact = prices[-(-pct * n // 100) - 1]  # ceil(pct*n/100), 1-based
+        assert r.exact_price == exact
+        assert r.est_price % QGRID_W == 0
+        assert 1 <= r.err_cents <= QGRID_W * 100
+        assert r.est_price - QGRID_W <= r.exact_price < r.est_price
+
+
+def test_bitext_margin_mining_matches_driver_recompute(spark, sf_dir):
+    """Re-derive the full mutual-NN + additive-margin result driver-side
+    (same left-fold dot order, same integer math) and compare sets."""
+    import math
+
+    from distributed_mapreduce_spark.workload.similarity import (
+        BITEXT_K,
+        BITEXT_MARGIN_MIN_U,
+        BITEXT_SAMPLE_MOD,
+    )
+
+    emb = {
+        r.vec_id: r.embedding for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    lang = {r.doc_id: r.lang for r in table(spark, sf_dir, "documents").collect()}
+    a_ids = sorted(
+        i for i in emb if lang.get(i) == "en" and i % BITEXT_SAMPLE_MOD == 0
+    )
+    b_ids = sorted(i for i in emb if lang.get(i) == "zh")
+    assert a_ids and b_ids
+
+    def fold_dot(x, y):
+        acc = 0.0
+        for xi, yi in zip(x, y):
+            acc += float(xi) * float(yi)
+        return acc
+
+    def cos_u(x, y):
+        return math.floor(
+            fold_dot(x, y)
+            / (math.sqrt(fold_dot(x, x)) * math.sqrt(fold_dot(y, y)))
+            * 1_000_000.0
+        )
+
+    s = {(ai, bi): cos_u(emb[ai], emb[bi]) for ai in a_ids for bi in b_ids}
+    topa = {
+        ai: sorted(b_ids, key=lambda bi: (-s[(ai, bi)], bi))[:BITEXT_K]
+        for ai in a_ids
+    }
+    topb = {
+        bi: sorted(a_ids, key=lambda ai: (-s[(ai, bi)], ai))[:BITEXT_K]
+        for bi in b_ids
+    }
+
+    def tdiv(x, y):
+        q = abs(x) // abs(y)
+        return q if (x >= 0) == (y >= 0) else -q
+
+    expected = set()
+    for ai in a_ids:
+        bi = topa[ai][0]
+        if topb[bi][0] != ai:
+            continue
+        suma = sum(s[(ai, z)] for z in topa[ai])
+        sumb = sum(s[(z, bi)] for z in topb[bi])
+        margin = s[(ai, bi)] - tdiv(suma + sumb, len(topa[ai]) + len(topb[bi]))
+        if margin >= BITEXT_MARGIN_MIN_U:
+            expected.add((ai, bi, s[(ai, bi)], margin))
+
+    got = {
+        (r.en_id, r.zh_id, r.cos_u, r.margin_e6)
+        for r in QUERIES["bitext_margin_mining"](spark, sf_dir).collect()
+    }
+    assert got == expected and got
