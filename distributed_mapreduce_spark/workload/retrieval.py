@@ -802,6 +802,21 @@ def q_retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths equi-joined, totals broadcast, then the salted two-stage
     top-{QL_TOP_K}. The only unbounded relations ever shuffled are tf and
     the grid (<= |matches| * |terms| rows)."""
+    scored = _ql_scored(spark, sf_dir)
+    top = _two_stage_topk(
+        scored,
+        ["query_id"],
+        [F.col("score_e9").desc(), F.col("doc_id")],
+        QL_TOP_K,
+        "ql",
+    )
+    return top.select("query_id", "doc_id", "score_e9", "rnk")
+
+
+def _ql_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score_e9) under the linearized Dirichlet QL
+    model — the scored relation `retrieval_query_likelihood` ranks
+    (factored out so rank-agreement audits can reuse it)."""
     docs = table(spark, sf_dir, "documents")
     terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
     q = spark.createDataFrame(
@@ -845,11 +860,114 @@ def q_retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum("p_e9").cast("long").alias("score_e9"))
     )
-    top = _two_stage_topk(
-        scored,
-        ["query_id"],
-        [F.col("score_e9").desc(), F.col("doc_id")],
-        QL_TOP_K,
-        "ql",
+    return scored
+
+
+def _rankcorr_sql() -> str:
+    """Oracle for `retrieval_rank_correlation`: the BM25 prelude comes
+    from `_bm25_scored_sql` (final CTE renamed scored_bm); the QL side
+    re-states `_ql_sql`'s cf/cand/grid/scored CTEs verbatim against the
+    SHARED q/tokd/dl/tot/tf prelude (their definitions are identical in
+    both rankers — the differential check pins this copy to the Spark
+    helpers, so drift in either ranker breaks this audit loudly)."""
+    bm = _bm25_scored_sql(BM25_QUERIES).replace("scored AS (", "scored_bm AS (")
+    return f"""
+    WITH {bm},
+    cf AS MATERIALIZED (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, tf.doc_id FROM tf JOIN q USING (term)
+    ),
+    grid AS (
+      SELECT c.query_id, c.doc_id, q.term
+      FROM cand c JOIN q ON q.query_id = c.query_id
+    ),
+    scored_ql AS MATERIALIZED (
+      SELECT g.query_id, g.doc_id,
+             CAST(sum(
+               CAST(1000000000 AS HUGEINT)
+               * (coalesce(tf.tf, 0) * total_len + {QL_MU} * cf.cf)
+               // (CAST(total_len AS HUGEINT) * (dl.dl + {QL_MU}))
+             ) AS BIGINT) AS score_e9
+      FROM grid g
+      LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+      JOIN cf ON cf.term = g.term
+      JOIN dl ON dl.doc_id = g.doc_id
+      CROSS JOIN tot
+      GROUP BY 1, 2
+    ),
+    rb AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_e9 DESC, doc_id) AS r
+      FROM scored_bm
+    ),
+    rq AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_e9 DESC, doc_id) AS r
+      FROM scored_ql
+    ),
+    j AS (
+      SELECT rb.query_id, CAST(rb.r - rq.r AS BIGINT) AS d
+      FROM rb JOIN rq ON rb.query_id = rq.query_id AND rb.doc_id = rq.doc_id
     )
-    return top.select("query_id", "doc_id", "score_e9", "rnk")
+    SELECT CAST(query_id AS INTEGER) AS query_id,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(d * d) AS BIGINT) AS sum_d2,
+           CAST(CASE WHEN count(*) < 2 THEN 1000000
+                ELSE 1000000 - CAST(6000000 AS HUGEINT) * sum(d * d)
+                     // (CAST(count(*) AS HUGEINT)
+                         * (count(*) - 1) * (count(*) + 1)) END
+                AS BIGINT) AS rho_e6
+    FROM j GROUP BY 1
+    """
+
+
+@query("retrieval_rank_correlation", oracle=_rankcorr_sql())
+def q_retrieval_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker-agreement audit: per-query Spearman rho between the BM25
+    and Dirichlet-QL rankings over their SHARED candidate set (both
+    rankers score exactly the docs matching >=1 query term, so the two
+    rankings are permutations of the same items). Ranks are
+    deterministic row_numbers (score DESC, doc_id) — the documented
+    tie-broken variant, so rho is integer-exact:
+    rho_e6 = 1e6 - 6e6 * sum(d^2) DIV (n(n-1)(n+1)).
+
+    This is the system-comparison harness an IR stack runs before
+    swapping rankers: rho ~ 1e6 means the cheaper ranker can serve as
+    a first stage; low rho means the fusion (`retrieval_rrf_fusion`)
+    actually adds diversity.
+
+    Plan: both scored relations reuse the ranker helpers (one shared
+    tf pass each); ranks are windows PARTITIONED by query_id; the
+    join is (query_id, doc_id) equi; the final agg is one row per
+    query. Spearman (not Kendall) keeps the audit O(n log n) — no
+    all-pairs concordance blowup at 100 TB."""
+    bm = _bm25_scored(spark, sf_dir, BM25_QUERIES)
+    ql = _ql_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.col("score_e9").desc(), F.col("doc_id"))
+    rb = bm.select("query_id", "doc_id", F.row_number().over(w).alias("rb"))
+    rq = ql.select("query_id", "doc_id", F.row_number().over(w).alias("rq"))
+    j = rb.join(rq, ["query_id", "doc_id"]).select(
+        "query_id", (F.col("rb") - F.col("rq")).cast("long").alias("d")
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("_sd2"),
+        )
+        .select(
+            "query_id",
+            "n_candidates",
+            F.col("_sd2").cast("long").alias("sum_d2"),
+            F.expr(
+                "CAST(CASE WHEN n_candidates < 2 THEN 1000000"
+                " ELSE 1000000 - CAST(6000000 AS DECIMAL(38,0)) * _sd2"
+                " DIV (CAST(n_candidates AS DECIMAL(38,0))"
+                "      * (n_candidates - 1) * (n_candidates + 1)) END AS BIGINT)"
+            ).alias("rho_e6"),
+        )
+    )

@@ -723,3 +723,46 @@ def test_bitext_margin_mining_matches_driver_recompute(spark, sf_dir):
         for r in QUERIES["bitext_margin_mining"](spark, sf_dir).collect()
     }
     assert got == expected and got
+
+
+def test_rank_correlation_matches_driver_recompute(spark, sf_dir):
+    """Recompute Spearman rho driver-side from the two scored relations
+    (same deterministic tie-break) and compare every output column."""
+    from distributed_mapreduce_spark.workload.retrieval import (
+        BM25_QUERIES,
+        _bm25_scored,
+        _ql_scored,
+    )
+
+    bm = _bm25_scored(spark, sf_dir, BM25_QUERIES).collect()
+    ql = _ql_scored(spark, sf_dir).collect()
+
+    def ranks(rows):
+        out = {}
+        byq = {}
+        for r in rows:
+            byq.setdefault(r.query_id, []).append((-r.score_e9, r.doc_id))
+        for qid, lst in byq.items():
+            for i, (_, doc) in enumerate(sorted(lst), start=1):
+                out[(qid, doc)] = i
+        return out
+
+    rb, rq = ranks(bm), ranks(ql)
+    assert set(rb) == set(rq), "rankers must score the same candidate set"
+    expected = {}
+    for qid in {q for q, _ in rb}:
+        ds = [rb[k] - rq[k] for k in rb if k[0] == qid]
+        n = len(ds)
+        sd2 = sum(d * d for d in ds)
+        rho = 1_000_000 if n < 2 else 1_000_000 - 6_000_000 * sd2 // (
+            n * (n - 1) * (n + 1)
+        )
+        expected[qid] = (n, sd2, rho)
+
+    got = {
+        r.query_id: (r.n_candidates, r.sum_d2, r.rho_e6)
+        for r in QUERIES["retrieval_rank_correlation"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    for n, sd2, rho in got.values():
+        assert -1_000_000 <= rho <= 1_000_000

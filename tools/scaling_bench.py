@@ -90,6 +90,11 @@ FAMILIES = [
     # content-hash shuffle. Boundaries are data-derived hashes, so
     # Caesar rotation re-chunks each replica fairly.
     "dedup_cdc_chunks",
+    # round-6 late: grid quantile sketch — O(n) scan into a fixed
+    # <=1024-bin aggregate (merge = sum) plus the global_rank range
+    # shuffle on the exact-audit side; price values are replica-
+    # invariant so the sketch shape is identical at every factor.
+    "quantile_grid_sketch_audit",
 ]
 
 #: Second-decade (x100) families — every family carries both decades.
