@@ -1285,3 +1285,90 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-accuracy audit over the LSH candidate set.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_estimate_audit",
+    oracle=_sql_minhash_pairs()
+    + f"""
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+                                p -> p[1] = p[2])) AS BIGINT) AS n_match,
+           CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+                * 10000 // {MINHASH_BANDS * MINHASH_ROWS} AS BIGINT) AS est_bp,
+           CAST(len(list_intersect(a.bh, b.bh)) * 10000
+                // (len(a.bh) + len(b.bh) - len(list_intersect(a.bh, b.bh)))
+                AS BIGINT) AS exact_bp,
+           CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+                * 10000 // {MINHASH_BANDS * MINHASH_ROWS}
+                - len(list_intersect(a.bh, b.bh)) * 10000
+                  // (len(a.bh) + len(b.bh) - len(list_intersect(a.bh, b.bh)))
+                AS BIGINT) AS err_bp
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    JOIN bh a ON a.doc_id = c.doc_a
+    JOIN bh b ON b.doc_id = c.doc_b
+    """,
+)
+def q_dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy certification for the MinHash near-dup pipeline:
+    for every LSH candidate pair, the k-component signature estimate of
+    Jaccard (matching components / k, the unbiased MinHash estimator)
+    next to the EXACT hashed-shingle Jaccard, error in basis points.
+    This is the audit that justifies the signature size: if |err_bp|
+    concentrates past the k=8 binomial bound, the band geometry needs
+    more rows before anyone trusts `dedup_minhash_pairs` at 100 TB.
+
+    Plan: same persisted shingle table and band self-join as
+    `dedup_minhash_pairs` (candidates only, never all pairs); the
+    estimate adds one zip_with over two 8-element arrays per candidate
+    and the exact side reuses the verify join's array_intersect."""
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    k = MINHASH_BANDS * MINHASH_ROWS
+    sigs = sh_df.select(
+        "doc_id", minhash_signature(F.col("bh"), k).alias("sig"), "bh"
+    )
+    cand = minhash_candidate_pairs(sh_df)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    joined = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+    )
+    n_match = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    inter = F.size(F.array_intersect(F.col("a.bh"), F.col("b.bh"))).cast("long")
+    union = (F.size(F.col("a.bh")) + F.size(F.col("b.bh"))).cast("long") - inter
+    est_bp = F.expr(f"CAST(n_match * 10000 DIV {k} AS BIGINT)")
+    exact_bp = F.expr("CAST(inter_cnt * 10000 DIV union_cnt AS BIGINT)")
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            inter.alias("inter_cnt"),
+            union.alias("union_cnt"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            est_bp.alias("est_bp"),
+            exact_bp.alias("exact_bp"),
+            (est_bp - exact_bp).cast("long").alias("err_bp"),
+        )
+    )

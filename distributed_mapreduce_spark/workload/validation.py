@@ -602,3 +602,72 @@ def q_dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (two-sided geometric mechanism).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dp_noisy_counts",
+    oracle="""
+    WITH g AS MATERIALIZED (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS true_n
+      FROM documents GROUP BY 1, 2
+    ), h AS (
+      SELECT source, lang, true_n,
+             ('0x' || substr(md5('dpA_' || source || '|' || lang), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5('dpB_' || source || '|' || lang), 1, 8))::BIGINT AS h2
+      FROM g
+    )
+    SELECT source, lang, true_n,
+           CAST((bit_count(xor(h1, h1 + 1)) - 1)
+                - (bit_count(xor(h2, h2 + 1)) - 1) AS BIGINT) AS noise,
+           CAST(true_n + (bit_count(xor(h1, h1 + 1)) - 1)
+                - (bit_count(xor(h2, h2 + 1)) - 1) AS BIGINT) AS noisy_n
+    FROM h
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release — the two-sided
+    geometric (discrete Laplace) mechanism at epsilon = ln 2: noise =
+    G1 - G2 with G_i ~ Geometric(1/2), giving P(noise = k) proportional
+    to 2^-|k| — the standard integer mechanism for count queries
+    (Ghosh-Roughgarden-Sundararajan's geometric mechanism, the
+    universally-optimal one for counts).
+
+    Geometric(1/2) draws come from md5-u32 bits: the trailing-ones
+    count of a uniform 32-bit word is exactly Geometric(1/2)
+    (P(k) = 2^-(k+1)), computed as bit_count(h XOR (h+1)) - 1 — pure
+    integer bit ops, bit-identical on both engines. Determinism (hash
+    of the group key as the randomness source) is the test-harness
+    posture; a production release would swap in a sealed RNG, keeping
+    the mechanism and this audit shape unchanged. true_n sits beside
+    noisy_n because this query is the MECHANISM audit (noise
+    distribution + utility check), not the release itself.
+
+    Plan: one map-side-combinable count per (source, lang) group; the
+    noise expression runs on the <=|groups|-row aggregate. At 100 TB
+    the only shuffle is the group-by — the mechanism adds zero data
+    movement."""
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    key = F.concat(F.col("source"), F.lit("|"), F.col("lang"))
+
+    def geom(tag: str) -> F.Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), key)), 1, 8), 16, 10
+        ).cast("long")
+        return F.bit_count(h.bitwiseXOR(h + 1)) - 1
+
+    noise = (geom("dpA_") - geom("dpB_")).cast("long")
+    return g.select(
+        "source",
+        "lang",
+        "true_n",
+        noise.alias("noise"),
+        (F.col("true_n") + noise).cast("long").alias("noisy_n"),
+    )

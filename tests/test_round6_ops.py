@@ -766,3 +766,49 @@ def test_rank_correlation_matches_driver_recompute(spark, sf_dir):
     assert got == expected
     for n, sd2, rho in got.values():
         assert -1_000_000 <= rho <= 1_000_000
+
+
+def test_dp_noisy_counts_mechanism(spark, sf_dir):
+    """Noise must be the hash-seeded two-sided geometric: recompute it
+    from md5 driver-side; true counts must match a direct recount."""
+    import hashlib
+
+    rows = QUERIES["dp_noisy_counts"](spark, sf_dir).collect()
+    truth = {
+        (r.source, r.lang): r.n
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r.source, r.lang) for r in rows} == set(truth)
+
+    def geom(tag, key):
+        h = int(hashlib.md5((tag + key).encode()).hexdigest()[:8], 16)
+        return bin(h ^ (h + 1)).count("1") - 1
+
+    for r in rows:
+        key = f"{r.source}|{r.lang}"
+        want = geom("dpA_", key) - geom("dpB_", key)
+        assert r.true_n == truth[(r.source, r.lang)]
+        assert r.noise == want
+        assert r.noisy_n == r.true_n + r.noise
+
+
+def test_minhash_estimate_audit_bounds_and_verified_subset(spark, sf_dir):
+    """est_bp must be n_match/k exactly; every >=0.7-verified LSH pair
+    must appear among audited candidates with exact_bp >= 7000."""
+    audit = {
+        (r.doc_a, r.doc_b): r
+        for r in QUERIES["dedup_minhash_estimate_audit"](spark, sf_dir).collect()
+    }
+    assert audit
+    for r in audit.values():
+        assert 0 <= r.n_match <= 8
+        assert r.est_bp == r.n_match * 10000 // 8
+        assert r.err_bp == r.est_bp - r.exact_bp
+        assert 0 <= r.exact_bp <= 10000
+    verified = QUERIES["dedup_minhash_pairs"](spark, sf_dir).collect()
+    for v in verified:
+        a = audit[(v.doc_a, v.doc_b)]
+        assert a.exact_bp >= 7000
