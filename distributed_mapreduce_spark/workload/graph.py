@@ -1020,3 +1020,86 @@ def q_graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     te.unpersist()
     return arr.select("node", F.col("arr").alias("arr_us"))
+
+
+# ---------------------------------------------------------------------------
+# Per-edge triangle support — the k-truss building block.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_edge_support",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_EDGES_SQL}),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e1.dst = e2.src
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), sides AS (
+      SELECT a AS src, b AS dst FROM tri
+      UNION ALL SELECT a, c FROM tri
+      UNION ALL SELECT b, c FROM tri
+    )
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS support
+    FROM sides GROUP BY 1, 2
+    """,
+)
+def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support — the quantity k-truss decomposition
+    peels on (an edge is in the k-truss iff its support survives >=
+    k-2 through peeling; support is round 0 of that loop, and the
+    peel itself composes this query with the bounded-round pattern of
+    `graph_kcore_peel`). Edges in no triangle are absent (support 0).
+
+    Plan: triangles enumerate once via the degree-ordered
+    compact-forward orientation (`_triangle_counts_degree_ordered`'s
+    wedge shape, O(m^1.5) intermediate — hub-safe at 100x skew); each
+    triangle explodes to its three sides, canonicalized to the
+    original src<dst id orientation with least/greatest, then one
+    hash-agg per edge. The oracle enumerates in id orientation — same
+    triangle set, engine-independent."""
+    e = _edges(spark, sf_dir).cache()
+    deg = (
+        e.select(F.col("src").alias("n"))
+        .unionAll(e.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        e.join(deg.withColumnsRenamed({"n": "src", "d": "ds"}), "src")
+        .join(deg.withColumnsRenamed({"n": "dst", "d": "dd"}), "dst")
+        .select(
+            "src",
+            "dst",
+            (F.col("ds").cast("long") * (1 << 32) + F.col("src")).alias("ks"),
+            (F.col("dd").cast("long") * (1 << 32) + F.col("dst")).alias("kd"),
+        )
+    )
+    fwd = keyed.select(
+        F.when(F.col("ks") < F.col("kd"), F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(F.col("ks") < F.col("kd"), F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.greatest("ks", "kd").alias("kv"),
+    )
+    a = fwd.alias("a")
+    b = fwd.alias("b")
+    wedges = a.join(
+        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.kv") < F.col("b.kv"))
+    ).select(F.col("a.u").alias("x"), F.col("a.v").alias("y"), F.col("b.v").alias("z"))
+    closing = fwd.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    side = lambda p, q: F.struct(  # noqa: E731
+        F.least(p, q).alias("src"), F.greatest(p, q).alias("dst")
+    )
+    sides = tri.select(
+        F.explode(
+            F.array(
+                side(F.col("x"), F.col("y")),
+                side(F.col("x"), F.col("z")),
+                side(F.col("y"), F.col("z")),
+            )
+        ).alias("s")
+    ).select("s.src", "s.dst")
+    return sides.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )

@@ -671,3 +671,120 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.alias("noise"),
         (F.col("true_n") + noise).cast("long").alias("noisy_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subsample-replication variance (error bars without a second pass).
+# ---------------------------------------------------------------------------
+
+#: Number of half-sample replicas.
+SUBSAMPLE_B = 16
+
+
+@query(
+    "subsample_variance_audit",
+    oracle=f"""
+    WITH m AS MATERIALIZED (
+      SELECT t.b AS b,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(n_chars) AS BIGINT) AS s_b
+      FROM documents,
+           unnest([{', '.join(str(b) for b in range(SUBSAMPLE_B))}]) AS t(b)
+      WHERE ('0x' || substr(md5('bs' || CAST(t.b AS VARCHAR) || '_'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0
+      GROUP BY 1
+    ), mm AS (
+      SELECT b, CAST(CAST(s_b AS HUGEINT) * 1000000 // n_b AS BIGINT) AS mean_e6
+      FROM m
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+             sum(CAST(mean_e6 AS HUGEINT)) AS sm,
+             sum(CAST(mean_e6 AS HUGEINT) * mean_e6) AS sm2
+      FROM mm
+    ), whole AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(CAST(sum(n_chars) AS HUGEINT) * 1000000 // count(*)
+                  AS BIGINT) AS full_mean_e6
+      FROM documents
+    )
+    SELECT whole.n_docs, whole.full_mean_e6, agg.n_replicas,
+           CAST(sm // n_replicas AS BIGINT) AS grand_mean_e6,
+           CAST((n_replicas * sm2 - sm * sm)
+                // (n_replicas * (n_replicas - 1)) AS BIGINT) AS var_between_e12
+    FROM agg, whole
+    """,
+)
+def q_subsample_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error bars for a corpus statistic from ONE pass: {SUBSAMPLE_B}
+    deterministic half-sample replicas (doc in replica b iff
+    md5('bs{{b}}_'||doc_id) is even — the hash-seeded analogue of
+    half-sample bootstrap / delete-d jackknife), per-replica mean
+    n_chars in exact micro-units, then the between-replica variance
+    (B*sum(m^2) - (sum m)^2) DIV (B*(B-1)) — every step integer.
+
+    This is how a 100 TB profile job reports a standard error without
+    re-scanning: the replica fan-out is a 16-way explode FILTERED to
+    ~8 memberships per row before any shuffle, per-replica sums are
+    map-side partials, and the variance runs on a {SUBSAMPLE_B}-row
+    aggregate. Replica membership by content-independent doc_id hash
+    keeps replicas exchangeable; the audit pins the full-data mean
+    beside the replica grand mean (they agree to within the replica
+    spread — tests assert the sandwich)."""
+    from distributed_mapreduce_spark.workload.dedup import _hash_u32
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    memb = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    (
+                        _hash_u32(F.col("doc_id").cast("string"), f"bs{b}_") % 2
+                    ).alias("r"),
+                )
+                for b in range(SUBSAMPLE_B)
+            ]
+        ),
+        lambda s: s["r"] == 0,
+    )
+    m = (
+        docs.select("n_chars", F.explode(memb).alias("s"))
+        .groupBy(F.col("s.b").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("n_chars").cast("long").alias("s_b"),
+        )
+    )
+    mm = m.select(
+        "b",
+        F.expr(
+            "CAST(CAST(s_b AS DECIMAL(38,0)) * 1000000 DIV n_b AS BIGINT)"
+        ).alias("mean_e6"),
+    )
+    agg = mm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.sum(F.col("mean_e6").cast("decimal(38,0)")).alias("sm"),
+        F.sum(
+            (F.col("mean_e6").cast("decimal(38,0)") * F.col("mean_e6")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sm2"),
+    )
+    whole = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(CAST(sum(n_chars) AS DECIMAL(38,0)) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("full_mean_e6"),
+    )
+    return agg.crossJoin(F.broadcast(whole)).select(
+        "n_docs",
+        "full_mean_e6",
+        "n_replicas",
+        F.expr("CAST(sm DIV n_replicas AS BIGINT)").alias("grand_mean_e6"),
+        F.expr(
+            "CAST((n_replicas * sm2 - sm * sm)"
+            " DIV (n_replicas * (n_replicas - 1)) AS BIGINT)"
+        ).alias("var_between_e12"),
+    )

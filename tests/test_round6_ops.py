@@ -812,3 +812,63 @@ def test_minhash_estimate_audit_bounds_and_verified_subset(spark, sf_dir):
     for v in verified:
         a = audit[(v.doc_a, v.doc_b)]
         assert a.exact_bp >= 7000
+
+
+def test_edge_support_matches_adjacency_recompute(spark, sf_dir):
+    """support(u,v) must equal |N(u) ∩ N(v)| for every reported edge,
+    every triangle-edge must be reported, and the support total must
+    be 3x the triangle count implied by graph_triangle_counts."""
+    from distributed_mapreduce_spark.workload.graph import _edges
+
+    edges = {(r.src, r.dst) for r in _edges(spark, sf_dir).collect()}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    got = {
+        (r.src, r.dst): r.support
+        for r in QUERIES["graph_edge_support"](spark, sf_dir).collect()
+    }
+    assert got
+    for (s, d), sup in got.items():
+        assert (s, d) in edges
+        assert sup == len(adj[s] & adj[d])
+    for s, d in edges:
+        common = len(adj[s] & adj[d])
+        if common:
+            assert got.get((s, d)) == common
+
+    node_tris = QUERIES["graph_triangle_counts"](spark, sf_dir).collect()
+    assert sum(got.values()) == sum(r.n_triangles for r in node_tris)
+
+
+def test_subsample_variance_matches_driver_recompute(spark, sf_dir):
+    """Full hash-seeded replication recomputed driver-side; grand mean
+    must sandwich the full mean within the replica spread."""
+    import hashlib
+
+    from distributed_mapreduce_spark.workload.validation import SUBSAMPLE_B
+
+    docs = [
+        (r.doc_id, r.n_chars)
+        for r in table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    ]
+    means = []
+    for b in range(SUBSAMPLE_B):
+        sel = [
+            nc
+            for did, nc in docs
+            if int(hashlib.md5(f"bs{b}_{did}".encode()).hexdigest()[:8], 16) % 2 == 0
+        ]
+        means.append(sum(sel) * 1_000_000 // len(sel))
+    B = len(means)
+    sm, sm2 = sum(means), sum(m * m for m in means)
+    row = QUERIES["subsample_variance_audit"](spark, sf_dir).collect()[0]
+    assert row.n_replicas == B == SUBSAMPLE_B
+    assert row.grand_mean_e6 == sm // B
+    assert row.var_between_e12 == (B * sm2 - sm * sm) // (B * (B - 1))
+    assert row.n_docs == len(docs)
+    assert row.full_mean_e6 == sum(nc for _, nc in docs) * 1_000_000 // len(docs)
+    spread = max(means) - min(means)
+    assert abs(row.grand_mean_e6 - row.full_mean_e6) <= max(spread, 1)
