@@ -172,7 +172,14 @@ _UNBOUNDED_LEAVES = (
 )
 #: Ancestors that bound a leaf's contribution to ≤|groups| (or ≤limit)
 #: rows — logical and physical spellings ("Limit" also covers
-#: LocalLimit/GlobalLimit-prefixed logical nodes).
+#: LocalLimit/GlobalLimit-prefixed logical nodes). An aggregate whose
+#: grouping keys cover ALL its output columns (a distinct) is NOT
+#: bounding — its group count is the input's distinct-row count, which
+#: scales with input (`_is_distinct_aggregate` carves it out); the
+#: salted two-stage top-k idiom that legitimately follows a
+#: corpus-scale distinct is recognized separately (a Filter on a rank
+#: produced by a PARTITIONED window bounds to ≤|parts|·k rows — same
+#: ≤|groups| standard as an aggregate).
 _BOUNDING_ANCESTORS = (
     "Aggregate [",
     "GlobalLimit",
@@ -184,6 +191,61 @@ _BOUNDING_ANCESTORS = (
     "CollectLimit",
     "TakeOrderedAndProject",
 )
+
+#: Rank-function aliases inside a Window node's function list — the
+#: only window outputs whose `<= k` filter bounds row count.
+_RANK_ALIAS_RE = re.compile(
+    r"(?:row_number|rank|dense_rank)\(\).*? AS ([A-Za-z_]\w*#\d+)"
+)
+
+
+#: Aggregate-function tokens as they print inside a logical Aggregate's
+#: output list — presence of any means the node genuinely aggregates.
+_AGG_FN_RE = re.compile(
+    r"\b(?:count|sum|min|max|avg|mean|first|last|any_value|collect_list|"
+    r"collect_set|approx_\w+|percentile\w*|median|mode|stddev\w*|var\w*|"
+    r"skewness|kurtosis|corr|covar\w*|bit_\w+|bool_\w+|max_by|min_by|"
+    r"count_if|hll_\w+|regr_\w+|listagg|string_agg|grouping\w*)\("
+)
+
+_ATTR_REF_RE = re.compile(r"\w+#\d+")
+
+
+def _is_distinct_aggregate(st: str) -> bool:
+    """Whether a (logical or physical) aggregate node text is
+    distinct-like: no aggregate functions, and every output expression
+    built only from grouping attributes (Catalyst may merge a trailing
+    Project into the output list, so string equality of the two groups
+    is not enough). Such a node's cardinality is the input's
+    distinct-row count — it reduces nothing in the worst case and must
+    not count as a bounding ancestor. Bias: an unrecognized aggregate
+    function makes this return True (a visible false FLAG in the
+    sweep), never a silent false pass."""
+    if st.startswith("Aggregate ["):
+        groups = _top_level_groups(st[len("Aggregate ") :])
+        if len(groups) < 2:
+            return False
+        if _AGG_FN_RE.search(groups[1]):
+            return False
+        key_refs = set(_ATTR_REF_RE.findall(groups[0]))
+        # strip ` AS alias#n` definitions before collecting references
+        out_refs = set(_ATTR_REF_RE.findall(re.sub(r" AS \w+#\d+", "", groups[1])))
+        return out_refs <= key_refs
+    if st.startswith(("HashAggregate(", "SortAggregate(", "ObjectHashAggregate(")):
+        return "functions=[]" in st
+    return False
+
+
+def _window_is_partitioned(groups: list[str]) -> bool:
+    """Whether a Window node's top-level bracket groups carry a
+    non-empty partition spec (see `window_partition_audit` for the
+    four node arities)."""
+    if len(groups) >= 3:
+        return groups[1].strip() != ""
+    if len(groups) == 2:
+        g1 = groups[1]
+        return g1.strip() != "" and not (" ASC" in g1 or " DESC" in g1)
+    return False
 
 
 def _node_text(line: str) -> str:
@@ -198,7 +260,14 @@ def _leaves_covered(sub: list[str]) -> bool:
     subtree and for an InMemoryRelation's printed cached plan: a cache
     over a grouped/global aggregate is ≤|groups| rows (bounded); a cache
     wrapped directly around a raw FileScan is just the scan with a
-    StorageLevel and must stay flagged."""
+    StorageLevel and must stay flagged.
+
+    Two refinements on the bounding rule (round-7):
+    - an all-column distinct aggregate does NOT bound (its group count
+      is the distinct-row count of a scaling input);
+    - a Filter `rank <= k` on a rank produced by a PARTITIONED window
+      on the same ancestor path DOES bound (≤|parts|·k rows — the
+      salted two-stage top-k idiom, e.g. `sketches._k_smallest`)."""
     for ri, s in enumerate(sub):
         st = _node_text(s)
         if st.startswith("InMemoryRelation"):
@@ -214,11 +283,25 @@ def _leaves_covered(sub: list[str]) -> bool:
             continue
         min_d = _node_depth(s)
         covered = False
+        rank_aliases: list[str] = []
         for j in range(ri - 1, -1, -1):
             dj = _node_depth(sub[j])
             if dj < min_d:
                 min_d = dj
-                if _node_text(sub[j]).startswith(_BOUNDING_ANCESTORS):
+                aj = _node_text(sub[j])
+                if aj.startswith("Window "):
+                    groups = _top_level_groups(aj[len("Window ") :])
+                    if groups and _window_is_partitioned(groups):
+                        rank_aliases.extend(_RANK_ALIAS_RE.findall(groups[0]))
+                elif aj.startswith("Filter ") and any(
+                    re.search(re.escape(a) + r" (?:<=?|=) \d+", aj)
+                    for a in rank_aliases
+                ):
+                    covered = True
+                    break
+                elif aj.startswith(
+                    _BOUNDING_ANCESTORS
+                ) and not _is_distinct_aggregate(aj):
                     covered = True
                     break
         if not covered:
@@ -258,15 +341,7 @@ def window_partition_audit(df: DataFrame) -> list[dict]:
             continue
         depth = _node_depth(line)
         groups = _top_level_groups(stripped[len("Window ") :])
-        if len(groups) >= 3:
-            partitioned = groups[1].strip() != ""
-        elif len(groups) == 2:
-            g1 = groups[1]
-            partitioned = g1.strip() != "" and not (
-                " ASC" in g1 or " DESC" in g1
-            )
-        else:
-            partitioned = False
+        partitioned = _window_is_partitioned(groups)
         subtree = []
         for nxt in lines[i + 1 :]:
             if _node_depth(nxt) <= depth:

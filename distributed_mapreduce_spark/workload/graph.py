@@ -118,9 +118,11 @@ def _triangle_counts_degree_ordered(e: DataFrame) -> DataFrame:
     power-law graph) to O(m^1.5) [Chiba–Nishizeki / Latapy bound] —
     the variant that survives 100× skew.
 
-    Node order key: deg·2³² + id (single long — degrees and ids both
-    fit 32 bits at any realistic scale; ties broken by id so the order
-    is total and the enumeration exact)."""
+    Node order key: the (deg, id) STRUCT, compared lexicographically —
+    ties broken by id so the order is total and the enumeration exact.
+    A packed deg·2³² + id long would silently collide for ids or
+    degrees ≥ 2³² and corrupt the orientation; struct ordering is
+    collision-free at any scale and stays whole-stage-codegen'd."""
     deg = (
         e.select(F.col("src").alias("n"))
         .unionAll(e.select(F.col("dst").alias("n")))
@@ -133,8 +135,8 @@ def _triangle_counts_degree_ordered(e: DataFrame) -> DataFrame:
         .select(
             "src",
             "dst",
-            (F.col("ds").cast("long") * (1 << 32) + F.col("src")).alias("ks"),
-            (F.col("dd").cast("long") * (1 << 32) + F.col("dst")).alias("kd"),
+            F.struct(F.col("ds").alias("d"), F.col("src").alias("i")).alias("ks"),
+            F.struct(F.col("dd").alias("d"), F.col("dst").alias("i")).alias("kd"),
         )
     )
     fwd = keyed.select(
@@ -686,21 +688,36 @@ RA_WEDGE_ROWS_PER_TASK = 2_000_000
 RA_MAX_PARTITIONS = 4096
 
 
-def _wedge_shuffle_parts(spark: SparkSession, deg: DataFrame) -> int:
+#: Memoized wedge volumes per edge-source dir: the sizing pass is an
+#: eager 2-scan Spark job, and plan-only constructions (plan_report,
+#: the full-registry test sweeps, bench warm-ups) build each graph
+#: query several times per process — without the cache every build
+#: re-pays the job before any action runs. Both callers derive `deg`
+#: deterministically from `_edges(spark, sf_dir)`, so sf_dir is a
+#: complete key.
+_WEDGE_ROWS_CACHE: dict[str, int] = {}
+
+
+def _wedge_shuffle_parts(spark: SparkSession, deg: DataFrame, sf_dir: str) -> int:
     """Input-scaled shuffle width for a wedge-pair aggregate: exact
     wedge volume Σ deg·(deg−1)/2 from the ≤|V|-row degree relation
-    (1-row collect — the documented bounded-collect class), divided
-    into {RA_WEDGE_ROWS_PER_TASK}-row tasks, clamped to
+    (1-row collect — the documented bounded-collect class, memoized
+    per sf_dir so repeated plan-only constructions stay job-free),
+    divided into {RA_WEDGE_ROWS_PER_TASK}-row tasks, clamped to
     [shuffle.partitions, {RA_MAX_PARTITIONS}]. See
     `q_graph_resource_allocation` for the measured rationale."""
-    wedge_rows = (
-        deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w")).collect()[0][0]
-        or 0
-    )
+    if sf_dir not in _WEDGE_ROWS_CACHE:
+        _WEDGE_ROWS_CACHE[sf_dir] = int(
+            deg.agg(
+                F.sum(F.expr("deg * (deg - 1) div 2")).alias("w")
+            ).collect()[0][0]
+            or 0
+        )
+    wedge_rows = _WEDGE_ROWS_CACHE[sf_dir]
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return max(
         default_parts,
-        min(RA_MAX_PARTITIONS, -(-int(wedge_rows) // RA_WEDGE_ROWS_PER_TASK)),
+        min(RA_MAX_PARTITIONS, -(-wedge_rows // RA_WEDGE_ROWS_PER_TASK)),
     )
 
 
@@ -780,7 +797,7 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan-only constructions (plan_report / test sweeps) don't
     # accumulate pinned copies; execution re-derives the cheap edge
     # projection instead.
-    n_parts = _wedge_shuffle_parts(spark, deg)
+    n_parts = _wedge_shuffle_parts(spark, deg, sf_dir)
     e.unpersist()
     w1 = und.alias("w1")
     w2 = und.alias("w2")
@@ -876,7 +893,7 @@ def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    n_parts = _wedge_shuffle_parts(spark, deg)
+    n_parts = _wedge_shuffle_parts(spark, deg, sf_dir)
     e.unpersist()
     w1 = und.alias("w1")
     w2 = und.alias("w2")
@@ -1072,8 +1089,8 @@ def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src",
             "dst",
-            (F.col("ds").cast("long") * (1 << 32) + F.col("src")).alias("ks"),
-            (F.col("dd").cast("long") * (1 << 32) + F.col("dst")).alias("kd"),
+            F.struct(F.col("ds").alias("d"), F.col("src").alias("i")).alias("ks"),
+            F.struct(F.col("dd").alias("d"), F.col("dst").alias("i")).alias("kd"),
         )
     )
     fwd = keyed.select(

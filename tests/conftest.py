@@ -36,6 +36,15 @@ def pytest_configure(config):
 
 def pytest_collection_modifyitems(config, items):
     if config.getoption("--sf01-cert"):
+        # Certification mode runs ONLY the certification items: the
+        # documented ~25-min command would otherwise also drag the
+        # whole ~10-min fast suite along whenever it is invoked
+        # without a file filter.
+        keep = [i for i in items if "sf01cert" in i.keywords]
+        deselected = [i for i in items if "sf01cert" not in i.keywords]
+        if deselected:
+            config.hook.pytest_deselected(items=deselected)
+            items[:] = keep
         return
     skip = pytest.mark.skip(reason="opt-in: pass --sf01-cert")
     for item in items:

@@ -173,6 +173,43 @@ def test_window_audit_detects_global_window_over_raw_rows(spark, sf_dir):
         "pct", F.col("cnt") * 100 / F.sum("cnt").over(W.partitionBy())
     )
     assert unpartitioned_unbounded_windows(good_bounded) == 0
+    # ADVICE r06: an all-column DISTINCT is not a bounding aggregate —
+    # its group count is the scan's distinct-row count, which scales
+    # with input. A global window fed only by a distinct must flag.
+    bad_distinct = (
+        orders.select("o_orderkey")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("o_orderkey")))
+    )
+    assert unpartitioned_unbounded_windows(bad_distinct) == 1
+    # ... while the salted two-stage top-k idiom over that same distinct
+    # (stage 1: rank within salt partitions, filter <= k → ≤|salts|·k
+    # rows; stage 2: global rank) is the documented scale-safe shape
+    # and must stay clean (`sketches._k_smallest`).
+    two_stage = (
+        orders.select("o_orderkey")
+        .distinct()
+        .withColumn("_s", F.col("o_orderkey") % 16)
+        .withColumn(
+            "r1", F.row_number().over(W.partitionBy("_s").orderBy("o_orderkey"))
+        )
+        .filter(F.col("r1") <= 8)
+        .withColumn("r2", F.row_number().over(W.orderBy("o_orderkey")))
+        .filter(F.col("r2") <= 8)
+    )
+    assert unpartitioned_unbounded_windows(two_stage) == 0
+    # a filter on a NON-rank window output (running sum <= k) bounds
+    # nothing — the global window downstream must still flag
+    not_bounding = (
+        orders.select("o_orderkey")
+        .distinct()
+        .withColumn(
+            "s1", F.sum("o_orderkey").over(W.partitionBy(F.col("o_orderkey") % 16))
+        )
+        .filter(F.col("s1") <= 8)
+        .withColumn("r2", F.row_number().over(W.orderBy("o_orderkey")))
+    )
+    assert unpartitioned_unbounded_windows(not_bounding) >= 1
 
 
 def test_topk_avoids_global_sort(spark, sf_dir):
