@@ -2011,3 +2011,71 @@ def q_decontam_combined_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("semantic_only")
         .alias("verdict"),
     )
+
+
+#: Per-source document cap (C4/RefinedWeb-style "no domain dominates"
+#: gate). The harness ships 25 docs/source at sf0.01, so 15 exercises
+#: both the kept and dropped branches at every SF.
+DOMAIN_CAP = 15
+
+
+@query(
+    "corpus_domain_cap",
+    oracle=f"""
+    WITH scored AS MATERIALIZED (
+      SELECT doc_id, source,
+             {_sql_bp(_sql_count_in(_sql_tokens('text'), STOPWORDS),
+                      f"len({_sql_tokens('text')})")} AS q_bp
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, q_bp,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q_bp DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rnk <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN rnk <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(min(CASE WHEN rnk <= {DOMAIN_CAP} THEN q_bp END)
+                AS BIGINT) AS min_kept_q_bp
+    FROM ranked GROUP BY source
+    """,
+)
+def q_corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain / source frequency capping: keep at most {DOMAIN_CAP}
+    documents per source, chosen by quality (stopword-ratio basis
+    points, the cheap rule-gate signal) with doc_id tiebreak — the
+    "no single domain dominates the mixture" rule every web-scale
+    corpus applies (C4 kept ≤ some pages per URL-host; RefinedWeb caps
+    per-domain contributions). Output is the per-source audit: totals,
+    kept, dropped, and the kept-quality floor.
+
+    Plan: one scan computes the quality signal columnar-side; the
+    rank is a window PARTITIONED BY SOURCE (per-domain top-k, never a
+    global sort); the audit aggregate is ≤|sources| rows. At 100 TB
+    the shuffle key is the domain — skewed hot domains are exactly the
+    rows the cap discards, and AQE skew-split handles the rank
+    shuffle because row_number only needs per-partition order."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        _bp(_count_in(toks, STOPWORDS), F.size(toks)).alias("q_bp"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q_bp").desc(), "doc_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    kept = F.when(F.col("rnk") <= DOMAIN_CAP, 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(kept)).cast("long").alias("n_dropped"),
+        F.min(F.when(F.col("rnk") <= DOMAIN_CAP, F.col("q_bp")))
+        .cast("long")
+        .alias("min_kept_q_bp"),
+    )

@@ -419,3 +419,148 @@ def q_mlprep_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: AUC audit: coarse integer model score (heavy ties exercise the
+#: midrank half of the Mann-Whitney statistic).
+AUC_SCORE_DIV = 50_000
+
+
+@query(
+    "auc_rank_audit",
+    oracle=f"""
+    WITH lab AS MATERIALIZED (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) // {AUC_SCORE_DIV} AS s,
+             CASE WHEN o_totalprice > {TE_PRICE_CUT} THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), per AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS np,
+             CAST(count(*) - sum(y) AS BIGINT) AS nn
+      FROM lab GROUP BY s
+    ), cum AS (
+      SELECT s, np, nn,
+             COALESCE(sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM per
+    ), agg AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             sum(CAST(np AS HUGEINT) * (2 * below) + CAST(np AS HUGEINT) * nn)
+               AS two_u
+      FROM cum
+    )
+    SELECT n_pos, n_neg, CAST(two_u AS BIGINT) AS two_u,
+           CAST(two_u * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+                AS BIGINT) AS auc_ppm
+    FROM agg
+    """,
+)
+def q_auc_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a coarse integer model score against the
+    "big order" label, via the Mann-Whitney rank-sum identity
+    AUC = (#concordant + ½·#tied) / (n_pos·n_neg) — the evaluation
+    every trained quality/contamination classifier gets before its
+    scores gate a corpus. Everything is integer: per-score positive/
+    negative counts, a running below-count, and
+    2U = Σ_s np(s)·(2·neg_below(s) + nn(s)), reported with
+    auc_ppm = ⌊10⁶·2U / (2·n_pos·n_neg)⌋.
+
+    Plan: one hash-aggregate to ≤|distinct scores| rows (map-side
+    partials over the scan), then a global running window over that
+    bounded aggregate (scores are price DIV {AUC_SCORE_DIV} — the
+    group count is bounded by the price range, not the row count) and
+    a 1-row fold. Products are DECIMAL(38,0)/HUGEINT so n ~ 10¹²
+    rows cannot overflow (np·below ≤ n² = 10²⁴, ×10⁶ = 10³⁰ < 10³⁸).
+    The ties path is exercised for real: {AUC_SCORE_DIV}-unit buckets
+    put thousands of orders on each score."""
+    lab = table(spark, sf_dir, "orders").select(
+        F.expr(f"CAST(floor(o_totalprice) AS BIGINT) DIV {AUC_SCORE_DIV}").alias("s"),
+        F.when(F.col("o_totalprice") > TE_PRICE_CUT, 1).otherwise(0).alias("y"),
+    )
+    from pyspark.sql import Window
+
+    per = lab.groupBy("s").agg(
+        F.sum("y").cast("long").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nn"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.withColumn("below", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    agg = cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.expr(
+            "sum(CAST(np AS DECIMAL(38,0)) * (2 * below)"
+            " + CAST(np AS DECIMAL(38,0)) * nn)"
+        ).alias("two_u_w"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.col("two_u_w").cast("long").alias("two_u"),
+        F.expr(
+            "CAST(two_u_w * 1000000"
+            " DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+#: Contrastive sampling geometry: anchors are a deterministic residue
+#: gate; each anchor draws the K hash-smallest negatives from documents
+#: of OTHER sources (in-batch negatives must never share the anchor's
+#: source, the standard false-negative guard).
+NEG_ANCHOR_MOD = 101
+NEG_K = 4
+
+
+@query(
+    "contrastive_negatives",
+    oracle=f"""
+    WITH anch AS MATERIALIZED (
+      SELECT doc_id AS anchor_id, source AS a_source FROM documents
+      WHERE doc_id % {NEG_ANCHOR_MOD} = 0
+    ), scored AS (
+      SELECT a.anchor_id, d.doc_id AS neg_id,
+             {_sql_hash_u32("CAST(a.anchor_id AS VARCHAR) || '_' || CAST(d.doc_id AS VARCHAR)", "neg")} AS h
+      FROM anch a JOIN documents d ON d.source <> a.a_source
+    )
+    SELECT anchor_id, neg_id, h, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY h, neg_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {NEG_K}
+    """,
+)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor document draws the {NEG_K} hash-smallest negatives from
+    documents of a DIFFERENT source (hash = md5-u32 of
+    "anchor_docid", so the draw is a reproducible pseudo-random sample
+    — reruns and backfills pick identical negatives, and no RNG state
+    crosses engines).
+
+    Plan: the anchor set (a residue gate, |docs|/{NEG_ANCHOR_MOD})
+    broadcasts over the corpus scan — the ann_bruteforce shape; the
+    per-anchor top-{NEG_K} is a window partitioned BY ANCHOR, never
+    global. At 100 TB anchors are a training batch (thousands), the
+    candidate pool streams once."""
+    docs = table(spark, sf_dir, "documents")
+    anch = docs.filter(F.col("doc_id") % NEG_ANCHOR_MOD == 0).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("a_source")
+    )
+    from pyspark.sql import Window
+
+    scored = docs.join(
+        F.broadcast(anch), F.col("source") != F.col("a_source")
+    ).select(
+        "anchor_id",
+        F.col("doc_id").alias("neg_id"),
+        _hash_u32(
+            F.concat_ws("_", F.col("anchor_id"), F.col("doc_id")), "neg"
+        ).alias("h"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NEG_K)
+        .select("anchor_id", "neg_id", "h", "rnk")
+    )

@@ -1533,3 +1533,66 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "margin_e6",
         )
     )
+
+
+@query(
+    "semdedup_keep_verdicts",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id, label, embedding,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % ((count(*) OVER (PARTITION BY label) + {EMBED_CELL_CAP - 1}) // {EMBED_CELL_CAP}) AS sub
+      FROM embeddings
+    ), pairs AS MATERIALIZED (
+      SELECT a.vec_id AS lo, b.vec_id AS hi,
+             {_sql_cos_u('a.embedding', 'b.embedding')} AS cos_u
+      FROM c a
+      JOIN c b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+      WHERE {_sql_cos_u('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS_U}
+    ), members AS (
+      SELECT lo AS vec_id FROM pairs UNION SELECT hi FROM pairs
+    )
+    SELECT m.vec_id,
+           CAST(count(p.lo) AS BIGINT) AS n_dup_lower,
+           CAST(COALESCE(max(p.cos_u), 0) AS BIGINT) AS max_cos_u_lower,
+           count(p.lo) = 0 AS keep
+    FROM members m
+    LEFT JOIN pairs p ON p.hi = m.vec_id
+    GROUP BY m.vec_id
+    """,
+)
+def q_semdedup_keep_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style greedy keep/drop verdicts (Abbas et al., 2023,
+    arXiv:2303.09540): within each quantizer cell, a document is
+    DROPPED when its cosine to any LOWER-ID document of the same cell
+    exceeds the near-dup threshold — i.e. each semantic-duplicate
+    group keeps exactly its lowest-id member, the paper's
+    "keep one random representative per cluster-dup group" rule made
+    deterministic. Verdicts are emitted for every doc that appears in
+    at least one near-dup pair (docs in no pair are trivially kept).
+
+    Relation to `embedding_dedup_clusters`: that query materializes
+    the full transitive clusters; this one is the per-doc keep gate a
+    pipeline actually applies (no transitive closure needed — the
+    greedy rule is a pure pair aggregate, one round, no iteration).
+
+    Plan: the capped cell self-join from `embedding_near_dup`
+    generates candidate pairs (never corpus x corpus); verdicts are
+    one hash-aggregate keyed by the higher pair member plus an outer
+    join to tag kept members. ≤2·|pairs| intermediate rows."""
+    pairs = near_dup_pairs_cell_capped(table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_a").alias("lo"), F.col("vec_b").alias("hi"), "cos_u"
+    )
+    members = (
+        pairs.select(F.col("lo").alias("vec_id"))
+        .union(pairs.select(F.col("hi").alias("vec_id")))
+        .distinct()
+    )
+    verdicts = members.join(
+        pairs, pairs["hi"] == members["vec_id"], "left"
+    ).groupBy("vec_id").agg(
+        F.count("lo").cast("long").alias("n_dup_lower"),
+        F.coalesce(F.max("cos_u"), F.lit(0)).cast("long").alias("max_cos_u_lower"),
+        (F.count("lo") == 0).alias("keep"),
+    )
+    return verdicts
