@@ -1044,39 +1044,13 @@ def q_graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "graph_edge_support",
-    oracle=f"""
-    WITH e AS MATERIALIZED ({_EDGES_SQL}),
-    tri AS (
-      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-      FROM e e1
-      JOIN e e2 ON e1.dst = e2.src
-      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
-    ), sides AS (
-      SELECT a AS src, b AS dst FROM tri
-      UNION ALL SELECT a, c FROM tri
-      UNION ALL SELECT b, c FROM tri
-    )
-    SELECT src, dst, CAST(count(*) AS BIGINT) AS support
-    FROM sides GROUP BY 1, 2
-    """,
-)
-def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-EDGE triangle support — the quantity k-truss decomposition
-    peels on (an edge is in the k-truss iff its support survives >=
-    k-2 through peeling; support is round 0 of that loop, and the
-    peel itself composes this query with the bounded-round pattern of
-    `graph_kcore_peel`). Edges in no triangle are absent (support 0).
-
-    Plan: triangles enumerate once via the degree-ordered
-    compact-forward orientation (`_triangle_counts_degree_ordered`'s
-    wedge shape, O(m^1.5) intermediate — hub-safe at 100x skew); each
-    triangle explodes to its three sides, canonicalized to the
-    original src<dst id orientation with least/greatest, then one
-    hash-agg per edge. The oracle enumerates in id orientation — same
-    triangle set, engine-independent."""
-    e = _edges(spark, sf_dir).cache()
+def _edge_support(e: DataFrame) -> DataFrame:
+    """(src, dst, support) for every edge of the src<dst set `e` that
+    sits in ≥1 triangle: degree-ordered compact-forward enumeration
+    (O(m^1.5) wedge intermediate, hub-safe), each triangle exploded to
+    its three sides canonicalized back to id orientation, one hash-agg
+    per edge. Shared by `graph_edge_support` (round 0) and the
+    `graph_ktruss_peel` rounds."""
     deg = (
         e.select(F.col("src").alias("n"))
         .unionAll(e.select(F.col("dst").alias("n")))
@@ -1120,3 +1094,110 @@ def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sides.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("support")
     )
+
+
+@query(
+    "graph_edge_support",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_EDGES_SQL}),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e1.dst = e2.src
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), sides AS (
+      SELECT a AS src, b AS dst FROM tri
+      UNION ALL SELECT a, c FROM tri
+      UNION ALL SELECT b, c FROM tri
+    )
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS support
+    FROM sides GROUP BY 1, 2
+    """,
+)
+def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support — the quantity k-truss decomposition
+    peels on (an edge is in the k-truss iff its support survives >=
+    k-2 through peeling; support is round 0 of that loop, and the
+    peel itself composes this query with the bounded-round pattern of
+    `graph_kcore_peel`). Edges in no triangle are absent (support 0).
+
+    Plan: triangles enumerate once via the degree-ordered
+    compact-forward orientation (`_triangle_counts_degree_ordered`'s
+    wedge shape, O(m^1.5) intermediate — hub-safe at 100x skew); each
+    triangle explodes to its three sides, canonicalized to the
+    original src<dst id orientation with least/greatest, then one
+    hash-agg per edge. The oracle enumerates in id orientation — same
+    triangle set, engine-independent."""
+    return _edge_support(_edges(spark, sf_dir).cache())
+
+
+def _support_sql(e: str, out: str) -> str:
+    """Oracle CTE block computing per-edge triangle support `{out}`
+    over the src<dst edge CTE `{e}` (id-oriented enumeration — same
+    triangle set as the degree-ordered Spark plan)."""
+    return f"""
+    tri_{out} AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM {e} e1
+      JOIN {e} e2 ON e1.dst = e2.src
+      JOIN {e} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), sides_{out} AS (
+      SELECT a AS src, b AS dst FROM tri_{out}
+      UNION ALL SELECT a, c FROM tri_{out}
+      UNION ALL SELECT b, c FROM tri_{out}
+    ), {out} AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS support
+      FROM sides_{out} GROUP BY 1, 2
+    )"""
+
+
+#: Truss order: an edge survives a peel round iff its support in the
+#: CURRENT surviving subgraph is ≥ KTRUSS_K − 2.
+KTRUSS_K = 4
+#: Bounded peel rounds (the `graph_kcore_peel` discipline: fixed-round
+#: over-approximation of the fixpoint, exact-checkable because the
+#: oracle unrolls the identical rounds).
+KTRUSS_ROUNDS = 2
+
+
+@query(
+    "graph_ktruss_peel",
+    oracle=f"""
+    WITH e0 AS MATERIALIZED ({_EDGES_SQL}),
+    {_support_sql('e0', 'sup0')},
+    e1 AS MATERIALIZED (
+      SELECT e0.src, e0.dst FROM e0
+      JOIN sup0 ON sup0.src = e0.src AND sup0.dst = e0.dst
+      WHERE sup0.support >= {KTRUSS_K - 2}
+    ),
+    {_support_sql('e1', 'sup1')}
+    SELECT src, dst, support FROM sup1 WHERE support >= {KTRUSS_K - 2}
+    """,
+)
+def q_graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KTRUSS_ROUNDS} rounds of k-truss peeling at k={KTRUSS_K}
+    (Cohen, 2008): each round recomputes per-edge triangle support
+    within the SURVIVING subgraph and drops edges below k−2 — the
+    cohesive-subgraph gate a graph-curation pipeline uses to keep only
+    strongly-embedded co-occurrence edges. Output: the edges alive
+    after round {KTRUSS_ROUNDS} with the support that certified them.
+    Bounded-round semantics exactly as `graph_kcore_peel`: a fixed
+    number of peels (an over-approximation of the truss fixpoint,
+    which needs O(peeling-depth) rounds), bit-exact against the
+    unrolled oracle.
+
+    Plan: each round is one degree-ordered support computation
+    (O(m^1.5) wedge bound via `_edge_support`) plus an equi-join
+    filter; the surviving edge set is `localCheckpoint`ed per round so
+    the plan stays O(1) in round count and the next round's
+    enumeration reads the materialized survivor set."""
+    cur = _edges(spark, sf_dir).localCheckpoint()
+    for _ in range(KTRUSS_ROUNDS - 1):
+        sup = _edge_support(cur)
+        cur = (
+            cur.join(sup, ["src", "dst"])
+            .filter(F.col("support") >= KTRUSS_K - 2)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return _edge_support(cur).filter(F.col("support") >= KTRUSS_K - 2)

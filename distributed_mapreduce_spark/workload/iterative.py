@@ -142,3 +142,107 @@ def q_pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in readouts[1:]:
         out = out.unionAll(r)
     return out
+
+
+#: Personalized PageRank: restart mass concentrates on one seed node
+#: (supplier 1 → bipartite node id 2); µµ-unit masses give the integer
+#: floor divisions three rounds of headroom.
+PPR_SEED_NODE = 2
+PPR_M0 = 1_000_000_000_000
+PPR_RESTART = PPR_M0 * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+PPR_ROUNDS = 3
+PPR_TOP_K = 20
+
+
+def _ppr_oracle(rounds: int) -> str:
+    ctes = [
+        _ADJ_SQL,
+        f""", m0 AS (
+          SELECT CAST({PPR_SEED_NODE} AS BIGINT) AS u,
+                 CAST({PPR_M0} AS BIGINT) AS m
+        )""",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f""", m{k} AS (
+              SELECT u, CAST(sum(m) AS BIGINT) AS m FROM (
+                SELECT a.v AS u,
+                       CAST(({PR_DAMP_NUM} * sum(m{k - 1}.m // deg.d))
+                            // {PR_DAMP_DEN} AS BIGINT) AS m
+                FROM adj a
+                JOIN m{k - 1} ON a.u = m{k - 1}.u
+                JOIN deg ON a.u = deg.u
+                GROUP BY a.v
+                UNION ALL
+                SELECT CAST({PPR_SEED_NODE} AS BIGINT),
+                       CAST({PPR_RESTART} AS BIGINT)
+              ) GROUP BY u
+            )"""
+        )
+    return (
+        "WITH "
+        + "".join(ctes)
+        + f"""
+        SELECT u, m FROM m{rounds}
+        ORDER BY m DESC, u LIMIT {PPR_TOP_K}"""
+    )
+
+
+@query("graph_ppr_seed", oracle=_ppr_oracle(PPR_ROUNDS))
+def q_graph_ppr_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a single seed (supplier 1) on the
+    supplier↔part bipartite graph, {PPR_ROUNDS} power rounds of
+    m'(v) = (85 · Σ_{{u→v}} m(u) DIV deg(u)) DIV 100, with the
+    15% restart mass re-injected at the SEED each round instead of
+    spread uniformly — the seed-relative relevance score used for
+    crawl frontier prioritization and "quality flows from trusted
+    seeds" corpus curation (the TrustRank shape). Output: the
+    top-{PPR_TOP_K} nodes by final mass.
+
+    Plan: mass lives ONLY on reached nodes — round k touches the
+    k-hop ball of the seed, not the whole graph (the frontier-sparse
+    property that makes seed-PPR cheap at 100 TB); adjacency is
+    hash-partitioned once and reused every round; per-round state is
+    `localCheckpoint`ed. Integer µµ-unit masses, floor divisions in a
+    fixed order — bit-exact vs the unrolled-CTE oracle. Final top-k is
+    TakeOrdered (per-partition heads + driver merge), not a global
+    sort."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    adj = (
+        e0.select((F.col("s") * 2).alias("u"), (F.col("p") * 2 + 1).alias("v"))
+        .unionAll(e0.select((F.col("p") * 2 + 1).alias("u"), (F.col("s") * 2).alias("v")))
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+        .persist()
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    spark_seed = spark.range(1).select(
+        F.lit(PPR_SEED_NODE).cast("long").alias("u"),
+        F.lit(PPR_M0).cast("long").alias("m"),
+    )
+    mass = spark_seed.localCheckpoint()
+    restart = spark.range(1).select(
+        F.lit(PPR_SEED_NODE).cast("long").alias("u"),
+        F.lit(PPR_RESTART).cast("long").alias("m"),
+    )
+    for _ in range(PPR_ROUNDS):
+        spread = (
+            adj.join(mass, "u")
+            .join(deg, "u")
+            .select("v", F.expr("m DIV d").cast("long").alias("share"))
+            .groupBy("v")
+            .agg(F.sum("share").alias("insum"))
+            .select(
+                F.col("v").alias("u"),
+                F.expr(f"({PR_DAMP_NUM} * insum) DIV {PR_DAMP_DEN}")
+                .cast("long")
+                .alias("m"),
+            )
+        )
+        mass = (
+            spread.unionAll(restart)
+            .groupBy("u")
+            .agg(F.sum("m").cast("long").alias("m"))
+            .localCheckpoint()
+        )
+    return mass.orderBy(F.desc("m"), "u").limit(PPR_TOP_K)
