@@ -340,3 +340,52 @@ def kmv_sketch_stream(docs: DataFrame) -> DataFrame:
     return hs.groupBy("source").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def cms_sketch_stream(docs: DataFrame) -> DataFrame:
+    """Streaming count-min sketch: keyed state is ONE bigint counter
+    per touched (row, bucket) grid cell — the additive-merge property
+    that makes CMS the canonical streaming frequency structure (state
+    merges across micro-batches by plain addition, and across
+    partitions/streams by cell-wise addition). Emits the updated cell
+    count per touched cell per batch (update mode). Certified in
+    tests/test_streaming.py: the final per-cell state on a closed
+    corpus equals the batch counter grid of `cms_heavy_hitters`
+    (`workload/sketches.py`) bit-for-bit.
+
+    State is bounded by the grid geometry (≤ CMS_D·CMS_W cells) no
+    matter how many distinct terms stream past — the same compression
+    guarantee the batch plan documents."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from distributed_mapreduce_spark.workload.sketches import CMS_D, _cms_bucket
+
+    out_schema = "j integer, b bigint, c bigint"
+    state_schema = "c bigint"
+
+    def fn(key, pdfs, state):
+        (c,) = state.get if state.exists else (0,)
+        add = 0
+        for pdf in pdfs:
+            add += int(pdf["n"].sum())
+        c = int(c) + add
+        state.update((c,))
+        yield pd.DataFrame({"j": [key[0]], "b": [key[1]], "c": [c]})
+
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")).alias(
+            "term"
+        )
+    )
+    rows: DataFrame | None = None
+    for j in range(CMS_D):
+        r = toks.select(
+            F.lit(j).cast("int").alias("j"),
+            _cms_bucket(F.col("term"), j).alias("b"),
+            F.lit(1).cast("long").alias("n"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.groupBy("j", "b").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

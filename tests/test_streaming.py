@@ -1077,3 +1077,47 @@ def test_streaming_kmv_sketch_matches_batch(spark, docs_dir):
     }
     assert got == expected and len(got) == 20
     assert len(emitted) > len(got), "state must carry across micro-batches"
+
+
+def test_streaming_cms_sketch_matches_batch(spark, docs_dir):
+    """Additive-merge certification for the streaming count-min
+    sketch: after streaming the closed corpus in micro-batches, the
+    final count per touched (row, bucket) cell equals the batch
+    counter grid built with the identical md5 row hashes — CMS state
+    merges by plain addition, so a closed stream must land exactly on
+    the batch grid."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.documents_stream import (
+        cms_sketch_stream,
+        read_documents_stream,
+    )
+    from distributed_mapreduce_spark.workload.sketches import CMS_D, _cms_bucket
+
+    stream = cms_sketch_stream(
+        read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
+    )
+    run_to_memory(stream, "cms_stream", output_mode="update")
+    emitted = spark.table("cms_stream").collect()
+    # update mode: one row per touched cell per batch; counters only
+    # grow, so the final state per cell is the max emitted count
+    final: dict[tuple[int, int], int] = {}
+    for r in emitted:
+        k = (r.j, r.b)
+        final[k] = max(final.get(k, 0), r.c)
+    toks = table(spark, "/root/testdata/sf0.001", "documents").select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")
+        ).alias("term")
+    )
+    expected: dict[tuple[int, int], int] = {}
+    for j in range(CMS_D):
+        for r in (
+            toks.select(_cms_bucket(F.col("term"), j).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            expected[(j, r.b)] = r.c
+    assert final == expected
+    assert len(emitted) > len(final), "state must carry across micro-batches"
