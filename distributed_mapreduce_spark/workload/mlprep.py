@@ -564,3 +564,127 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= NEG_K)
         .select("anchor_id", "neg_id", "h", "rnk")
     )
+
+
+def _split_case_sql(key: str) -> str:
+    """train/val/test CASE over the md5 bucket of `key` (same geometry
+    as `group_split_audit`)."""
+    h = _sql_hash_u32(f"CAST({key} AS VARCHAR)", "cs")
+    return f"""CASE
+      WHEN {h} % {SPLIT_BUCKETS} < {SPLIT_TRAIN_LT} THEN 'train'
+      WHEN {h} % {SPLIT_BUCKETS} < {SPLIT_VAL_LT} THEN 'val'
+      ELSE 'test' END"""
+
+
+def _split_cluster_safe_oracle() -> str:
+    from distributed_mapreduce_spark.workload.dedup import (
+        _SQL_VERIFY_TAIL,
+        _sql_minhash_pairs,
+    )
+
+    base = _sql_minhash_pairs().replace("WITH bh", "WITH RECURSIVE bh", 1)
+    return (
+        base
+        + f", verified AS MATERIALIZED ({_SQL_VERIFY_TAIL})"
+        + f"""
+    , edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM verified
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM verified
+    ), reach(s, t) AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ), labels AS (
+      SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+      FROM reach GROUP BY s
+    ), assigned AS MATERIALIZED (
+      SELECT d.doc_id,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+             {_split_case_sql("COALESCE(l.cluster_id, d.doc_id)")} AS split
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    ), leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS leak_pairs
+      FROM verified v
+      JOIN assigned a ON a.doc_id = v.doc_a
+      JOIN assigned b ON b.doc_id = v.doc_b
+      WHERE a.split <> b.split
+    ), per AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+      FROM assigned GROUP BY split
+    )
+    SELECT split, n_docs, n_clusters, leak_pairs
+    FROM per CROSS JOIN leak
+    """
+    )
+
+
+@query("split_cluster_safe", oracle=_split_cluster_safe_oracle())
+def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split bucket is hashed
+    at the DEDUP-CLUSTER level (MinHash-LSH verified pairs → connected
+    components; singletons are their own cluster), so near-duplicate
+    documents can never straddle train and eval — the contamination
+    mode a row-hashed split silently permits (Lee et al., 2022 measure
+    exactly this train/test near-dup leakage). The audit column proves
+    it: `leak_pairs` counts verified near-dup pairs whose endpoints
+    land in different splits — 0 by construction, published as output
+    instead of trusted.
+
+    Plan: pair generation is the banded LSH self-join (bounded per
+    band key); clustering is the Pregel min-label loop with
+    `localCheckpoint`; assignment is a LEFT join of the corpus against
+    the ≤|paired docs| label relation (AQE broadcasts it) plus a pure
+    hash expression; the audit is one join of the tiny verified-pair
+    set against the assignment. Nothing quadratic, nothing global."""
+    from distributed_mapreduce_spark.workload.dedup import (
+        _verify_pairs,
+        connected_components,
+        minhash_candidate_pairs,
+        shingle_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_table(docs)
+    pairs = _verify_pairs(sh, minhash_candidate_pairs(sh)).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components(pairs)
+    bucket = _hash_u32(F.col("cluster_id").cast("string"), "cs") % SPLIT_BUCKETS
+    assigned = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "split",
+            F.when(bucket < SPLIT_TRAIN_LT, "train")
+            .when(bucket < SPLIT_VAL_LT, "val")
+            .otherwise("test"),
+        )
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    leak = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("leak_pairs")
+        )
+    )
+    per = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+    return per.crossJoin(F.broadcast(leak))

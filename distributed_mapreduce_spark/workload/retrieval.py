@@ -971,3 +971,191 @@ def q_retrieval_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rho_e6"),
         )
     )
+
+
+#: Hard-negative mining geometry: BM25 pseudo-positives (top HN_POS),
+#: hard-negative candidates at ranks HN_POS+1..HN_POS+HN_CAND, denoised
+#: by dropping candidates semantically near the rank-1 document
+#: (false negatives — the RocketQA observation that the best BM25
+#: "negatives" are often unlabeled positives).
+HN_POS = 3
+HN_CAND = 10
+HN_COS_U = 300_000
+HN_QUERY_ID = 0
+
+
+@query(
+    "retrieval_hard_negatives",
+    oracle=f"""
+    WITH {_bm25_scored_sql({HN_QUERY_ID: BM25_QUERIES[HN_QUERY_ID]})},
+    {_sql_two_stage_topk('scored', 'query_id,', HN_POS + HN_CAND, 'hn')},
+    top1 AS (
+      SELECT e.embedding AS top_emb FROM s2
+      JOIN embeddings e ON e.vec_id = s2.doc_id
+      WHERE s2.rnk = 1
+    )
+    SELECT s2.doc_id, s2.score_e9, s2.rnk,
+           {_sql_cos_u('e.embedding', 'top1.top_emb')} AS cos_to_top_u,
+           {_sql_cos_u('e.embedding', 'top1.top_emb')} < {HN_COS_U} AS kept
+    FROM s2
+    JOIN embeddings e ON e.vec_id = s2.doc_id
+    CROSS JOIN top1
+    WHERE s2.rnk > {HN_POS} AND s2.rnk <= {HN_POS + HN_CAND}
+    """,
+)
+def q_retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoised hard-negative mining for retriever training (the DPR /
+    RocketQA recipe): BM25 ranks the corpus for the query, the top
+    {HN_POS} are treated as pseudo-positives, ranks {HN_POS + 1}..
+    {HN_POS + HN_CAND} become hard-negative candidates, and each
+    candidate is DENOISED against the rank-1 document's embedding —
+    a candidate whose cosine reaches {HN_COS_U} µ is flagged as a
+    likely false negative (semantically the same content the ranker
+    just called relevant) and dropped from the training set
+    (`kept = false`, emitted so the mining yield is auditable).
+
+    Plan: BM25 scoring reuses `_bm25_scored` (term-filtered explode,
+    broadcast idf/query relations); the candidate cut is the salted
+    two-stage top-k; the denoise join touches ≤{HN_POS + HN_CAND}
+    rows against the 1-row broadcast rank-1 embedding. At 100 TB the
+    corpus passes once through scoring — everything after is
+    bounded by the candidate pool."""
+    scored = _bm25_scored(spark, sf_dir, {HN_QUERY_ID: BM25_QUERIES[HN_QUERY_ID]})
+    top = _two_stage_topk(
+        scored,
+        ["query_id"],
+        [F.col("score_e9").desc(), F.col("doc_id")],
+        HN_POS + HN_CAND,
+        "hn",
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    top1 = (
+        top.filter(F.col("rnk") == 1)
+        .join(emb, top["doc_id"] == emb["vec_id"])
+        .select(F.col("embedding").alias("top_emb"))
+    )
+    negs = (
+        top.filter(F.col("rnk") > HN_POS)
+        .join(emb, top["doc_id"] == emb["vec_id"])
+        .crossJoin(F.broadcast(top1))
+        .select(
+            "doc_id",
+            "score_e9",
+            "rnk",
+            cosine_u(F.col("embedding"), F.col("top_emb")).alias("cos_to_top_u"),
+            (
+                cosine_u(F.col("embedding"), F.col("top_emb")) < HN_COS_U
+            ).alias("kept"),
+        )
+    )
+    return negs
+
+
+#: LTR export depth: feature rows per query.
+LTR_TOP_K = 20
+
+
+@query(
+    "ltr_feature_matrix",
+    oracle=f"""
+    WITH {_bm25_scored_sql(BM25_QUERIES)},
+    {_sql_two_stage_topk('scored', 'query_id,', LTR_TOP_K, 'ltr')},
+    feats AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(count(*) AS BIGINT) AS n_match_terms,
+             CAST(sum(tf.tf) AS BIGINT) AS tf_sum,
+             CAST(max(idf.idf_e6) AS BIGINT) AS idf_max_e6
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN idf ON tf.term = idf.term
+      GROUP BY 1, 2
+    )
+    SELECT s2.query_id, s2.doc_id, s2.score_e9, s2.rnk,
+           f.n_match_terms, f.tf_sum, f.idf_max_e6, dl.dl
+    FROM s2
+    JOIN feats f ON f.query_id = s2.query_id AND f.doc_id = s2.doc_id
+    JOIN dl ON dl.doc_id = s2.doc_id
+    WHERE s2.rnk <= {LTR_TOP_K}
+    """,
+)
+def q_ltr_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank feature export: one row per (query, candidate)
+    pair in the BM25 top-{LTR_TOP_K}, carrying the classic LTR feature
+    block — BM25 score, matched-term count, total term frequency, max
+    term idf, document length — the table a ranker (LambdaMART-style)
+    trains on. Deterministic integers end-to-end, so the exported
+    matrix is reproducible run-over-run.
+
+    Plan: one scoring pass (`_bm25_scored`'s term-filtered explode);
+    per-(query, doc) features are a second aggregate over the SAME tf
+    relation — Catalyst reuses the exchange; the export joins features
+    only against the ≤queries·{LTR_TOP_K} two-stage top-k survivors,
+    never the full scored relation."""
+    docs = table(spark, sf_dir, "documents")
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id INT, term STRING",
+    )
+    tokd = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    dl = tokd.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    tf = (
+        tokd.select(
+            "doc_id",
+            F.explode(
+                F.array_intersect("toks", F.array(*[F.lit(t) for t in terms]))
+            ).alias("term"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.size(F.filter("toks", lambda x: x == F.col("term")))
+            .cast("long")
+            .alias("tf"),
+        )
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = df.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.expr(
+            "CAST((CAST(2 AS DECIMAL(38,0)) * (n_docs - df) + 1) * 1000000"
+            " DIV (2 * df + 1) AS BIGINT)"
+        ).alias("idf_e6"),
+    )
+    feats = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(idf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_match_terms"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+            F.max("idf_e6").cast("long").alias("idf_max_e6"),
+        )
+    )
+    scored = _bm25_scored(spark, sf_dir, BM25_QUERIES)
+    top = _two_stage_topk(
+        scored,
+        ["query_id"],
+        [F.col("score_e9").desc(), F.col("doc_id")],
+        LTR_TOP_K,
+        "ltr",
+    )
+    return (
+        top.join(feats, ["query_id", "doc_id"])
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "score_e9",
+            "rnk",
+            "n_match_terms",
+            "tf_sum",
+            "idf_max_e6",
+            "dl",
+        )
+    )

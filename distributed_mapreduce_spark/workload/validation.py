@@ -788,3 +788,161 @@ def q_subsample_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (n_replicas * (n_replicas - 1)) AS BIGINT)"
         ).alias("var_between_e12"),
     )
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten deletion propagation
+# ---------------------------------------------------------------------------
+
+#: Deterministic deletion gate (89 is unused by any other residue gate,
+#: so the deletion set is independent of every other family's sampling).
+RTBF_MOD = 89
+
+#: Index terms whose posting rows the cascade must erase (a fixed
+#: vocabulary slice, same device as the BM25 query terms).
+RTBF_TERMS = ("spark", "join", "hash", "window", "vector", "scan")
+
+
+@query(
+    "governance_deletion_propagation",
+    oracle=f"""
+    WITH del AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE doc_id % {RTBF_MOD} = 0
+    ), fp AS MATERIALIZED (
+      SELECT doc_id, md5(text) AS fp FROM documents
+    ), grp AS (
+      SELECT f.fp,
+             count(*) AS n_members,
+             min(f.doc_id) AS keeper,
+             sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_del,
+             min(CASE WHEN d.doc_id IS NULL THEN f.doc_id END) AS new_keeper
+      FROM fp f LEFT JOIN del d ON d.doc_id = f.doc_id
+      GROUP BY f.fp
+    ), post AS MATERIALIZED (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(list_intersect(
+                 list_filter(string_split(text, ' '), x -> x <> ''),
+                 [{", ".join(f"'{t}'" for t in RTBF_TERMS)}])) AS tok
+        FROM documents)
+    ), grp_stats AS (
+      SELECT CAST(sum(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_touched,
+             CAST(sum(CASE WHEN n_del = n_members THEN 1 ELSE 0 END)
+               AS BIGINT) AS groups_emptied,
+             CAST(sum(CASE WHEN n_del > 0 AND new_keeper IS NOT NULL
+                           AND new_keeper <> keeper THEN 1 ELSE 0 END)
+               AS BIGINT) AS keepers_reassigned
+      FROM grp
+    ), post_stats AS (
+      SELECT CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS postings_removed,
+             CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS postings_kept
+      FROM post p LEFT JOIN del d ON d.doc_id = p.doc_id
+    ), counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN doc_id % {RTBF_MOD} = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_deleted
+      FROM documents
+    ), resid AS (
+      SELECT CAST(count(*) AS BIGINT) AS residual_refs FROM (
+        SELECT p.doc_id FROM post p
+        WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.doc_id = p.doc_id)
+        UNION ALL
+        SELECT f.doc_id FROM fp f
+        WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.doc_id = f.doc_id)
+      ) s JOIN del ON del.doc_id = s.doc_id
+    )
+    SELECT n_docs, n_deleted, groups_touched, groups_emptied,
+           keepers_reassigned, postings_removed, postings_kept,
+           residual_refs
+    FROM counts CROSS JOIN grp_stats CROSS JOIN post_stats CROSS JOIN resid
+    """,
+)
+def q_governance_deletion_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: given a deletion list
+    (doc_id % {RTBF_MOD} = 0 — standing in for a GDPR/CCPA erasure
+    batch), propagate the erasure through the pipeline's derived
+    relations and PROVE completion in the output. Cascaded relations:
+    the exact-dup fingerprint index (groups whose canonical keeper is
+    erased get their keeper reassigned to the smallest surviving
+    member; groups losing every member are dropped) and the inverted
+    posting index (rows of erased docs removed). `residual_refs`
+    re-scans the post-cascade relations for any reference to a
+    deleted id — 0 by construction, published as a column instead of
+    trusted (the `group_split_audit` proof-column discipline).
+
+    Plan: the deletion list is a residue gate evaluated in-scan (no
+    separate delete table to join at scale — at 100 TB it would be a
+    broadcast Bloom/exact filter); group stats are one hash-agg over
+    the fingerprint relation; posting stats one agg over the
+    term-filtered explode. All outputs 1 row."""
+    docs = table(spark, sf_dir, "documents")
+    is_del = F.col("doc_id") % RTBF_MOD == 0
+    fp = docs.select("doc_id", F.md5("text").alias("fp"), is_del.alias("d"))
+    grp = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("keeper"),
+        F.sum(F.when(F.col("d"), 1).otherwise(0)).alias("n_del"),
+        F.min(F.when(~F.col("d"), F.col("doc_id"))).alias("new_keeper"),
+    )
+    grp_stats = grp.agg(
+        F.sum(F.when(F.col("n_del") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_touched"),
+        F.sum(F.when(F.col("n_del") == F.col("n_members"), 1).otherwise(0))
+        .cast("long")
+        .alias("groups_emptied"),
+        F.sum(
+            F.when(
+                (F.col("n_del") > 0)
+                & F.col("new_keeper").isNotNull()
+                & (F.col("new_keeper") != F.col("keeper")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("keepers_reassigned"),
+    )
+    from distributed_mapreduce_spark.workload.text import _tokens
+
+    post = docs.select(
+        "doc_id",
+        is_del.alias("d"),
+        F.explode(
+            F.array_intersect(
+                _tokens(F.col("text")), F.array(*[F.lit(t) for t in RTBF_TERMS])
+            )
+        ).alias("tok"),
+    )
+    post_stats = post.agg(
+        F.sum(F.when(F.col("d"), 1).otherwise(0))
+        .cast("long")
+        .alias("postings_removed"),
+        F.sum(F.when(~F.col("d"), 1).otherwise(0))
+        .cast("long")
+        .alias("postings_kept"),
+    )
+    counts = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(is_del, 1).otherwise(0)).cast("long").alias("n_deleted"),
+    )
+    # post-cascade residual scan: survivors of both relations that are
+    # still in the deletion set — empty by construction, proven here
+    surv = (
+        post.filter(~F.col("d"))
+        .select("doc_id")
+        .unionAll(fp.filter(~F.col("d")).select("doc_id"))
+    )
+    resid = surv.agg(
+        F.sum(F.when(F.col("doc_id") % RTBF_MOD == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("residual_refs")
+    )
+    return (
+        counts.crossJoin(F.broadcast(grp_stats))
+        .crossJoin(F.broadcast(post_stats))
+        .crossJoin(F.broadcast(resid))
+    )

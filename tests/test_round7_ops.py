@@ -1,0 +1,177 @@
+"""Semantic tests for the round-7 operators — invariants that must
+hold beyond the oracle hash-equality the driver already checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.workload import QUERIES
+
+
+def test_auc_rank_audit_matches_pairwise_definition(spark, sf_dir):
+    """2U from the windowed rank-sum must equal the brute-force pairwise
+    definition 2U = Σ 2·[s_p > s_n] + [s_p = s_n] computed independently
+    over the collected scores (O(n²) is fine at sf0.001)."""
+    from distributed_mapreduce_spark.workload.mlprep import (
+        AUC_SCORE_DIV,
+        TE_PRICE_CUT,
+    )
+    from distributed_mapreduce_spark.workload.registry import table
+
+    row = QUERIES["auc_rank_audit"](spark, sf_dir).collect()[0]
+    orders = table(spark, sf_dir, "orders").select(
+        F.expr(f"CAST(floor(o_totalprice) AS BIGINT) DIV {AUC_SCORE_DIV}").alias("s"),
+        (F.col("o_totalprice") > TE_PRICE_CUT).alias("y"),
+    ).collect()
+    pos = sorted(r.s for r in orders if r.y)
+    neg = sorted(r.s for r in orders if not r.y)
+    import bisect
+
+    two_u = 0
+    for p in pos:
+        lt = bisect.bisect_left(neg, p)
+        eq = bisect.bisect_right(neg, p) - lt
+        two_u += 2 * lt + eq
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert row.two_u == two_u
+    assert 0 <= row.auc_ppm <= 1_000_000
+    assert row.auc_ppm == (1_000_000 * two_u) // (2 * len(pos) * len(neg))
+
+
+def test_contrastive_negatives_invariants(spark, sf_dir):
+    """Exactly NEG_K negatives per anchor, never sharing the anchor's
+    source, and bit-identical across runs (deterministic hash draw)."""
+    from distributed_mapreduce_spark.workload.mlprep import NEG_K
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = QUERIES["contrastive_negatives"](spark, sf_dir).collect()
+    src = {
+        r.doc_id: r.source
+        for r in table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    per_anchor: dict[int, list] = {}
+    for r in rows:
+        per_anchor.setdefault(r.anchor_id, []).append(r)
+        assert src[r.neg_id] != src[r.anchor_id], "negative shares anchor source"
+    assert all(len(v) == NEG_K for v in per_anchor.values())
+    rows2 = QUERIES["contrastive_negatives"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_corpus_domain_cap_arithmetic(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.corpus import DOMAIN_CAP
+
+    for r in QUERIES["corpus_domain_cap"](spark, sf_dir).collect():
+        assert r.n_kept <= DOMAIN_CAP
+        assert r.n_kept == min(DOMAIN_CAP, r.n_total)
+        assert r.n_kept + r.n_dropped == r.n_total
+
+
+def test_semdedup_verdicts_consistent_with_pairs(spark, sf_dir):
+    """keep ⇔ no lower-id near-dup; every pair member has a verdict row
+    and every pair's higher member is dropped."""
+    verdicts = {
+        r.vec_id: r for r in QUERIES["semdedup_keep_verdicts"](spark, sf_dir).collect()
+    }
+    pairs = QUERIES["embedding_near_dup"](spark, sf_dir).collect()
+    for p in pairs:
+        assert p.vec_a in verdicts and p.vec_b in verdicts
+        assert verdicts[p.vec_b].n_dup_lower >= 1
+        assert not verdicts[p.vec_b].keep
+    for v in verdicts.values():
+        assert v.keep == (v.n_dup_lower == 0)
+
+
+def test_ktruss_peel_monotone_and_thresholded(spark, sf_dir):
+    """Survivors carry support ≥ k−2 and are a subset of the round-0
+    support-qualified edges (peeling only removes)."""
+    from distributed_mapreduce_spark.workload.graph import KTRUSS_K
+
+    final = QUERIES["graph_ktruss_peel"](spark, sf_dir).collect()
+    sup0 = {
+        (r.src, r.dst): r.support
+        for r in QUERIES["graph_edge_support"](spark, sf_dir).collect()
+    }
+    for r in final:
+        assert r.support >= KTRUSS_K - 2
+        # an edge alive after peeling was support-qualified in round 0,
+        # and peeling cannot INCREASE support
+        assert sup0[(r.src, r.dst)] >= KTRUSS_K - 2
+        assert r.support <= sup0[(r.src, r.dst)]
+
+
+def test_ppr_seed_mass_conservation(spark, sf_dir):
+    """Masses positive, the seed stays ranked (restart re-injection),
+    and no node's mass exceeds the total injected mass."""
+    from distributed_mapreduce_spark.workload.iterative import (
+        PPR_M0,
+        PPR_RESTART,
+        PPR_ROUNDS,
+        PPR_SEED_NODE,
+    )
+
+    rows = QUERIES["graph_ppr_seed"](spark, sf_dir).collect()
+    injected = PPR_M0 + PPR_ROUNDS * PPR_RESTART
+    assert all(r.m > 0 for r in rows)
+    assert any(r.u == PPR_SEED_NODE for r in rows), "seed must rank"
+    assert max(r.m for r in rows) <= injected
+    # descending by mass with id tiebreak
+    key = [(-r.m, r.u) for r in rows]
+    assert key == sorted(key)
+
+
+def test_hard_negatives_rank_window_and_denoise_flag(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.retrieval import (
+        HN_CAND,
+        HN_COS_U,
+        HN_POS,
+    )
+
+    rows = QUERIES["retrieval_hard_negatives"](spark, sf_dir).collect()
+    assert len(rows) == HN_CAND
+    for r in rows:
+        assert HN_POS < r.rnk <= HN_POS + HN_CAND
+        assert r.kept == (r.cos_to_top_u < HN_COS_U)
+
+
+def test_ltr_features_agree_with_bm25_ranking(spark, sf_dir):
+    """The feature matrix's (query, doc, score, rnk) must agree with
+    bm25_top_docs on the common prefix, and features must be sane."""
+    from distributed_mapreduce_spark.workload.retrieval import BM25_TOP_K
+
+    feats = QUERIES["ltr_feature_matrix"](spark, sf_dir).collect()
+    top = {
+        (r.query_id, r.doc_id): (r.score_e9, r.rnk)
+        for r in QUERIES["bm25_top_docs"](spark, sf_dir).collect()
+    }
+    seen = 0
+    for r in feats:
+        assert r.n_match_terms >= 1 and r.tf_sum >= r.n_match_terms
+        assert r.dl > 0 and r.idf_max_e6 > 0
+        if (r.query_id, r.doc_id) in top:
+            assert top[(r.query_id, r.doc_id)] == (r.score_e9, r.rnk)
+            seen += 1
+    assert seen == len(top), "every bm25 top row appears in the matrix"
+    assert len(feats) >= seen
+    _ = BM25_TOP_K  # geometry sanity: matrix depth >= bm25 depth
+    assert max(r.rnk for r in feats) <= 20
+
+
+def test_split_cluster_safe_no_leakage_and_total(spark, sf_dir):
+    rows = QUERIES["split_cluster_safe"](spark, sf_dir).collect()
+    assert all(r.leak_pairs == 0 for r in rows)
+    assert sum(r.n_docs for r in rows) == 500
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
+def test_deletion_propagation_proof_columns(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.registry import table
+    from distributed_mapreduce_spark.workload.validation import RTBF_MOD
+
+    row = QUERIES["governance_deletion_propagation"](spark, sf_dir).collect()[0]
+    docs = table(spark, sf_dir, "documents")
+    n_del = docs.filter(F.col("doc_id") % RTBF_MOD == 0).count()
+    assert row.residual_refs == 0
+    assert row.n_deleted == n_del
+    assert row.groups_emptied <= row.groups_touched
+    assert row.keepers_reassigned <= row.groups_touched

@@ -95,7 +95,24 @@ FAMILIES = [
     # shuffle on the exact-audit side; price values are replica-
     # invariant so the sketch shape is identical at every factor.
     "quantile_grid_sketch_audit",
+    # round-7: two peel rounds of degree-ordered triangle support over
+    # the replica-disjoint co-occurrence graphs — the heaviest new
+    # iterative join pipeline (2x the O(m^1.5) wedge enumeration per
+    # run, localCheckpoint between rounds).
+    "graph_ktruss_peel",
+    # round-7: per-source top-N quality cap — scan-wide columnar quality
+    # signal plus a window shuffle keyed on the 20 fixed sources (the
+    # coarse-key skew case: per-source partitions grow with factor).
+    "corpus_domain_cap",
 ]
+# NOT here by design: `contrastive_negatives` pairs anchors x pool, so
+# replication grows the candidate set quadratically (more anchors AND a
+# bigger pool) — a different problem than engine scaling, same reason
+# bm25/rrf are excluded. `graph_ppr_seed` keeps its mass inside replica
+# 0's component (seed id is not replicated), so a scaled run would
+# measure adjacency-build scan cost, not the iteration. `auc_rank_audit`
+# and `semdedup_keep_verdicts` read orders/embeddings, which the scaled
+# corpus does not replicate.
 
 #: Second-decade (x100) families — every family carries both decades.
 X100_FAMILIES = list(FAMILIES)
