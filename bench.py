@@ -90,6 +90,15 @@ HEADLINE = [
     "dsir_importance_weights",
     "dedup_exact_substring_strip",
     "retrieval_prf_expansion",
+    # round-7 additions: truss peel + seed PPR (iterative graph),
+    # denoised hard-negative mining (retrieval x embedding compose),
+    # exact AUC (ranking eval), per-source cap, SemDeDup verdicts
+    "graph_ktruss_peel",
+    "graph_ppr_seed",
+    "retrieval_hard_negatives",
+    "auc_rank_audit",
+    "corpus_domain_cap",
+    "semdedup_keep_verdicts",
 ]
 
 

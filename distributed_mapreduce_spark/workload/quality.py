@@ -674,3 +674,75 @@ def q_quality_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("n_tokens"))
         ).cast("long").alias("p90_tokens"),
     )
+
+
+#: Rank-blend selection depth.
+RANK_BLEND_TOP = 10
+
+
+@query(
+    "quality_rank_blend",
+    oracle=f"""
+    WITH sig AS MATERIALIZED (
+      SELECT doc_id,
+             {_sql_bp(_sql_count_in(_sql_tokens('text'), STOPWORDS),
+                      f"len({_sql_tokens('text')})")} AS stop_bp,
+             {_sql_bp("length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))",
+                      'length(text)')} AS punct_bp
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, stop_bp, punct_bp,
+             CAST(row_number() OVER (ORDER BY stop_bp DESC, doc_id)
+               AS BIGINT) AS r_stop,
+             CAST(row_number() OVER (ORDER BY punct_bp ASC, doc_id)
+               AS BIGINT) AS r_punct
+      FROM sig
+    )
+    SELECT doc_id, stop_bp, punct_bp, r_stop, r_punct,
+           r_stop + r_punct AS blend
+    FROM ranked
+    ORDER BY blend, doc_id LIMIT {RANK_BLEND_TOP}
+    """,
+)
+def q_quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile/rank-blended quality selection: two incomparable
+    quality signals (stopword ratio — higher is better; punctuation
+    ratio — lower is better) are each converted to a GLOBAL rank and
+    blended by rank sum, the scale-free way to combine signals with
+    different units (the Borda-count / rank-aggregation device; mean
+    percentile is rank sum divided by a constant, so the top set is
+    identical). Output: the top-{RANK_BLEND_TOP} blended documents.
+
+    Plan: the oracle's two global row_number windows would each be a
+    single-task global sort over raw corpus rows — the round-2 scale
+    bug. The Spark side instead computes both ranks with the
+    distributed `global_rank` primitive (range shuffle +
+    per-partition Arrow numbering + broadcast offsets), joins them on
+    doc_id, and takes the final blend cut with TakeOrdered. Nothing
+    ever funnels through one task."""
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_chars = F.length(F.col("text"))
+    punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    sig = docs.select(
+        "doc_id",
+        _bp(_count_in(toks, STOPWORDS), F.size(toks)).alias("stop_bp"),
+        _bp(punct, n_chars).alias("punct_bp"),
+    )
+    r1 = global_rank(
+        sig, [F.col("stop_bp").desc(), F.col("doc_id")], rank_col="r_stop"
+    ).select("doc_id", "stop_bp", "punct_bp", F.col("r_stop").cast("long").alias("r_stop"))
+    r2 = global_rank(
+        sig, [F.col("punct_bp").asc(), F.col("doc_id")], rank_col="r_punct"
+    ).select("doc_id", F.col("r_punct").cast("long").alias("r_punct"))
+    blended = r1.join(r2, "doc_id").select(
+        "doc_id",
+        "stop_bp",
+        "punct_bp",
+        "r_stop",
+        "r_punct",
+        (F.col("r_stop") + F.col("r_punct")).alias("blend"),
+    )
+    return blended.orderBy("blend", "doc_id").limit(RANK_BLEND_TOP)

@@ -1596,3 +1596,71 @@ def q_semdedup_keep_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("lo") == 0).alias("keep"),
     )
     return verdicts
+
+
+#: QA-sample stratification: cosine-decile bucket width (µ-units) and
+#: pairs drawn per bucket.
+QA_BUCKET_U = 25_000
+QA_PER_BUCKET = 2
+
+
+@query(
+    "dedup_qa_sample",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id, label, embedding,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % ((count(*) OVER (PARTITION BY label) + {EMBED_CELL_CAP - 1}) // {EMBED_CELL_CAP}) AS sub
+      FROM embeddings
+    ), pairs AS MATERIALIZED (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_sql_cos_u('a.embedding', 'b.embedding')} AS cos_u
+      FROM c a
+      JOIN c b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+      WHERE {_sql_cos_u('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS_U}
+    ), strat AS (
+      SELECT vec_a, vec_b, cos_u,
+             cos_u // {QA_BUCKET_U} AS bucket,
+             ('0x' || substr(md5('qa' || CAST(vec_a AS VARCHAR) || '_'
+                                 || CAST(vec_b AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM pairs
+    )
+    SELECT bucket, vec_a, vec_b, cos_u, rn FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY bucket
+                                        ORDER BY h, vec_a, vec_b) AS INTEGER) AS rn
+      FROM strat
+    ) WHERE rn <= {QA_PER_BUCKET}
+    """,
+)
+def q_dedup_qa_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified audit sample of near-duplicate pairs for human QA:
+    candidate pairs are bucketed by cosine band ({QA_BUCKET_U} µ wide)
+    and each band contributes its {QA_PER_BUCKET} hash-smallest pairs
+    — the reviewer sees the whole similarity spectrum (borderline
+    bands are where threshold errors live) instead of a top-k that
+    only samples the easy high-cosine end. The hash draw makes the
+    sample reproducible run-over-run — re-audits see the same pairs.
+
+    Plan: pair generation is the capped cell self-join
+    (`embedding_near_dup`); stratification adds one integer division
+    and a window PARTITIONED BY BUCKET (≤ 1e6/{QA_BUCKET_U} groups,
+    each cut to {QA_PER_BUCKET} rows). Output is ≤ 40·{QA_PER_BUCKET}
+    rows no matter the corpus size."""
+    pairs = near_dup_pairs_cell_capped(table(spark, sf_dir, "embeddings"))
+    from distributed_mapreduce_spark.workload.dedup import _hash_u32
+
+    strat = pairs.select(
+        "vec_a",
+        "vec_b",
+        "cos_u",
+        F.expr(f"cos_u DIV {QA_BUCKET_U}").alias("bucket"),
+        _hash_u32(
+            F.concat_ws("_", F.col("vec_a"), F.col("vec_b")), "qa"
+        ).alias("h"),
+    )
+    w = Window.partitionBy("bucket").orderBy("h", "vec_a", "vec_b")
+    return (
+        strat.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QA_PER_BUCKET)
+        .select("bucket", "vec_a", "vec_b", "cos_u", "rn")
+    )

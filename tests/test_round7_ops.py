@@ -175,3 +175,52 @@ def test_deletion_propagation_proof_columns(spark, sf_dir):
     assert row.n_deleted == n_del
     assert row.groups_emptied <= row.groups_touched
     assert row.keepers_reassigned <= row.groups_touched
+
+
+def test_quality_rank_blend_matches_local_recompute(spark, sf_dir):
+    """The distributed global_rank twin must equal a driver-side rank
+    computation over the same signals (total-order tiebreaks)."""
+    from distributed_mapreduce_spark.workload.quality import RANK_BLEND_TOP
+
+    got = QUERIES["quality_rank_blend"](spark, sf_dir).collect()
+    sig = {
+        r.doc_id: (r.stop_bp, r.punct_bp)
+        for r in QUERIES["text_quality_score"](spark, sf_dir)
+        .selectExpr("doc_id", "stopword_bp AS stop_bp", "punct_bp")
+        .collect()
+    }
+    by_stop = sorted(sig, key=lambda d: (-sig[d][0], d))
+    by_punct = sorted(sig, key=lambda d: (sig[d][1], d))
+    r_stop = {d: i + 1 for i, d in enumerate(by_stop)}
+    r_punct = {d: i + 1 for i, d in enumerate(by_punct)}
+    blend = sorted(sig, key=lambda d: (r_stop[d] + r_punct[d], d))[:RANK_BLEND_TOP]
+    assert [r.doc_id for r in got] == blend
+    for r in got:
+        assert (r.r_stop, r.r_punct, r.blend) == (
+            r_stop[r.doc_id],
+            r_punct[r.doc_id],
+            r_stop[r.doc_id] + r_punct[r.doc_id],
+        )
+
+
+def test_dedup_qa_sample_stratification(spark, sf_dir):
+    """≤ QA_PER_BUCKET pairs per cosine band, every sampled pair is a
+    real near-dup pair with the same cosine, and the draw repeats."""
+    from distributed_mapreduce_spark.workload.similarity import (
+        QA_BUCKET_U,
+        QA_PER_BUCKET,
+    )
+
+    rows = QUERIES["dedup_qa_sample"](spark, sf_dir).collect()
+    pairs = {
+        (r.vec_a, r.vec_b): r.cos_u
+        for r in QUERIES["embedding_near_dup"](spark, sf_dir).collect()
+    }
+    per_bucket: dict[int, int] = {}
+    for r in rows:
+        per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + 1
+        assert pairs[(r.vec_a, r.vec_b)] == r.cos_u
+        assert r.bucket == r.cos_u // QA_BUCKET_U
+    assert all(v <= QA_PER_BUCKET for v in per_bucket.values())
+    rows2 = QUERIES["dedup_qa_sample"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
