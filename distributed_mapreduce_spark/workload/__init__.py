@@ -63,6 +63,15 @@ from distributed_mapreduce_spark.workload import importance  # noqa: F401,E402
 # WITH RECURSIVE — verbatim-SQL engine surface) replaces
 # `text_token_count` (text keeps quality/lang-id/split/PII rows).
 # Rotated-out queries stay registered + sf0.1-certified.
+#
+# Round-7 swap: `auc_rank_audit` (the new ranking-eval family — exact
+# Mann-Whitney AUC) replaces `approx_percentile_prices` (approx family
+# keeps `approx_distinct_counts`); `retrieval_hard_negatives` (the
+# retrieval x embedding denoised-mining compose, a genuinely new plan
+# shape) replaces `text_split_assign` (text keeps quality/lang-id/PII
+# rows; split semantics are now additionally graded at sf0.1 by the
+# stronger `split_cluster_safe`). Rotated-out queries stay registered
+# + sf0.1-certified.
 
 # The grading driver samples the FIRST 50 registered queries. Pin that
 # prefix EXPLICITLY: SURVEY §2 parity + one green representative per
@@ -77,7 +86,7 @@ _PREFIX = [
     "grep_count", "grep_per_machine", "filter_min_arity", "project_column",
     "normalize_empty", "sanitize_key", "group_count", "wordcount",
     "pct_by_group", "agg_q1", "distinct_values", "approx_distinct_counts",
-    "approx_percentile_prices", "join_inner", "join_semi", "join_anti",
+    "auc_rank_audit", "join_inner", "join_semi", "join_anti",
     "join_multiway", "window_rank", "window_running", "topk",
     "union_distinct", "partition_hash_assign", "maplejuice_exe_pipeline",
     "partition_rows_scalable", "partition_range_assign", "dedup_exact",
@@ -86,7 +95,7 @@ _PREFIX = [
     "retrieval_rrf_fusion", "multimodal_decode_errors",
     "sql_recursive_hierarchy_rollup",
     "text_quality_score", "text_lang_id", "target_encode_loo",
-    "tokenizer_bpe_merges", "text_split_assign", "text_scrub_pii",
+    "tokenizer_bpe_merges", "retrieval_hard_negatives", "text_scrub_pii",
     "maplejuice_flagship", "dsir_importance_weights", "pagerank_converge",
     "decontam_ngram_overlap",
 ]
