@@ -192,10 +192,14 @@ _BOUNDING_ANCESTORS = (
     "TakeOrderedAndProject",
 )
 
-#: Rank-function aliases inside a Window node's function list — the
-#: only window outputs whose `<= k` filter bounds row count.
+#: row_number aliases inside a Window node's function list — the ONLY
+#: window output whose `<= k` filter bounds row count (rank() and
+#: dense_rank() assign 1 to every tied row, so a `rank <= k` filter can
+#: keep arbitrarily many rows; percent_rank bounds nothing). The
+#: lookbehind stops `percent_rank()`/`dense_rank()` from matching via a
+#: substring.
 _RANK_ALIAS_RE = re.compile(
-    r"(?:row_number|rank|dense_rank)\(\).*? AS ([A-Za-z_]\w*#\d+)"
+    r"(?<![\w.])row_number\(\).*? AS ([A-Za-z_]\w*#\d+)"
 )
 
 
@@ -294,7 +298,7 @@ def _leaves_covered(sub: list[str]) -> bool:
                     if groups and _window_is_partitioned(groups):
                         rank_aliases.extend(_RANK_ALIAS_RE.findall(groups[0]))
                 elif aj.startswith("Filter ") and any(
-                    re.search(re.escape(a) + r" (?:<=?|=) \d+", aj)
+                    re.search(r"(?<!\w)" + re.escape(a) + r" (?:<=?|=) \d+", aj)
                     for a in rank_aliases
                 ):
                     covered = True

@@ -123,6 +123,21 @@ def _triangle_counts_degree_ordered(e: DataFrame) -> DataFrame:
     A packed deg·2³² + id long would silently collide for ids or
     degrees ≥ 2³² and corrupt the orientation; struct ordering is
     collision-free at any scale and stays whole-stage-codegen'd."""
+    tri = _oriented_triangles(e)
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _oriented_triangles(e: DataFrame) -> DataFrame:
+    """(x, y, z) triangle enumeration of the src<dst edge set `e` in
+    the compact-forward degree ordering — each triangle exactly once,
+    materialized at its lowest-(deg, id) corner x. The single shared
+    implementation behind `graph_triangles_degree_ordered`,
+    `_edge_support` and every truss round (the struct-key orientation
+    fix must live in exactly one place)."""
     deg = (
         e.select(F.col("src").alias("n"))
         .unionAll(e.select(F.col("dst").alias("n")))
@@ -152,12 +167,7 @@ def _triangle_counts_degree_ordered(e: DataFrame) -> DataFrame:
         b, (F.col("a.u") == F.col("b.u")) & (F.col("a.kv") < F.col("b.kv"))
     ).select(F.col("a.u").alias("x"), F.col("a.v").alias("y"), F.col("b.v").alias("z"))
     closing = fwd.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    tri = wedges.join(closing, ["y", "z"])
-    return (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    return wedges.join(closing, ["y", "z"])
 
 
 @query(
@@ -1047,38 +1057,11 @@ def q_graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame
 def _edge_support(e: DataFrame) -> DataFrame:
     """(src, dst, support) for every edge of the src<dst set `e` that
     sits in ≥1 triangle: degree-ordered compact-forward enumeration
-    (O(m^1.5) wedge intermediate, hub-safe), each triangle exploded to
-    its three sides canonicalized back to id orientation, one hash-agg
-    per edge. Shared by `graph_edge_support` (round 0) and the
-    `graph_ktruss_peel` rounds."""
-    deg = (
-        e.select(F.col("src").alias("n"))
-        .unionAll(e.select(F.col("dst").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    keyed = (
-        e.join(deg.withColumnsRenamed({"n": "src", "d": "ds"}), "src")
-        .join(deg.withColumnsRenamed({"n": "dst", "d": "dd"}), "dst")
-        .select(
-            "src",
-            "dst",
-            F.struct(F.col("ds").alias("d"), F.col("src").alias("i")).alias("ks"),
-            F.struct(F.col("dd").alias("d"), F.col("dst").alias("i")).alias("kd"),
-        )
-    )
-    fwd = keyed.select(
-        F.when(F.col("ks") < F.col("kd"), F.col("src")).otherwise(F.col("dst")).alias("u"),
-        F.when(F.col("ks") < F.col("kd"), F.col("dst")).otherwise(F.col("src")).alias("v"),
-        F.greatest("ks", "kd").alias("kv"),
-    )
-    a = fwd.alias("a")
-    b = fwd.alias("b")
-    wedges = a.join(
-        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.kv") < F.col("b.kv"))
-    ).select(F.col("a.u").alias("x"), F.col("a.v").alias("y"), F.col("b.v").alias("z"))
-    closing = fwd.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    tri = wedges.join(closing, ["y", "z"])
+    (`_oriented_triangles`, O(m^1.5) wedge intermediate, hub-safe),
+    each triangle exploded to its three sides canonicalized back to id
+    orientation, one hash-agg per edge. Shared by `graph_edge_support`
+    (round 0) and the `graph_ktruss_peel` rounds."""
+    tri = _oriented_triangles(e)
     side = lambda p, q: F.struct(  # noqa: E731
         F.least(p, q).alias("src"), F.greatest(p, q).alias("dst")
     )
@@ -1100,7 +1083,7 @@ def _edge_support(e: DataFrame) -> DataFrame:
     "graph_edge_support",
     oracle=f"""
     WITH e AS MATERIALIZED ({_EDGES_SQL}),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       FROM e e1
       JOIN e e2 ON e1.dst = e2.src
@@ -1134,9 +1117,11 @@ def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _support_sql(e: str, out: str) -> str:
     """Oracle CTE block computing per-edge triangle support `{out}`
     over the src<dst edge CTE `{e}` (id-oriented enumeration — same
-    triangle set as the degree-ordered Spark plan)."""
+    triangle set as the degree-ordered Spark plan). tri_{out} is
+    MATERIALIZED: sides_{out} references it three times, and DuckDB
+    re-evaluates an inlined CTE per reference."""
     return f"""
-    tri_{out} AS (
+    tri_{out} AS MATERIALIZED (
       SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       FROM {e} e1
       JOIN {e} e2 ON e1.dst = e2.src
@@ -1160,20 +1145,29 @@ KTRUSS_K = 4
 KTRUSS_ROUNDS = 2
 
 
-@query(
-    "graph_ktruss_peel",
-    oracle=f"""
-    WITH e0 AS MATERIALIZED ({_EDGES_SQL}),
-    {_support_sql('e0', 'sup0')},
-    e1 AS MATERIALIZED (
-      SELECT e0.src, e0.dst FROM e0
-      JOIN sup0 ON sup0.src = e0.src AND sup0.dst = e0.dst
-      WHERE sup0.support >= {KTRUSS_K - 2}
-    ),
-    {_support_sql('e1', 'sup1')}
-    SELECT src, dst, support FROM sup1 WHERE support >= {KTRUSS_K - 2}
-    """,
-)
+def _ktruss_oracle(rounds: int) -> str:
+    """Unrolled peel oracle generated FROM the same constant the Spark
+    loop runs on (the `_pagerank_oracle` discipline — a hand-unrolled
+    literal would silently desynchronize if KTRUSS_ROUNDS changed)."""
+    parts = [f"WITH e0 AS MATERIALIZED ({_EDGES_SQL}),", _support_sql("e0", "sup0")]
+    for r in range(1, rounds):
+        parts.append(
+            f""", e{r} AS MATERIALIZED (
+      SELECT e{r - 1}.src, e{r - 1}.dst FROM e{r - 1}
+      JOIN sup{r - 1} ON sup{r - 1}.src = e{r - 1}.src
+                     AND sup{r - 1}.dst = e{r - 1}.dst
+      WHERE sup{r - 1}.support >= {KTRUSS_K - 2}
+    ),"""
+        )
+        parts.append(_support_sql(f"e{r}", f"sup{r}"))
+    parts.append(
+        f"\n    SELECT src, dst, support FROM sup{rounds - 1}"
+        f" WHERE support >= {KTRUSS_K - 2}"
+    )
+    return "".join(parts)
+
+
+@query("graph_ktruss_peel", oracle=_ktruss_oracle(KTRUSS_ROUNDS))
 def q_graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{KTRUSS_ROUNDS} rounds of k-truss peeling at k={KTRUSS_K}
     (Cohen, 2008): each round recomputes per-edge triangle support

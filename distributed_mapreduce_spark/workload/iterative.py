@@ -85,6 +85,25 @@ def _pagerank_oracle(iters: int) -> str:
     return "WITH " + "".join(ctes) + "\n" + union
 
 
+def _bipartite_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier↔part bipartite adjacency shared by every iterative
+    query in this module (`_ADJ_SQL`'s Spark twin — one definition so
+    the node-id encoding can never diverge between PageRank and PPR):
+    distinct lineitem edges, supplier node 2s / part node 2p+1, both
+    directions, hash-partitioned on the source node and persisted so
+    every iteration reuses the partitioning."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    return (
+        e0.select((F.col("s") * 2).alias("u"), (F.col("p") * 2 + 1).alias("v"))
+        .unionAll(e0.select((F.col("p") * 2 + 1).alias("u"), (F.col("s") * 2).alias("v")))
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+        .persist()
+    )
+
+
 @query("pagerank_converge", oracle=_pagerank_oracle(PR_ITERS))
 def q_pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped integer PageRank on the supplier↔part bipartite graph
@@ -97,14 +116,7 @@ def q_pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass'(v) = BASE + (85 · Σ_{u→v} mass(u) DIV deg(u)) DIV 100 —
     all integer floor arithmetic, matching the unrolled-CTE oracle
     bit-for-bit."""
-    li = table(spark, sf_dir, "lineitem")
-    e0 = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
-    adj = (
-        e0.select((F.col("s") * 2).alias("u"), (F.col("p") * 2 + 1).alias("v"))
-        .unionAll(e0.select((F.col("p") * 2 + 1).alias("u"), (F.col("s") * 2).alias("v")))
-        .repartition(spark.sparkContext.defaultParallelism, "u")
-        .persist()
-    )
+    adj = _bipartite_adj(spark, sf_dir)
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     mass = deg.select("u", F.lit(PR_M0).cast("long").alias("m")).localCheckpoint()
 
@@ -207,14 +219,7 @@ def q_graph_ppr_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed order — bit-exact vs the unrolled-CTE oracle. Final top-k is
     TakeOrdered (per-partition heads + driver merge), not a global
     sort."""
-    li = table(spark, sf_dir, "lineitem")
-    e0 = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
-    adj = (
-        e0.select((F.col("s") * 2).alias("u"), (F.col("p") * 2 + 1).alias("v"))
-        .unionAll(e0.select((F.col("p") * 2 + 1).alias("u"), (F.col("s") * 2).alias("v")))
-        .repartition(spark.sparkContext.defaultParallelism, "u")
-        .persist()
-    )
+    adj = _bipartite_adj(spark, sf_dir)
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     spark_seed = spark.range(1).select(
         F.lit(PPR_SEED_NODE).cast("long").alias("u"),

@@ -469,10 +469,14 @@ def q_auc_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials over the scan), then a global running window over that
     bounded aggregate (scores are price DIV {AUC_SCORE_DIV} — the
     group count is bounded by the price range, not the row count) and
-    a 1-row fold. Products are DECIMAL(38,0)/HUGEINT so n ~ 10¹²
-    rows cannot overflow (np·below ≤ n² = 10²⁴, ×10⁶ = 10³⁰ < 10³⁸).
-    The ties path is exercised for real: {AUC_SCORE_DIV}-unit buckets
-    put thousands of orders on each score."""
+    a 1-row fold. The INTERNAL products and auc_ppm are
+    DECIMAL(38,0)/HUGEINT-safe to n ~ 10¹² rows (np·below ≤ n² =
+    10²⁴, ×10⁶ = 10³⁰ < 10³⁸); the emitted `two_u` AUDIT column is a
+    BIGINT and overflows past n ≈ 4·10⁹ — at that scale read
+    `auc_ppm` (always ≤ 10⁶) and drop `two_u`, whose only purpose is
+    the harness's independent pairwise recount. The ties path is
+    exercised for real: {AUC_SCORE_DIV}-unit buckets put thousands of
+    orders on each score."""
     lab = table(spark, sf_dir, "orders").select(
         F.expr(f"CAST(floor(o_totalprice) AS BIGINT) DIV {AUC_SCORE_DIV}").alias("s"),
         F.when(F.col("o_totalprice") > TE_PRICE_CUT, 1).otherwise(0).alias("y"),
@@ -672,13 +676,14 @@ def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = assigned.select(
         F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
     )
+    # count(when(...)) never returns NULL — on a pair-free corpus the
+    # oracle's count(*) is 0, and sum(when/otherwise) over zero rows
+    # would be NULL and hash-mismatch
     leak = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .agg(
-            F.sum(
-                F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
-            )
+            F.count(F.when(F.col("split_a") != F.col("split_b"), F.lit(1)))
             .cast("long")
             .alias("leak_pairs")
         )

@@ -110,17 +110,17 @@ def _two_stage_topk(
     )
 
 
-def _bm25_scored(
+def _bm25_relations(
     spark: SparkSession,
     sf_dir: str,
     queries: dict[int, tuple[str, ...]],
     divisors: dict[tuple[int, str], int] | None = None,
-) -> DataFrame:
-    """(query_id, doc_id, score_e9) for every doc matching ≥1 term.
-
-    `divisors` optionally down-weights individual (query, term) pairs:
-    that term's integer score is further truncated by `DIV gdiv`
-    (PRF expansion terms use {PRF_GDIV}; original terms stay at 1)."""
+) -> dict[str, DataFrame]:
+    """The BM25 building-block relations — q (query terms + gdiv),
+    dl (doc lengths), tot (1-row totals), tf (term-filtered per-doc
+    frequencies), idf (per-term integer surrogate) — exposed as ONE
+    implementation so the scorer (`_bm25_scored`) and the feature
+    export (`ltr_feature_matrix`) can never drift apart."""
     docs = table(spark, sf_dir, "documents")
     terms = sorted({t for ts in queries.values() for t in ts})
     q = spark.createDataFrame(
@@ -165,11 +165,27 @@ def _bm25_scored(
             " DIV (2 * df + 1) AS BIGINT)"
         ).alias("idf_e6"),
     )
+    return {"q": q, "dl": dl, "tot": tot, "tf": tf, "idf": idf}
+
+
+def _bm25_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: dict[int, tuple[str, ...]],
+    divisors: dict[tuple[int, str], int] | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score_e9) for every doc matching ≥1 term.
+
+    `divisors` optionally down-weights individual (query, term) pairs:
+    that term's integer score is further truncated by `DIV gdiv`
+    (PRF expansion terms use {PRF_GDIV}; original terms stay at 1)."""
+    r = _bm25_relations(spark, sf_dir, queries, divisors)
     return (
-        tf.join(F.broadcast(idf), "term")
-        .join(F.broadcast(q), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(tot))
+        r["tf"]
+        .join(F.broadcast(r["idf"]), "term")
+        .join(F.broadcast(r["q"]), "term")
+        .join(r["dl"], "doc_id")
+        .crossJoin(F.broadcast(r["tot"]))
         .select(
             "query_id",
             "doc_id",
@@ -246,7 +262,7 @@ def _sql_two_stage_topk(scored: str, part: str, k: int, salt_tag: str) -> str:
                                    ORDER BY score_e9 DESC, doc_id) AS r1
       FROM salted
     ),
-    s2 AS (
+    s2 AS MATERIALIZED (
       SELECT * EXCLUDE (r1, _salt),
              CAST(row_number() OVER ({over2}) AS INTEGER) AS rnk
       FROM s1 WHERE r1 <= {k}
@@ -1088,48 +1104,16 @@ def q_ltr_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one scoring pass (`_bm25_scored`'s term-filtered explode);
     per-(query, doc) features are a second aggregate over the SAME tf
-    relation — Catalyst reuses the exchange; the export joins features
-    only against the ≤queries·{LTR_TOP_K} two-stage top-k survivors,
-    never the full scored relation."""
-    docs = table(spark, sf_dir, "documents")
-    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
-    q = spark.createDataFrame(
-        [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
-        "query_id INT, term STRING",
-    )
-    tokd = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    dl = tokd.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    tot = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_len"),
-    )
-    tf = (
-        tokd.select(
-            "doc_id",
-            F.explode(
-                F.array_intersect("toks", F.array(*[F.lit(t) for t in terms]))
-            ).alias("term"),
-            F.col("toks"),
-        )
-        .select(
-            "doc_id",
-            "term",
-            F.size(F.filter("toks", lambda x: x == F.col("term")))
-            .cast("long")
-            .alias("tf"),
-        )
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    idf = df.crossJoin(F.broadcast(tot)).select(
-        "term",
-        F.expr(
-            "CAST((CAST(2 AS DECIMAL(38,0)) * (n_docs - df) + 1) * 1000000"
-            " DIV (2 * df + 1) AS BIGINT)"
-        ).alias("idf_e6"),
-    )
+    relation (`_bm25_relations` — one implementation, so the feature
+    block can never drift from the score it joins); the export joins
+    features only against the ≤queries·{LTR_TOP_K} two-stage top-k
+    survivors, never the full scored relation."""
+    r = _bm25_relations(spark, sf_dir, BM25_QUERIES)
+    dl = r["dl"]
     feats = (
-        tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(idf), "term")
+        r["tf"]
+        .join(F.broadcast(r["q"]), "term")
+        .join(F.broadcast(r["idf"]), "term")
         .groupBy("query_id", "doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_match_terms"),

@@ -1603,6 +1603,14 @@ def q_semdedup_keep_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QA_BUCKET_U = 25_000
 QA_PER_BUCKET = 2
 
+from distributed_mapreduce_spark.workload.dedup import _sql_hash_u32  # noqa: E402
+
+#: Canonical portable hash for the QA draw — same single-source idiom
+#: as every other oracle (never re-inline first-8-hex-of-md5).
+_QA_HASH_SQL = _sql_hash_u32(
+    "CAST(vec_a AS VARCHAR) || '_' || CAST(vec_b AS VARCHAR)", "qa"
+)
+
 
 @query(
     "dedup_qa_sample",
@@ -1621,8 +1629,7 @@ QA_PER_BUCKET = 2
     ), strat AS (
       SELECT vec_a, vec_b, cos_u,
              cos_u // {QA_BUCKET_U} AS bucket,
-             ('0x' || substr(md5('qa' || CAST(vec_a AS VARCHAR) || '_'
-                                 || CAST(vec_b AS VARCHAR)), 1, 8))::BIGINT AS h
+             {_QA_HASH_SQL} AS h
       FROM pairs
     )
     SELECT bucket, vec_a, vec_b, cos_u, rn FROM (

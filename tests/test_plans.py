@@ -210,6 +210,22 @@ def test_window_audit_detects_global_window_over_raw_rows(spark, sf_dir):
         .withColumn("r2", F.row_number().over(W.orderBy("o_orderkey")))
     )
     assert unpartitioned_unbounded_windows(not_bounding) >= 1
+    # rank() assigns 1 to every tied row, so `rank <= k` keeps
+    # arbitrarily many rows — it must NOT count as bounding (only
+    # row_number does)
+    rank_not_bounding = (
+        orders.select("o_orderkey", "o_orderstatus")
+        .distinct()
+        .withColumn(
+            "rk",
+            F.rank().over(
+                W.partitionBy(F.col("o_orderkey") % 16).orderBy("o_orderstatus")
+            ),
+        )
+        .filter(F.col("rk") <= 8)
+        .withColumn("r2", F.row_number().over(W.orderBy("o_orderkey")))
+    )
+    assert unpartitioned_unbounded_windows(rank_not_bounding) >= 1
 
 
 def test_topk_avoids_global_sort(spark, sf_dir):
