@@ -166,7 +166,7 @@ def main() -> None:
     # slope (tools/scaling_bench.py) and the full-registry sf0.01 cost
     # accounting (tools/check_correctness.py --timing).
     here = os.path.dirname(os.path.abspath(__file__))
-    for key, fname in (("scaling", "SCALING_r06.json"), ("registry_cost", "REGISTRY_COST.json")):
+    for key, fname in (("scaling", "SCALING_r07.json"), ("registry_cost", "REGISTRY_COST.json")):
         p = os.path.join(here, fname)
         if os.path.exists(p):
             try:
@@ -179,7 +179,7 @@ def main() -> None:
     # baselines). Persist the full line as a committed artifact so
     # round-over-round per-query comparison never needs a judge re-run.
     self_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF_r06.json")
+        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF_r07.json")
     )
     try:
         with open(self_path, "w") as f:
