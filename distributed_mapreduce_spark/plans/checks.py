@@ -379,6 +379,18 @@ GLOBAL_WINDOW_PARITY_OPS = frozenset(
     {"partition_rows_assign", "partition_range_assign", "maplejuice_flagship"}
 )
 
+#: Queries whose global window runs over input bounded by a DOMAIN
+#: argument the plan text cannot carry (each documented in the query's
+#: own docstring; everything here was re-derived when the round-7
+#: audit stopped accepting all-column distincts as bounding):
+#: - `pareto_frontier_parts`: the global skyline pass reads only the
+#:   union of per-group local frontiers. A local frontier ordered
+#:   (price asc, size desc) keeps a strictly-increasing-size chain, so
+#:   each of the {SKYLINE_GROUPS} groups contributes ≤ |distinct
+#:   p_size values| rows (TPC-H sizes are a 1..50 domain) — the global
+#:   window input is ≤ G·|size domain| regardless of row count.
+DOMAIN_BOUNDED_WINDOW_OPS = frozenset({"pareto_frontier_parts"})
+
 
 def unpartitioned_unbounded_windows(df: DataFrame) -> int:
     """Count of Window nodes with an empty partition spec over input

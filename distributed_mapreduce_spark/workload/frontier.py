@@ -63,7 +63,13 @@ def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned window drops locally-dominated points (any dominator
     anywhere proves global dominance, so survivors ⊇ true frontier);
     the global window then runs over the small candidate union only —
-    no raw-relation global sort at any stage."""
+    no raw-relation global sort at any stage. The mechanical bound the
+    plan text cannot carry (whitelisted as
+    plans.checks.DOMAIN_BOUNDED_WINDOW_OPS): each group's local
+    frontier is a strictly-increasing-size chain, so it holds ≤
+    |distinct p_size values| rows (a 1..50 domain in TPC-H) — the
+    global stage reads ≤ {SKYLINE_GROUPS}·|size domain| rows no matter
+    the corpus size."""
     part = table(spark, sf_dir, "part")
     pts = part.select(
         F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")

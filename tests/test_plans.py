@@ -100,12 +100,15 @@ def test_no_unpartitioned_unbounded_window_in_any_plan(spark, sf_dir):
     or an Arrow-stage-bounded input). A future raw-row global window
     fails this test instead of waiting for a judge re-run."""
     from distributed_mapreduce_spark.plans import unpartitioned_unbounded_windows
-    from distributed_mapreduce_spark.plans.checks import GLOBAL_WINDOW_PARITY_OPS
+    from distributed_mapreduce_spark.plans.checks import (
+        DOMAIN_BOUNDED_WINDOW_OPS,
+        GLOBAL_WINDOW_PARITY_OPS,
+    )
 
     offenders = {}
     skipped = set()
     for name, fn in QUERIES.items():
-        if name in GLOBAL_WINDOW_PARITY_OPS:
+        if name in GLOBAL_WINDOW_PARITY_OPS or name in DOMAIN_BOUNDED_WINDOW_OPS:
             continue
         try:
             df = fn(spark, sf_dir)

@@ -81,7 +81,10 @@ def main() -> int:
     # Whitelisted single-task-window parity ops (tests/test_plans.py
     # documents each); anything else with a global window over input not
     # bounded by an aggregate/limit is the round-2 class of scale bug.
-    from distributed_mapreduce_spark.plans.checks import GLOBAL_WINDOW_PARITY_OPS
+    from distributed_mapreduce_spark.plans.checks import (
+        DOMAIN_BOUNDED_WINDOW_OPS,
+        GLOBAL_WINDOW_PARITY_OPS,
+    )
 
     gwin = [
         n
@@ -89,6 +92,7 @@ def main() -> int:
         if isinstance(p, dict)
         and p["global_win"]
         and n not in GLOBAL_WINDOW_PARITY_OPS
+        and n not in DOMAIN_BOUNDED_WINDOW_OPS
     ]
     print(f"unpartitioned unbounded windows (non-whitelisted): {gwin or 'none'}")
     return 0
