@@ -8,7 +8,7 @@ Run with:
 
 Skipped by default (it re-runs every registered query against its
 DuckDB oracle at sf0.1 — ~15-25 min). The round number for the log
-filename comes from $SPARK_GRAFT_ROUND (default 6).
+filename comes from $SPARK_GRAFT_ROUND (default 7).
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ sys.path.insert(0, "/root/repo/tools")
 def test_full_registry_sf01_certification():
     from check_correctness import run
 
-    round_no = os.environ.get("SPARK_GRAFT_ROUND", "6")
+    round_no = os.environ.get("SPARK_GRAFT_ROUND", "7")
     log = f"/root/repo/CORRECTNESS_SF01_r{round_no}.log"
     failures = run("/root/testdata/sf0.1", log_path=log)
     assert failures == 0, f"sf0.1 certification failed — see {log}"
