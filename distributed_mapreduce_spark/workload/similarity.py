@@ -174,8 +174,18 @@ def near_dup_pairs_cell_capped(emb: DataFrame, cap: int = EMBED_CELL_CAP) -> Dat
     w = Window.partitionBy("label")
     nsub = ((F.count(F.lit(1)).over(w) + F.lit(cap - 1)) / F.lit(cap)).cast("long")
     h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
+    # Per-VECTOR norm, computed once on the n-row relation instead of
+    # inside every pair's cosine (3x fewer folds on the O(m²/cells)
+    # pair relation). norm() here is the identical double fold the
+    # inline cosine would run, so cos_u is bit-identical to
+    # `cosine_u(a, b)` — the oracle keeps the inline form and the
+    # differential check certifies the equivalence.
     sub = emb.select(
-        "vec_id", "label", "embedding", (h % nsub).cast("int").alias("sub")
+        "vec_id",
+        "label",
+        "embedding",
+        (h % nsub).cast("int").alias("sub"),
+        norm(F.col("embedding")).alias("nrm"),
     )
     a = sub.alias("a")
     b = sub.alias("b")
@@ -188,7 +198,13 @@ def near_dup_pairs_cell_capped(emb: DataFrame, cap: int = EMBED_CELL_CAP) -> Dat
     scored = pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        cosine_u(F.col("a.embedding"), F.col("b.embedding")).alias("cos_u"),
+        F.floor(
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("cos_u"),
     )
     return scored.filter(F.col("cos_u") >= NEAR_DUP_COS_U)
 
