@@ -1372,3 +1372,110 @@ def q_dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
             (est_bp - exact_bp).cast("long").alias("err_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi-Sunter)
+# ---------------------------------------------------------------------------
+
+#: Blocking key: records only compare within (lang, length-bucket)
+#: blocks — the standard quadratic-blowup guard of record linkage.
+ER_LEN_BUCKET = 50
+#: Fixed integer agreement weights (centi-units of the log-likelihood
+#: ratio log(m/u); fixed literals rather than EM-estimated so the
+#: scoring is engine-portable and auditable — the Fellegi-Sunter 1969
+#: decision rule itself, with weights as configuration).
+ER_W = {
+    "source": (240, -30),   # same source: strong evidence
+    "tokbkt": (120, -60),   # same token-count bucket
+    "firsttok": (300, -20), # same leading token: near-identifying
+}
+ER_TOK_BUCKET = 20
+#: Decision thresholds (centi-units): >= T_MATCH -> match,
+#: >= T_POSSIBLE -> possible (clerical review), else non-match
+#: (dropped from the output — the non-match set is O(pairs)).
+ER_T_MATCH = 500
+ER_T_POSSIBLE = 200
+
+
+@query(
+    "er_fellegi_sunter",
+    oracle=f"""
+    WITH rec AS MATERIALIZED (
+      SELECT doc_id, lang, source,
+             length(text) // {ER_LEN_BUCKET} AS lenbkt,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) // {ER_TOK_BUCKET} AS tokbkt,
+             COALESCE(list_filter(string_split(text, ' '), x -> x <> '')[1], '') AS firsttok
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(CASE WHEN a.source = b.source
+                       THEN {ER_W['source'][0]} ELSE {ER_W['source'][1]} END
+                + CASE WHEN a.tokbkt = b.tokbkt
+                       THEN {ER_W['tokbkt'][0]} ELSE {ER_W['tokbkt'][1]} END
+                + CASE WHEN a.firsttok = b.firsttok
+                       THEN {ER_W['firsttok'][0]} ELSE {ER_W['firsttok'][1]} END
+               AS BIGINT) AS score_c
+      FROM rec a
+      JOIN rec b ON a.lang = b.lang AND a.lenbkt = b.lenbkt
+                AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, score_c,
+           CASE WHEN score_c >= {ER_T_MATCH} THEN 'match'
+                ELSE 'possible' END AS verdict
+    FROM pairs WHERE score_c >= {ER_T_POSSIBLE}
+    """,
+)
+def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage by the Fellegi-Sunter decision rule
+    (Fellegi & Sunter, JASA 1969): candidate pairs from a blocking key
+    (language + length bucket — never the O(n²) cross join), an
+    agreement VECTOR over comparison fields (source, token-count
+    bucket, leading token), each agreement/disagreement contributing a
+    fixed integer log-likelihood-ratio weight, and the summed score
+    thresholded into match / possible (clerical review) / non-match.
+    The entity-resolution counterpart of the dedup family: near-dup
+    finds same CONTENT, record linkage finds same ENTITY under noisy
+    fields.
+
+    Plan: blocking is a self-equi-join on the (lang, lenbkt) key —
+    shuffle keyed on the block, candidate volume Σ|block|²; the
+    agreement vector and score are pure columnar CASEs; only pairs at
+    or above the review threshold survive to output. At 100 TB the
+    block key is the knob: add more fields until the largest block is
+    task-sized (the EMBED_CELL_CAP discipline applies verbatim)."""
+    toks = _tokens(F.col("text"))
+    rec = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.length("text") / ER_LEN_BUCKET).cast("long").alias("lenbkt"),
+        (F.size(toks) / ER_TOK_BUCKET).cast("long").alias("tokbkt"),
+        F.coalesce(toks.getItem(0), F.lit("")).alias("firsttok"),
+    )
+    a = rec.alias("a")
+    b = rec.alias("b")
+    w = ER_W
+    score = (
+        F.when(F.col("a.source") == F.col("b.source"), w["source"][0]).otherwise(w["source"][1])
+        + F.when(F.col("a.tokbkt") == F.col("b.tokbkt"), w["tokbkt"][0]).otherwise(w["tokbkt"][1])
+        + F.when(F.col("a.firsttok") == F.col("b.firsttok"), w["firsttok"][0]).otherwise(w["firsttok"][1])
+    ).cast("long")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.lenbkt") == F.col("b.lenbkt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        score.alias("score_c"),
+    )
+    return pairs.filter(F.col("score_c") >= ER_T_POSSIBLE).select(
+        "doc_a",
+        "doc_b",
+        "score_c",
+        F.when(F.col("score_c") >= ER_T_MATCH, "match")
+        .otherwise("possible")
+        .alias("verdict"),
+    )

@@ -267,3 +267,62 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return perceptual_hash(attach_fake_media(docs))
+
+
+#: Duplicated-blob hex stream for the PAIRS query: blobs shared across
+#: doc_id % MEDIA_DUP_MOD (the `multimodal_dedup_exact` corpus shape),
+#: so perceptual pairs genuinely exist and the differential compares
+#: real rows instead of two empty sets.
+_SQL_HEXBLOB_DUP = _SQL_HEXBLOB.replace(
+    "CAST(doc_id AS VARCHAR)", f"CAST(doc_id % {MEDIA_DUP_MOD} AS VARCHAR)"
+)
+
+
+def _sql_phash_pairs() -> str:
+    from distributed_mapreduce_spark.workload.dedup import _sql_simhash_pairs
+
+    b = lambda i: f"('0x' || substr(hb, {2 * i + 1}, 2))::INT"  # noqa: E731
+    terms = " + ".join(
+        f"CASE WHEN {b(i)} > {b(i + 1)} THEN {1 << i} ELSE 0 END"
+        for i in range(63)
+    )
+    return (
+        f"""WITH sim AS (
+          SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+          FROM (SELECT doc_id, {_SQL_HEXBLOB_DUP} AS hb FROM documents) src
+        )"""
+        + _sql_simhash_pairs()
+    )
+
+
+@query("multimodal_phash_pairs", oracle=_sql_phash_pairs())
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs: the Hamming-band
+    self-join the `multimodal_phash` docstring promises — dHash values
+    explode into byte bands, candidates equi-join on (band, value)
+    (pigeonhole-complete for Hamming ≤ 3), and `bit_count(xor)`
+    verifies. This is the cross-modal reuse of `dedup_simhash_pairs`'s
+    machinery (one implementation — `workload/dedup.py:simhash_pairs`
+    — applied to a different 64-bit perceptual fingerprint), closing
+    the image-dedup chain: byte-exact (`multimodal_dedup_exact`) →
+    perceptual hash (`multimodal_phash`) → perceptual pairs (here) →
+    clustering (the `dedup_clusters` loop applies unchanged).
+
+    Plan: hashing is the Arrow codec pass; banding/joining shuffles
+    16-byte band keys, never blobs; the verify runs only on band
+    collisions. At 100 TB the shuffle volume is 4 small rows per
+    image. The stub corpus shares blobs across doc_id %
+    {MEDIA_DUP_MOD} (same shape as `multimodal_dedup_exact`) so the
+    pair set is non-empty and the certification compares real rows."""
+    from distributed_mapreduce_spark.multimodal import perceptual_hash
+    from distributed_mapreduce_spark.workload.dedup import simhash_pairs
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % MEDIA_DUP_MOD).alias("media_key")
+    )
+    sim = (
+        perceptual_hash(attach_fake_media(docs, id_col="media_key"))
+        .select("doc_id", F.col("phash").alias("simhash"))
+        .persist()
+    )
+    return simhash_pairs(sim)

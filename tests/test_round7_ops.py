@@ -224,3 +224,73 @@ def test_dedup_qa_sample_stratification(spark, sf_dir):
     assert all(v <= QA_PER_BUCKET for v in per_bucket.values())
     rows2 = QUERIES["dedup_qa_sample"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_phash_pairs_cover_shared_blob_groups(spark, sf_dir):
+    """Identical blobs (same doc_id % MEDIA_DUP_MOD) hash identically,
+    so every same-group pair must surface with hamming 0; nothing may
+    exceed the Hamming threshold."""
+    from distributed_mapreduce_spark.workload.dedup import SIMHASH_HAMMING_MAX
+    from distributed_mapreduce_spark.workload.multimodal_q import MEDIA_DUP_MOD
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = QUERIES["multimodal_phash_pairs"](spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert all(h <= SIMHASH_HAMMING_MAX for h in got.values())
+    ids = [r.doc_id for r in table(spark, sf_dir, "documents").select("doc_id").collect()]
+    groups: dict[int, list[int]] = {}
+    for d in ids:
+        groups.setdefault(d % MEDIA_DUP_MOD, []).append(d)
+    for members in groups.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                assert got.get((a, b)) == 0, (a, b)
+
+
+def test_fellegi_sunter_matches_local_recompute(spark, sf_dir):
+    """The blocked pair set and integer scores must equal a driver-side
+    recompute of the same blocking key, agreement vector, and weights."""
+    from distributed_mapreduce_spark.workload.dedup import (
+        ER_LEN_BUCKET,
+        ER_T_MATCH,
+        ER_T_POSSIBLE,
+        ER_TOK_BUCKET,
+        ER_W,
+    )
+    from distributed_mapreduce_spark.workload.registry import table
+
+    got = {
+        (r.doc_a, r.doc_b): (r.score_c, r.verdict)
+        for r in QUERIES["er_fellegi_sunter"](spark, sf_dir).collect()
+    }
+    recs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    ).collect()
+    fields = {}
+    blocks: dict[tuple, list[int]] = {}
+    for r in recs:
+        toks = [t for t in r.text.split(" ") if t]
+        fields[r.doc_id] = (
+            r.source,
+            len(toks) // ER_TOK_BUCKET,
+            toks[0] if toks else "",
+        )
+        blocks.setdefault((r.lang, len(r.text) // ER_LEN_BUCKET), []).append(r.doc_id)
+    expected = {}
+    for members in blocks.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                sc = sum(
+                    w_agree if fields[a][k] == fields[b][k] else w_dis
+                    for k, (w_agree, w_dis) in zip(
+                        range(3), [ER_W["source"], ER_W["tokbkt"], ER_W["firsttok"]]
+                    )
+                )
+                if sc >= ER_T_POSSIBLE:
+                    expected[(a, b)] = (
+                        sc,
+                        "match" if sc >= ER_T_MATCH else "possible",
+                    )
+    assert got == expected and expected, "pair set must be non-empty"
