@@ -99,6 +99,9 @@ HEADLINE = [
     "auc_rank_audit",
     "corpus_domain_cap",
     "semdedup_keep_verdicts",
+    # late round-7: perceptual image pairs, blocked record linkage
+    "multimodal_phash_pairs",
+    "er_fellegi_sunter",
 ]
 
 
