@@ -1098,3 +1098,94 @@ def q_zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + "') then n_rows end), 0) * 10000 div sum(n_rows)"
         ).alias("skip_bp"),
     )
+
+
+#: Market-basket mining over the gated order→part incidence (the graph
+#: family's co-occurrence source): minimum pair support and output cut.
+MB_GATE_MOD = 7
+MB_MIN_SUPPORT = 2
+MB_TOP_K = 20
+
+
+@query(
+    "basket_association_rules",
+    oracle=f"""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+      WHERE l_orderkey % {MB_GATE_MOD} = 0
+    ), n AS (
+      SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n_baskets FROM items
+    ), sup AS MATERIALIZED (
+      SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS ante, b.item AS cons,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM items a JOIN items b
+        ON a.oid = b.oid AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= {MB_MIN_SUPPORT}
+    )
+    SELECT ante, cons, n_pair, sa.n_item AS n_ante, sb.n_item AS n_cons,
+           CAST(n_pair * 10000 // sa.n_item AS BIGINT) AS confidence_bp,
+           CAST(CAST(n_pair AS HUGEINT) * n_baskets * 1000000
+                // (CAST(sa.n_item AS HUGEINT) * sb.n_item) AS BIGINT)
+             AS lift_ppm
+    FROM pairs
+    JOIN sup sa ON sa.item = pairs.ante
+    JOIN sup sb ON sb.item = pairs.cons
+    CROSS JOIN n
+    ORDER BY lift_ppm DESC, ante, cons
+    LIMIT {MB_TOP_K}
+    """,
+)
+def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (Agrawal & Srikant's support/confidence
+    framing plus lift) over order baskets: pair support from a
+    basket-keyed self-join (the graph family's co-occurrence shape,
+    bounded by order arity), confidence_bp = support(a,b)/support(a),
+    lift_ppm = support(a,b)·N / (support(a)·support(b)) — all exact
+    truncated integers; the top-{MB_TOP_K} rules by lift.
+
+    Plan: one distinct-incidence scan (shuffled on the basket key), a
+    per-basket self-join whose fan-out is capped by basket arity, one
+    hash-agg per pair, two broadcast joins against the ≤|items| support
+    relation, a 1-row basket count, TakeOrdered. The same plan at
+    100 TB: nothing global except the final top-k merge."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % MB_GATE_MOD == 0)
+        .select(F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    n = items.agg(F.countDistinct("oid").cast("long").alias("n_baskets"))
+    sup = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.oid") == F.col("b.oid")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("ante"), F.col("b.item").alias("cons"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= MB_MIN_SUPPORT)
+    )
+    sa = sup.withColumnsRenamed({"item": "ante", "n_item": "n_ante"})
+    sb = sup.withColumnsRenamed({"item": "cons", "n_item": "n_cons"})
+    scored = (
+        pairs.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sb), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "n_pair",
+            "n_ante",
+            "n_cons",
+            F.expr("CAST(n_pair * 10000 DIV n_ante AS BIGINT)").alias(
+                "confidence_bp"
+            ),
+            F.expr(
+                "CAST(CAST(n_pair AS DECIMAL(38,0)) * n_baskets * 1000000"
+                " DIV (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("lift_ppm"), "ante", "cons").limit(MB_TOP_K)

@@ -2079,3 +2079,63 @@ def q_corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("min_kept_q_bp"),
     )
+
+
+#: Calibration-curve bucket width over the per-token logit (µ-units).
+QM_CAL_BUCKET_MICRO = 20_000_000
+
+
+def _calibration_oracle() -> str:
+    from distributed_mapreduce_spark.workload.registry import ORACLES
+
+    mk = ORACLES["quality_model_logit"]
+    rk = ORACLES["quality_filter_reasons"]
+    return f"""
+    WITH mk AS MATERIALIZED (
+      SELECT doc_id, logit_pt_micro FROM ({mk})
+    ), rk AS MATERIALIZED (
+      SELECT doc_id, kept AS rule_keep FROM ({rk})
+    ), joined AS (
+      SELECT logit_pt_micro // {QM_CAL_BUCKET_MICRO} AS bucket,
+             CASE WHEN rule_keep THEN 1 ELSE 0 END AS y
+      FROM mk JOIN rk USING (doc_id)
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_rule_keep,
+           CAST(sum(y) * 10000 // count(*) AS BIGINT) AS keep_rate_bp
+    FROM joined GROUP BY bucket
+    """
+
+
+@query("quality_model_calibration", oracle=_calibration_oracle())
+def q_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) curve of the learned quality gate
+    against the rule gate: documents bucketed by model score
+    ({QM_CAL_BUCKET_MICRO} µ per bin), each bin reporting how often the
+    rule gate keeps — a well-calibrated score shows the keep rate
+    rising monotonically with the bin, and the curve is what picks the
+    production threshold (the reliability-diagram practice from
+    calibration literature, integer-exact).
+
+    Plan: both verdicts are projections of the same scan (the
+    agreement-audit shape); the curve is one hash-agg to
+    ≤|score range / bucket| rows."""
+    m = q_quality_model_logit(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"logit_pt_micro DIV {QM_CAL_BUCKET_MICRO}").alias("bucket"),
+    )
+    r = q_quality_filter_reasons(spark, sf_dir).select(
+        "doc_id", F.when(F.col("kept"), 1).otherwise(0).alias("y")
+    )
+    return (
+        m.join(r, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_rule_keep"),
+            F.expr("CAST(sum(y) * 10000 DIV count(*) AS BIGINT)").alias(
+                "keep_rate_bp"
+            ),
+        )
+    )

@@ -1195,3 +1195,83 @@ def q_graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return _edge_support(cur).filter(F.col("support") >= KTRUSS_K - 2)
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_EDGES_SQL}),
+    und AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL
+      SELECT dst AS u, src AS v FROM e
+    ),
+    deg AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CAST(da.d AS HUGEINT) * db.d) AS HUGEINT) AS s_jk,
+             CAST(sum(CAST(da.d AS HUGEINT) + db.d) AS HUGEINT) AS s_sum,
+             CAST(sum(CAST(da.d AS HUGEINT) * da.d
+                      + CAST(db.d AS HUGEINT) * db.d) AS HUGEINT) AS s_sq
+      FROM und
+      JOIN deg da ON da.node = und.u
+      JOIN deg db ON db.node = und.v
+    )
+    SELECT m,
+           CAST(s_jk AS BIGINT) AS sum_jk,
+           CAST(s_sum AS BIGINT) AS sum_j_plus_k,
+           CAST(s_sq AS BIGINT) AS sum_j2_k2,
+           CAST((4 * m * s_jk - s_sum * s_sum) * 1000000
+                // (2 * m * s_sq - s_sum * s_sum) AS BIGINT) AS assort_ppm
+    FROM s
+    """,
+)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    correlation of endpoint degrees over all directed edge instances —
+    positive means hubs attach to hubs (social-network shape), negative
+    means hubs attach to leaves (hub-and-spoke). Cleared of halves by
+    multiplying through by 4:
+    r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²),
+    reported in exact truncated ppm — every sum an integer, the single
+    division at the very end (DIV/`//` truncate identically, including
+    the negative-r case).
+
+    Plan: one degree aggregate (≤|V| rows, AQE-broadcast back over the
+    edge list), two equi-joins, one 1-row fold. Sums are
+    DECIMAL(38,0)/HUGEINT so 10¹²-edge graphs with 10⁶-degree hubs
+    (Σj²k² ≤ M·d_max⁴ ~ 10³⁶) stay in range."""
+    e = _edges(spark, sf_dir)
+    und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.withColumnsRenamed({"node": "u", "d": "da"})
+    db = deg.withColumnsRenamed({"node": "v", "d": "db"})
+    s = (
+        und.join(da, "u")
+        .join(db, "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.expr("sum(CAST(da AS DECIMAL(38,0)) * db)").alias("s_jk"),
+            F.expr("sum(CAST(da AS DECIMAL(38,0)) + db)").alias("s_sum"),
+            F.expr(
+                "sum(CAST(da AS DECIMAL(38,0)) * da"
+                " + CAST(db AS DECIMAL(38,0)) * db)"
+            ).alias("s_sq"),
+        )
+    )
+    return s.select(
+        "m",
+        F.col("s_jk").cast("long").alias("sum_jk"),
+        F.col("s_sum").cast("long").alias("sum_j_plus_k"),
+        F.col("s_sq").cast("long").alias("sum_j2_k2"),
+        F.expr(
+            "CAST((4 * m * s_jk - s_sum * s_sum) * 1000000"
+            " DIV (2 * m * s_sq - s_sum * s_sum) AS BIGINT)"
+        ).alias("assort_ppm"),
+    )

@@ -294,3 +294,56 @@ def test_fellegi_sunter_matches_local_recompute(spark, sf_dir):
                         "match" if sc >= ER_T_MATCH else "possible",
                     )
     assert got == expected and expected, "pair set must be non-empty"
+
+
+def test_quality_model_calibration_arithmetic(spark, sf_dir):
+    rows = QUERIES["quality_model_calibration"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        assert 0 <= r.n_rule_keep <= r.n_docs
+        assert r.keep_rate_bp == r.n_rule_keep * 10000 // r.n_docs
+
+
+def test_degree_assortativity_matches_local_recompute(spark, sf_dir):
+    row = QUERIES["graph_degree_assortativity"](spark, sf_dir).collect()[0]
+    from distributed_mapreduce_spark.workload.graph import _edges
+
+    edges = [(r.src, r.dst) for r in _edges(spark, sf_dir).collect()]
+    deg: dict[int, int] = {}
+    for s, t in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[t] = deg.get(t, 0) + 1
+    m = 2 * len(edges)
+    s_jk = sum(2 * deg[s] * deg[t] for s, t in edges)
+    s_sum = sum(2 * (deg[s] + deg[t]) for s, t in edges)
+    s_sq = sum(2 * (deg[s] ** 2 + deg[t] ** 2) for s, t in edges)
+    assert (row.m, row.sum_jk, row.sum_j_plus_k, row.sum_j2_k2) == (
+        m,
+        s_jk,
+        s_sum,
+        s_sq,
+    )
+    num = 4 * m * s_jk - s_sum * s_sum
+    den = 2 * m * s_sq - s_sum * s_sum
+    # DIV truncates toward zero on both engines
+    trunc = abs(num * 1_000_000) // abs(den)
+    if num * den < 0:
+        trunc = -trunc
+    assert row.assort_ppm == trunc
+    assert -1_000_000 <= row.assort_ppm <= 1_000_000
+
+
+def test_basket_rules_arithmetic_and_ordering(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.advanced import (
+        MB_MIN_SUPPORT,
+        MB_TOP_K,
+    )
+
+    rows = QUERIES["basket_association_rules"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= MB_TOP_K
+    lifts = [(-r.lift_ppm, r.ante, r.cons) for r in rows]
+    assert lifts == sorted(lifts)
+    for r in rows:
+        assert r.n_pair >= MB_MIN_SUPPORT
+        assert r.n_pair <= min(r.n_ante, r.n_cons)
+        assert r.confidence_bp == r.n_pair * 10000 // r.n_ante
