@@ -536,9 +536,12 @@ def _kmv_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return (
-        docs.select(
+        # token array materialized once per row: _ngrams references it
+        # ~5x inside non-codegen HOF lambdas
+        docs.select("source", _tokens(F.col("text")).alias("__toks"))
+        .select(
             "source",
-            F.explode(_ngrams(_tokens(F.col("text")), 2)).alias("g"),
+            F.explode(_ngrams(F.col("__toks"), 2)).alias("g"),
         )
         .select("source", _hash_u32(F.col("g"), "kv_").alias("h"))
         .distinct()
