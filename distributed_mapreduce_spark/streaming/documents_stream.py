@@ -250,7 +250,9 @@ def dsir_gate_stream(docs: DataFrame, lam_by_bucket: dict[int, int]) -> DataFram
     if sorted(lam_by_bucket) != list(range(IR_DIM)):
         raise ValueError(f"model must be total over [0, {IR_DIM})")
     warr = F.array(*[F.lit(int(lam_by_bucket[b])) for b in range(IR_DIM)])
-    grams = _grams(F.col("text"))
+    # gram array materialized once per row: the aggregate fold and
+    # size() would otherwise each re-inline the tokenizer expression
+    grams = F.col("__grams")
     weight = F.aggregate(
         grams,
         F.lit(0).cast("long"),
@@ -260,6 +262,8 @@ def dsir_gate_stream(docs: DataFrame, lam_by_bucket: dict[int, int]) -> DataFram
         ).cast("long"),
     )
     scored = docs.select(
+        "doc_id", _grams(F.col("text")).alias("__grams")
+    ).select(
         "doc_id",
         F.size(grams).cast("long").alias("n_grams"),
         weight.alias("weight_sum"),
@@ -333,10 +337,15 @@ def kmv_sketch_stream(docs: DataFrame) -> DataFrame:
             }
         )
 
-    hs = docs.select(
-        "source",
-        F.explode(_ngrams(_tokens(F.col("text")), 2)).alias("g"),
-    ).select("source", _hash_u32(F.col("g"), "kv_").alias("h"))
+    hs = (
+        # token array materialized once per row (mirrors the batch twin)
+        docs.select("source", _tokens(F.col("text")).alias("__toks"))
+        .select(
+            "source",
+            F.explode(_ngrams(F.col("__toks"), 2)).alias("g"),
+        )
+        .select("source", _hash_u32(F.col("g"), "kv_").alias("h"))
+    )
     return hs.groupBy("source").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

@@ -106,12 +106,19 @@ def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is ~1% of the corpus, so hashing it from the full relation
         # would do 100x the needed work (measured 4x whole-query cost).
         side = docs.filter(pred).select("doc_id", "text").repartition(par)
-        return side.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(_ngrams(_tokens(F.col("text")), DECON_N))
-            ).alias("gram"),
-        ).select("doc_id", _hash_u32(F.col("gram"), "dc_").alias("gh"))
+        # token array materialized once per row: _ngrams references its
+        # input ~5x inside non-codegen HOF lambdas, so an inlined
+        # tokenizer would re-run per reference
+        return (
+            side.select("doc_id", _tokens(F.col("text")).alias("__toks"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(_ngrams(F.col("__toks"), DECON_N))
+                ).alias("gram"),
+            )
+            .select("doc_id", _hash_u32(F.col("gram"), "dc_").alias("gh"))
+        )
 
     eval_grams = (
         side_grams(F.col("doc_id") % DECON_EVAL_MOD == 0).select("gh").distinct()
@@ -479,10 +486,12 @@ def q_dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     g = (
-        docs.select(
+        # token array materialized once per row (see decontam note)
+        docs.select("doc_id", _tokens(F.col("text")).alias("__toks"))
+        .select(
             "doc_id",
             F.explode(
-                F.array_distinct(_ngrams(_tokens(F.col("text")), PASSAGE_N))
+                F.array_distinct(_ngrams(F.col("__toks"), PASSAGE_N))
             ).alias("gram"),
         )
         .select("doc_id", _hash_u32(F.col("gram"), "pp_").alias("gh"))
@@ -713,10 +722,15 @@ def q_dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    g = docs.select(
-        "doc_id",
-        F.posexplode(_ngrams(_tokens(F.col("text")), ES_K)).alias("pos", "gram"),
-    ).select("doc_id", "pos", _hash_u32(F.col("gram"), "es_").alias("gh"))
+    g = (
+        # token array materialized once per row (see decontam note)
+        docs.select("doc_id", _tokens(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            F.posexplode(_ngrams(F.col("__toks"), ES_K)).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", _hash_u32(F.col("gram"), "es_").alias("gh"))
+    )
     idx = (
         g.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -813,10 +827,15 @@ def q_dedup_exact_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame
     toks = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("t", "tok")
     )
-    g = docs.select(
-        "doc_id",
-        F.posexplode(_ngrams(_tokens(F.col("text")), ES_K)).alias("pos", "gram"),
-    ).select("doc_id", "pos", _hash_u32(F.col("gram"), "es_").alias("gh"))
+    g = (
+        # token array materialized once per row (see decontam note)
+        docs.select("doc_id", _tokens(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            F.posexplode(_ngrams(F.col("__toks"), ES_K)).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", _hash_u32(F.col("gram"), "es_").alias("gh"))
+    )
     idx = (
         g.groupBy("gh")
         .agg(
@@ -1902,9 +1921,11 @@ def q_corpus_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unrolled-CTE oracle is the exact same greedy trajectory."""
     docs = table(spark, sf_dir, "documents")
     st = (
-        docs.select(
+        # token array materialized once per row (see decontam note)
+        docs.select("source", _tokens(F.col("text")).alias("__toks"))
+        .select(
             "source",
-            F.explode(_ngrams(_tokens(F.col("text")), 2)).alias("term"),
+            F.explode(_ngrams(F.col("__toks"), 2)).alias("term"),
         )
         .distinct()
         .persist()
@@ -2138,4 +2159,101 @@ def q_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "keep_rate_bp"
             ),
         )
+    )
+
+
+def _pr_curve_oracle() -> str:
+    from distributed_mapreduce_spark.workload.registry import ORACLES
+
+    mk = ORACLES["quality_model_logit"]
+    rk = ORACLES["quality_filter_reasons"]
+    return f"""
+    WITH mk AS MATERIALIZED (
+      SELECT doc_id, logit_pt_micro FROM ({mk})
+    ), rk AS MATERIALIZED (
+      SELECT doc_id, kept AS rule_keep FROM ({rk})
+    ), joined AS (
+      SELECT logit_pt_micro // {QM_CAL_BUCKET_MICRO} AS bucket,
+             CASE WHEN rule_keep THEN 1 ELSE 0 END AS y
+      FROM mk JOIN rk USING (doc_id)
+    ), per AS MATERIALIZED (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM joined GROUP BY bucket
+    ), cum AS (
+      SELECT bucket,
+             CAST(sum(n) OVER (ORDER BY bucket DESC) AS BIGINT) AS n_ge,
+             CAST(sum(pos) OVER (ORDER BY bucket DESC) AS BIGINT) AS tp,
+             CAST(sum(pos) OVER () AS BIGINT) AS p_all
+      FROM per
+    )
+    SELECT bucket, n_ge, tp,
+           CAST(tp * 10000 // n_ge AS BIGINT) AS precision_bp,
+           CAST(CASE WHEN p_all = 0 THEN 0
+                     ELSE tp * 10000 // p_all END AS BIGINT) AS recall_bp,
+           CAST(CASE WHEN tp = 0 THEN 0
+                     ELSE (2 * (tp * 10000 // n_ge) * (tp * 10000 // p_all))
+                          // ((tp * 10000 // n_ge) + (tp * 10000 // p_all))
+                END AS BIGINT) AS f1_bp
+    FROM cum
+    """
+
+
+@query("quality_model_pr_curve", oracle=_pr_curve_oracle())
+def q_quality_model_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve of the learned quality gate against the
+    rule gate: one row per score bucket treated as the keep threshold
+    ("keep every document scoring >= this bucket"), reporting the
+    cumulative TP / predicted-positive counts and integer basis-point
+    precision, recall, and F1 (harmonic mean of the truncated-bp pair
+    — the documented integer surrogate; a 0 precision+recall yields
+    F1 = 0 by the CASE guard, and tp = 0 implies both are 0). With
+    `auc_rank_audit` (threshold-free) and `quality_model_calibration`
+    (per-bin reliability) this completes the standard model-quality
+    triad used to pick a production corpus gate.
+
+    Plan: both verdicts are projections of the same documents scan;
+    one hash-agg to ≤|score range / bucket| rows; the cumulative
+    windows run over those aggregated rows (bounded-window class —
+    same whitelist as the calibration family)."""
+    from pyspark.sql import Window
+
+    m = q_quality_model_logit(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"logit_pt_micro DIV {QM_CAL_BUCKET_MICRO}").alias("bucket"),
+    )
+    r = q_quality_filter_reasons(spark, sf_dir).select(
+        "doc_id", F.when(F.col("kept"), 1).otherwise(0).alias("y")
+    )
+    per = (
+        m.join(r, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    wd = Window.orderBy(F.col("bucket").desc())
+    cum = per.select(
+        "bucket",
+        F.sum("n").over(wd).cast("long").alias("n_ge"),
+        F.sum("pos").over(wd).cast("long").alias("tp"),
+        F.sum("pos").over(Window.partitionBy()).cast("long").alias("p_all"),
+    )
+    return cum.select(
+        "bucket",
+        "n_ge",
+        "tp",
+        F.expr("CAST(tp * 10000 DIV n_ge AS BIGINT)").alias("precision_bp"),
+        F.expr(
+            "CAST(CASE WHEN p_all = 0 THEN 0"
+            "          ELSE tp * 10000 DIV p_all END AS BIGINT)"
+        ).alias("recall_bp"),
+        F.expr(
+            "CAST(CASE WHEN tp = 0 THEN 0"
+            "          ELSE (2 * (tp * 10000 DIV n_ge) * (tp * 10000 DIV p_all))"
+            "               DIV ((tp * 10000 DIV n_ge) + (tp * 10000 DIV p_all))"
+            "     END AS BIGINT)"
+        ).alias("f1_bp"),
     )

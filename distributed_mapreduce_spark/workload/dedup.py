@@ -1479,3 +1479,85 @@ def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("possible")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-scheme recall audit vs the exact inverted-index truth set.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    from distributed_mapreduce_spark.workload.registry import ORACLES
+
+    truth = ORACLES["dedup_ngram_jaccard"]
+    lsh = ORACLES["dedup_minhash_pairs"]
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({truth})
+    ), l AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({lsh})
+    ), u AS (
+      SELECT COALESCE(t.doc_a, l.doc_a) AS doc_a,
+             CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth,
+             CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
+      FROM t FULL OUTER JOIN l
+        ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+    )
+    SELECT CAST(sum(in_truth) AS BIGINT) AS n_truth,
+           CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+           CAST(sum(in_truth * in_lsh) AS BIGINT) AS n_both,
+           CAST(sum(in_lsh * (1 - in_truth)) AS BIGINT) AS n_lsh_only,
+           CAST(CASE WHEN sum(in_truth) = 0 THEN 10000
+                     ELSE sum(in_truth * in_lsh) * 10000 // sum(in_truth)
+                END AS BIGINT) AS recall_bp
+    FROM u
+    """
+
+
+@query("dedup_lsh_recall_audit", oracle=_lsh_recall_oracle())
+def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the probabilistic MinHash band scheme against
+    the EXACT near-dup truth set — the audit that justifies the
+    (bands x rows) geometry before anyone runs it at 100 TB. Truth =
+    `dedup_ngram_jaccard` (inverted-index candidates, exact Jaccard
+    >= 0.7 verify, stop-gram cap NGRAM_MAX_DF); probe =
+    `dedup_minhash_pairs` (band-bucket candidates, same exact verify).
+    recall_bp = 1e4 * |probe AND truth| / |truth| — the band scheme's
+    miss rate made a number (an S-curve P[collide] = 1-(1-j^rows)^bands
+    gives ~0.97 at j = 0.7 for 4x2). `n_lsh_only` counts verified
+    near-dup pairs the TRUTH side itself missed (pairs whose every
+    shared shingle is more frequent than the stop-gram cap) — nonzero
+    values measure the cap's documented blind spot, not LSH false
+    positives (both sides verify exact Jaccard >= 0.7).
+
+    Plan: both pipelines share the persisted shingle table; the audit
+    adds one full-outer equi-join of two (already candidate-sized)
+    pair relations and a 1-row fold. Nothing all-pairs anywhere."""
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    t = _verify_pairs(sh_df, ngram_jaccard_pairs(sh_df)).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_truth")
+    )
+    l = _verify_pairs(sh_df, minhash_candidate_pairs(sh_df)).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    u = (
+        t.join(l, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            F.coalesce(F.col("in_truth"), F.lit(0)).alias("in_truth"),
+            F.coalesce(F.col("in_lsh"), F.lit(0)).alias("in_lsh"),
+        )
+    )
+    return u.agg(
+        F.sum("in_truth").cast("long").alias("n_truth"),
+        F.sum("in_lsh").cast("long").alias("n_lsh"),
+        F.sum(F.col("in_truth") * F.col("in_lsh")).cast("long").alias("n_both"),
+        F.sum(F.col("in_lsh") * (1 - F.col("in_truth")))
+        .cast("long")
+        .alias("n_lsh_only"),
+        F.expr(
+            "CAST(CASE WHEN sum(in_truth) = 0 THEN 10000"
+            "          ELSE sum(in_truth * in_lsh) * 10000 DIV sum(in_truth)"
+            "     END AS BIGINT)"
+        ).alias("recall_bp"),
+    )

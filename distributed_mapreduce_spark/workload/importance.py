@@ -114,15 +114,27 @@ _SQL_IR_CORE = f"""
 
 
 def _ex_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, b): one row per gram occurrence, bucketed."""
-    return docs.select(
-        "doc_id",
-        "source",
-        F.explode(_grams(F.col("text"))).alias("g"),
-    ).select(
-        "doc_id",
-        "source",
-        (_hash_u32(F.col("g"), IR_SEED) % IR_DIM).alias("b"),
+    """(doc_id, source, b): one row per gram occurrence, bucketed.
+
+    The token array is materialized in its own projection first:
+    `_grams` references it ~6x (concat + _ngrams' element_at/size
+    refs, some inside non-codegen HOF lambdas), so an inlined
+    tokenizer expression would re-run per reference — measured ~4x
+    whole-query cost on `dsir_importance_weights`."""
+    return (
+        docs.select("doc_id", "source", _tokens(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.concat(F.col("__toks"), _ngrams(F.col("__toks"), 2))
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (_hash_u32(F.col("g"), IR_SEED) % IR_DIM).alias("b"),
+        )
     )
 
 

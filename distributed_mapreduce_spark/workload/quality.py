@@ -56,15 +56,30 @@ TFIDF_TOP_K = 3
 def _ngrams(toks, n: int):
     """1-indexed n-gram strings of a token array (JVM-side); empty
     array when the document has fewer than ``n`` tokens (guarded
-    because Spark's ``sequence(1, k)`` DESCENDS for k < 1 while
-    DuckDB's ``generate_series`` returns empty)."""
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    because a short array would make the slice length negative).
+
+    Formulated as ``zip_with`` over ``n`` aligned slices — every
+    reference to ``toks`` sits OUTSIDE the lambda bodies. The earlier
+    ``transform(sequence(...), i -> element_at(toks, i+j))`` shape
+    referenced ``toks`` inside the lambda, and higher-order functions
+    are interpreted (no codegen, no common-subexpression
+    elimination), so a caller passing an inline tokenizer expression
+    re-ran the tokenizer PER ELEMENT — measured ~4x whole-query cost
+    on the gram-heavy families. Here an inline expression costs at
+    most ~2n+1 per-row evaluations, and a materialized column costs
+    nothing. Tokens are non-empty and non-null, so ``concat`` with a
+    literal space is exactly ``concat_ws``."""
+    length = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def _sql_ngrams(toks: str, n: int) -> str:
@@ -595,9 +610,14 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     g = (
         docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        # materialize the token array in its own projection: _ngrams
+        # references it ~5x (and inside a HOF lambda), and higher-order
+        # functions don't codegen, so an inlined split+filter would
+        # re-tokenize per reference instead of once per row
+        .select("doc_id", _tokens(F.col("text")).alias("__toks"))
         .select(
             "doc_id",
-            F.explode(_ngrams(_tokens(F.col("text")), 3)).alias("gram"),
+            F.explode(_ngrams(F.col("__toks"), 3)).alias("gram"),
         )
         .distinct()
     )

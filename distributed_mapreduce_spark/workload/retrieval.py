@@ -452,23 +452,30 @@ def q_retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-self-contained instead of depending on a literal that only
     matches one corpus.
 
-    Plan: the token relation (doc_id, pos, tok) is built once by one
-    posexplode; the phrase relation is a 1-row aggregate argmax
-    (TakeOrdered over the gram counts) that BROADCASTS to filter the
-    w1 postings; adjacency is two chained equi-joins on
-    (doc_id, pos+offset) — the standard positional-index intersection,
-    shuffled on doc_id+pos, never a cross join or a LIKE scan. At
-    100 TB each join leg carries only the postings of one phrase term
-    (selectivity |postings|/|tokens|), and the final aggregate is
-    per-doc."""
+    Plan (anchor alignment): the positional index (doc_id, pos, tok)
+    is built by ONE posexplode pass; the phrase relation is a 1-row
+    aggregate argmax (TakeOrdered over the gram counts) unpivoted to
+    PHRASE_N (term, offset) rows that BROADCAST-join the index, so
+    only the postings of the phrase's own terms survive the scan.
+    Each surviving posting votes for the alignment anchor
+    `start = pos - offset`; a start with all PHRASE_N distinct
+    offsets present is exactly an adjacency match (tok[start+i] =
+    w_i for every i). One shuffle on (doc_id, start) replaces the
+    two chained positional equi-joins of the textbook intersection —
+    at 100 TB the shuffled volume is the union of the phrase terms'
+    postings (selectivity |postings|/|tokens|), and the tokenizer
+    runs once instead of once per term leg."""
     from distributed_mapreduce_spark.workload.quality import _ngrams
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    tokd = docs.select("doc_id", _tokens(F.col("text")).alias("__toks"))
+    toks = tokd.select(
+        "doc_id", F.posexplode(F.col("__toks")).alias("pos", "tok")
     )
-    grams = docs.select(
-        F.explode(_ngrams(_tokens(F.col("text")), PHRASE_N)).alias("gram")
+    # token array materialized (tokd) so _ngrams' ~5 references don't
+    # each re-run the tokenizer inside its non-codegen HOF lambdas
+    grams = tokd.select(
+        F.explode(_ngrams(F.col("__toks"), PHRASE_N)).alias("gram")
     )
     top = (
         grams.groupBy("gram")
@@ -476,41 +483,24 @@ def q_retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), F.col("gram"))
         .limit(1)
     )
-    ws = F.split(F.col("gram"), " ")
-    p = top.select(
-        ws.getItem(0).alias("w1"),
-        ws.getItem(1).alias("w2"),
-        ws.getItem(2).alias("w3"),
+    terms = top.select(
         F.col("gram").alias("phrase"),
+        F.posexplode(F.split(F.col("gram"), " ")).alias("off", "w"),
     )
-    t1 = toks.join(F.broadcast(p), F.col("tok") == F.col("w1")).select(
-        "doc_id", "pos", "phrase"
+    aligned = toks.join(F.broadcast(terms), F.col("tok") == F.col("w")).select(
+        "doc_id", "phrase", (F.col("pos") - F.col("off")).alias("start"), "off"
     )
-    # each adjacency leg is reduced to ITS OWN term's postings by a
-    # broadcast join against the 1-row phrase relation BEFORE the
-    # positional join — without this the (doc_id, pos) legs would
-    # shuffle the entire positional index instead of one term's rows
-    t2 = toks.join(
-        F.broadcast(p.select("w2")), F.col("tok") == F.col("w2")
-    ).select(F.col("doc_id").alias("d2"), F.col("pos").alias("p2"))
-    t3 = toks.join(
-        F.broadcast(p.select("w3")), F.col("tok") == F.col("w3")
-    ).select(F.col("doc_id").alias("d3"), F.col("pos").alias("p3"))
-    m = (
-        t1.join(
-            t2,
-            (F.col("d2") == F.col("doc_id"))
-            & (F.col("p2") == F.col("pos") + 1),
-        )
-        .join(
-            t3,
-            (F.col("d3") == F.col("doc_id"))
-            & (F.col("p3") == F.col("pos") + 2),
-        )
+    # count_distinct (not count): a term repeated inside the phrase
+    # lets one posting vote for several offsets at different starts,
+    # and a start is a match only when every offset 0..N-1 is present
+    starts = (
+        aligned.groupBy("doc_id", "phrase", "start")
+        .agg(F.count_distinct("off").alias("noff"))
+        .filter(F.col("noff") == PHRASE_N)
     )
-    return m.groupBy("doc_id", "phrase").agg(
+    return starts.groupBy("doc_id", "phrase").agg(
         F.count(F.lit(1)).alias("n_matches"),
-        F.min("pos").cast("long").alias("first_pos"),
+        F.min("start").cast("long").alias("first_pos"),
     )
 
 

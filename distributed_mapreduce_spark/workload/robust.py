@@ -569,6 +569,116 @@ def q_events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_drift_chi2",
+    oracle="""
+    WITH b AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+      FROM events
+    ), halves AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) <= mid_us THEN 0 ELSE 1 END AS half
+      FROM events CROSS JOIN b
+    ), per AS MATERIALIZED (
+      SELECT event_type,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+      FROM halves GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(n_first) AS BIGINT) AS t1,
+             CAST(sum(n_second) AS BIGINT) AS t2
+      FROM per
+    ), contrib AS MATERIALIZED (
+      SELECT event_type, n_first, n_second,
+             CAST(CASE WHEN CAST(n_first AS HUGEINT) * t2
+                            >= CAST(n_second AS HUGEINT) * t1
+                       THEN 1 ELSE -1 END
+                  * (abs(CAST(n_first AS HUGEINT) * t2
+                         - CAST(n_second AS HUGEINT) * t1)
+                     * 1000000 // (CAST(t1 AS HUGEINT) * t2)) AS BIGINT)
+               AS delta_ppm,
+             CAST(CAST(n_first + n_second AS HUGEINT) * 1000000 // (t1 + t2)
+                  AS BIGINT) AS pooled_ppm
+      FROM per CROSS JOIN tot
+    ), terms AS (
+      SELECT event_type, n_first, n_second, delta_ppm, pooled_ppm,
+             CAST(CASE WHEN pooled_ppm = 0 THEN 0
+                       ELSE CAST(delta_ppm AS HUGEINT) * delta_ppm // pooled_ppm
+                  END AS BIGINT) AS chi_term_e6
+      FROM contrib
+    )
+    SELECT event_type, n_first, n_second, delta_ppm, pooled_ppm, chi_term_e6,
+           CAST(sum(chi_term_e6) OVER () AS BIGINT) AS chi2_total_e6
+    FROM terms
+    """,
+)
+def q_events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square-kernel drift monitor between the event-type mixes of
+    the stream's two time halves: per type the kernel (p1-p2)²/p̄ on
+    TRUNCATED-ppm shares — the χ² shape that weights rare-type shifts
+    more than TV does, made integer-exact by the same no-log/no-float
+    policy as `events_drift_tv`. The statistic is a documented integer
+    surrogate: shares are truncated to ppm BEFORE squaring, so every
+    intermediate stays ≤ 10¹² (BIGINT-safe at any corpus size — the
+    exact-rational χ² numerator would overflow int128 at 10¹² events).
+    Divisions only ever see non-negative numerators (abs + separate
+    sign) because DuckDB `//` floors while Spark DIV truncates — they
+    agree only on non-negatives; a sub-ppm pooled share yields a 0
+    kernel term by the documented CASE guard.
+
+    Plan: identical to `events_drift_tv` — one 2-value bounds
+    aggregate broadcast over the scan, one hash-agg to |event_type|
+    rows, the total window over those ≤|types| aggregated rows
+    (bounded-window class)."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr(
+            "CAST((unix_micros(min(ts)) + unix_micros(max(ts))) div 2 AS BIGINT)"
+        ).alias("mid_us")
+    )
+    halves = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(F.unix_micros("ts") <= F.col("mid_us"), 0).otherwise(1).alias("half"),
+    )
+    per = halves.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_first"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_second"),
+    )
+    tot = per.agg(
+        F.sum("n_first").cast("long").alias("t1"),
+        F.sum("n_second").cast("long").alias("t2"),
+    )
+    contrib = per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.expr(
+            "CAST(CASE WHEN CAST(n_first AS DECIMAL(38,0)) * t2"
+            "               >= CAST(n_second AS DECIMAL(38,0)) * t1"
+            "          THEN 1 ELSE -1 END"
+            "     * (abs(CAST(n_first AS DECIMAL(38,0)) * t2"
+            "            - CAST(n_second AS DECIMAL(38,0)) * t1)"
+            "        * 1000000 DIV (CAST(t1 AS DECIMAL(38,0)) * t2)) AS BIGINT)"
+        ).alias("delta_ppm"),
+        F.expr(
+            "CAST(CAST(n_first + n_second AS DECIMAL(38,0)) * 1000000"
+            " DIV (t1 + t2) AS BIGINT)"
+        ).alias("pooled_ppm"),
+    )
+    terms = contrib.withColumn(
+        "chi_term_e6",
+        F.expr(
+            "CAST(CASE WHEN pooled_ppm = 0 THEN 0"
+            "          ELSE CAST(delta_ppm AS DECIMAL(38,0)) * delta_ppm"
+            "               DIV pooled_ppm END AS BIGINT)"
+        ),
+    )
+    w = Window.partitionBy()
+    return terms.withColumn(
+        "chi2_total_e6", F.sum("chi_term_e6").over(w).cast("long")
+    )
+
+
+@query(
     "events_cusum_changepoint",
     oracle="""
     WITH b AS (

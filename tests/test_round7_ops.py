@@ -347,3 +347,88 @@ def test_basket_rules_arithmetic_and_ordering(spark, sf_dir):
         assert r.n_pair >= MB_MIN_SUPPORT
         assert r.n_pair <= min(r.n_ante, r.n_cons)
         assert r.confidence_bp == r.n_pair * 10000 // r.n_ante
+
+
+def test_drift_chi2_matches_local_recompute(spark, sf_dir):
+    """Every per-type kernel term must match an independent Python
+    recompute from the raw (type, half) counts, and the repeated total
+    must be their sum."""
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = QUERIES["events_drift_chi2"](spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    us = [int(r.ts.timestamp() * 1_000_000) for r in ev]
+    mid = (min(us) + max(us)) // 2
+    n1: dict[str, int] = {}
+    n2: dict[str, int] = {}
+    for r, u in zip(ev, us):
+        (n1 if u <= mid else n2)[r.event_type] = (
+            (n1 if u <= mid else n2).get(r.event_type, 0) + 1
+        )
+    t1, t2 = sum(n1.values()), sum(n2.values())
+    total = 0
+    expect = {}
+    for et in set(n1) | set(n2):
+        a, b = n1.get(et, 0), n2.get(et, 0)
+        d = abs(a * t2 - b * t1) * 1_000_000 // (t1 * t2)
+        sign = 1 if a * t2 >= b * t1 else -1
+        pooled = (a + b) * 1_000_000 // (t1 + t2)
+        term = 0 if pooled == 0 else d * d // pooled
+        expect[et] = (a, b, sign * d, pooled, term)
+        total += term
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (
+            r.n_first,
+            r.n_second,
+            r.delta_ppm,
+            r.pooled_ppm,
+            r.chi_term_e6,
+        ) == expect[r.event_type]
+        assert r.chi2_total_e6 == total
+
+
+def test_pr_curve_monotone_and_consistent(spark, sf_dir):
+    """Cumulative counts must be monotone as the threshold loosens,
+    recall must be non-decreasing, and each bp value must re-derive
+    from the row's own integer counts."""
+    rows = sorted(
+        QUERIES["quality_model_pr_curve"](spark, sf_dir).collect(),
+        key=lambda r: -r.bucket,
+    )
+    assert rows
+    p_all = rows[-1].tp  # loosest threshold keeps every positive
+    prev_n, prev_tp = 0, 0
+    for r in rows:
+        assert r.n_ge > prev_n and r.tp >= prev_tp
+        prev_n, prev_tp = r.n_ge, r.tp
+        assert r.precision_bp == r.tp * 10000 // r.n_ge
+        assert r.recall_bp == (0 if p_all == 0 else r.tp * 10000 // p_all)
+        if r.tp == 0:
+            assert r.f1_bp == 0
+        else:
+            pr, rc = r.precision_bp, r.recall_bp
+            assert r.f1_bp == 2 * pr * rc // (pr + rc)
+
+
+def test_lsh_recall_audit_counts(spark, sf_dir):
+    """Flag algebra must close (n_both + n_lsh_only = n_lsh), recall
+    must re-derive, and LSH-verified pairs must be a superset check
+    against the independently computed pair queries."""
+    row = QUERIES["dedup_lsh_recall_audit"](spark, sf_dir).collect()[0]
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_pairs"](spark, sf_dir).collect()
+    }
+    assert row.n_truth == len(truth)
+    assert row.n_lsh == len(lsh)
+    assert row.n_both == len(truth & lsh)
+    assert row.n_lsh_only == len(lsh - truth)
+    assert row.n_both + row.n_lsh_only == row.n_lsh
+    assert row.recall_bp == (
+        10000 if not truth else len(truth & lsh) * 10000 // len(truth)
+    )
