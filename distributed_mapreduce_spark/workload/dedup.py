@@ -1561,3 +1561,137 @@ def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     END AS BIGINT)"
         ).alias("recall_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-scheme quality audit (pairs completeness / reduction ratio).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "er_blocking_audit",
+    oracle=f"""
+    WITH rec AS MATERIALIZED (
+      SELECT doc_id, lang, length(text) // {ER_LEN_BUCKET} AS lenbkt,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp_norm
+      FROM documents
+    ), bs AS MATERIALIZED (
+      SELECT lang, lenbkt, CAST(count(*) AS BIGINT) AS nb
+      FROM rec GROUP BY lang, lenbkt
+    ), blockstats AS (
+      SELECT CAST(sum(nb) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(max(nb) AS BIGINT) AS max_block,
+             CAST(sum(CAST(nb AS HUGEINT) * (nb - 1) // 2) AS BIGINT)
+               AS cand_pairs
+      FROM bs
+    ), truth AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CASE WHEN a.lang = b.lang AND a.lenbkt = b.lenbkt
+                  THEN 1 ELSE 0 END AS covered
+      FROM rec a JOIN rec b
+        ON a.fp_norm = b.fp_norm AND a.doc_id < b.doc_id
+    ), truthstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
+             CAST(COALESCE(sum(covered), 0) AS BIGINT) AS n_covered
+      FROM truth
+    )
+    SELECT n_docs, n_blocks, max_block, cand_pairs,
+           CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2 AS BIGINT)
+             AS all_pairs,
+           CAST((CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2 - cand_pairs)
+                * 10000 // (CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2)
+                AS BIGINT) AS reduction_bp,
+           n_truth_pairs, n_covered,
+           CAST(CASE WHEN n_truth_pairs = 0 THEN 10000
+                     ELSE n_covered * 10000 // n_truth_pairs
+                END AS BIGINT) AS completeness_bp
+    FROM blockstats CROSS JOIN truthstats
+    """,
+)
+def q_er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality audit for the record-linkage family —
+    the two numbers every ER textbook demands before trusting a
+    blocking key (Christen, "Data Matching", 2012): REDUCTION RATIO
+    (what fraction of the O(n²) comparison space the (lang, lenbkt)
+    key of `er_fellegi_sunter` prunes; from block sizes alone, no pair
+    is ever enumerated) and PAIRS COMPLETENESS (what fraction of known
+    true pairs lands inside a block — truth = the normalization-exact
+    duplicate pairs of `dedup_exact_normalized`, computed WITHOUT the
+    blocking key, so the audit can actually observe pairs the key
+    splits, e.g. a punctuation-only edit that shifts the length
+    bucket). A high reduction with low completeness says the key is
+    too aggressive; both high says it is production-ready.
+
+    Plan: block stats are one hash-agg over the key (Σ nb·(nb−1)/2 in
+    HUGEINT/DECIMAL — no pair blowup at any block size); truth pairs
+    are a fingerprint self-equi-join (group sizes bounded by real
+    duplication rates); the final row is two 1-row aggregates
+    broadcast-crossed. Counts stay exact to 10¹²-doc corpora."""
+    docs = table(spark, sf_dir, "documents")
+    fp_norm = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    )
+    rec = docs.select(
+        "doc_id",
+        "lang",
+        (F.length("text") / ER_LEN_BUCKET).cast("long").alias("lenbkt"),
+        fp_norm.alias("fp_norm"),
+    )
+    bs = rec.groupBy("lang", "lenbkt").agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    blockstats = bs.agg(
+        F.sum("nb").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.max("nb").cast("long").alias("max_block"),
+        F.expr(
+            "CAST(sum(CAST(nb AS DECIMAL(38,0)) * (nb - 1) DIV 2) AS BIGINT)"
+        ).alias("cand_pairs"),
+    )
+    a = rec.alias("a")
+    b = rec.alias("b")
+    truth = a.join(
+        b,
+        (F.col("a.fp_norm") == F.col("b.fp_norm"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.when(
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lenbkt") == F.col("b.lenbkt")),
+            1,
+        )
+        .otherwise(0)
+        .alias("covered")
+    )
+    truthstats = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth_pairs"),
+        F.coalesce(F.sum("covered"), F.lit(0)).cast("long").alias("n_covered"),
+    )
+    return (
+        blockstats.crossJoin(F.broadcast(truthstats))
+        .select(
+            "n_docs",
+            "n_blocks",
+            "max_block",
+            "cand_pairs",
+            F.expr(
+                "CAST(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) DIV 2"
+                " AS BIGINT)"
+            ).alias("all_pairs"),
+            F.expr(
+                "CAST((CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) DIV 2"
+                "      - cand_pairs) * 10000"
+                " DIV (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) DIV 2)"
+                " AS BIGINT)"
+            ).alias("reduction_bp"),
+            "n_truth_pairs",
+            "n_covered",
+            F.expr(
+                "CAST(CASE WHEN n_truth_pairs = 0 THEN 10000"
+                "          ELSE n_covered * 10000 DIV n_truth_pairs"
+                "     END AS BIGINT)"
+            ).alias("completeness_bp"),
+        )
+    )

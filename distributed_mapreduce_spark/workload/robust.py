@@ -924,3 +924,149 @@ def q_robust_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Autocorrelation lags audited (days).
+ACF_MAX_LAG = 7
+#: Day-share scale: shares in 1e-5 units keep num^2 inside DECIMAL(38).
+ACF_SHARE_SCALE = 100_000
+
+
+@query(
+    "events_autocorr_daily",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+             CAST(date_trunc('day', max(ts)) AS DATE) AS d1,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM events
+    ), cnt AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), dense AS MATERIALIZED (
+      SELECT g.d,
+             CAST(COALESCE(c.n, 0) * {ACF_SHARE_SCALE} // b.n_total AS BIGINT)
+               AS s
+      FROM b, unnest(generate_series(b.d0, b.d1, INTERVAL '1 day')) AS u(ts_d),
+           LATERAL (SELECT CAST(u.ts_d AS DATE) AS d) g
+      LEFT JOIN cnt c ON c.d = g.d
+    ), lags AS (SELECT k FROM generate_series(1, {ACF_MAX_LAG}) t(k)),
+    pairs AS (
+      SELECT l.k, x.s AS sx, y.s AS sy
+      FROM lags l
+      JOIN dense x ON TRUE
+      JOIN dense y ON y.d = x.d + CAST(l.k AS INTEGER)
+    ), agg AS MATERIALIZED (
+      SELECT k,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(sx) AS BIGINT) AS s_x,
+             CAST(sum(sy) AS BIGINT) AS s_y,
+             CAST(sum(CAST(sx AS HUGEINT) * sy) AS BIGINT) AS s_xy,
+             CAST(sum(CAST(sx AS HUGEINT) * sx) AS BIGINT) AS s_xx,
+             CAST(sum(CAST(sy AS HUGEINT) * sy) AS BIGINT) AS s_yy
+      FROM pairs GROUP BY k
+    ), stats AS (
+      SELECT k, n_pairs,
+             CAST(n_pairs AS HUGEINT) * s_xy - CAST(s_x AS HUGEINT) * s_y AS num,
+             CAST(n_pairs AS HUGEINT) * s_xx - CAST(s_x AS HUGEINT) * s_x AS den_x,
+             CAST(n_pairs AS HUGEINT) * s_yy - CAST(s_y AS HUGEINT) * s_y AS den_y
+      FROM agg
+    )
+    SELECT CAST(k AS BIGINT) AS lag_days, n_pairs,
+           CAST(num AS BIGINT) AS num,
+           CAST(den_x AS BIGINT) AS den_x,
+           CAST(den_y AS BIGINT) AS den_y,
+           CAST(CASE WHEN den_x = 0 OR den_y = 0 THEN 0
+                     ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+                          * ((num * num // den_x) * 1000000 // den_y)
+                END AS BIGINT) AS r2_signed_e6
+    FROM stats
+    """,
+)
+def q_events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the daily event volume, k = 1..{ACF_MAX_LAG}
+    — the seasonality detector (a weekly-cycled stream shows a lag-7
+    peak) in EXACT integer arithmetic. Volumes enter as zero-filled
+    day SHARES in 1e-5 units (bounded by {ACF_SHARE_SCALE}, so the
+    Pearson cross-products stay inside DECIMAL(38)/HUGEINT at any
+    corpus size; raw 10¹²-events-per-day counts would overflow num²).
+    Instead of r (whose sqrt has no exact integer form) the audit
+    reports SIGNED r²·10⁶ = sign(num)·((num²//den_x)·10⁶//den_y) plus
+    the three raw moments, each division on a non-negative numerator
+    (floor vs truncate agree), inner-first truncation order documented
+    by the formula itself; Cauchy-Schwarz bounds num²//den_x ≤ den_y,
+    so the scaled quotient is BIGINT-safe.
+
+    Plan: one hash-agg to daily counts, a 1-row bounds/total
+    aggregate whose date `sequence` explodes into the bounded daily
+    spine (≤ days rows), a 7-way lag join over that spine relation,
+    and a ≤{ACF_MAX_LAG}-row aggregate — the raw event scan happens
+    exactly once."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    cnt = (
+        ev.select(F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spine = b.select(
+        F.explode(F.sequence("d0", "d1")).alias("d"), "n_total"
+    )
+    dense = spine.join(cnt, "d", "left").select(
+        "d",
+        F.expr(
+            f"CAST(coalesce(n, 0) * {ACF_SHARE_SCALE} DIV n_total AS BIGINT)"
+        ).alias("s"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    x = dense.alias("x")
+    y = dense.alias("y")
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("y.d") == F.expr("date_add(x.d, k)"))
+        .select("k", F.col("x.s").alias("sx"), F.col("y.s").alias("sy"))
+    )
+    agg = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("sx").cast("long").alias("s_x"),
+        F.sum("sy").cast("long").alias("s_y"),
+        F.expr("CAST(sum(CAST(sx AS DECIMAL(38,0)) * sy) AS BIGINT)").alias("s_xy"),
+        F.expr("CAST(sum(CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)").alias("s_xx"),
+        F.expr("CAST(sum(CAST(sy AS DECIMAL(38,0)) * sy) AS BIGINT)").alias("s_yy"),
+    )
+    stats = agg.select(
+        "k",
+        "n_pairs",
+        F.expr(
+            "CAST(n_pairs AS DECIMAL(38,0)) * s_xy"
+            " - CAST(s_x AS DECIMAL(38,0)) * s_y"
+        ).alias("num"),
+        F.expr(
+            "CAST(n_pairs AS DECIMAL(38,0)) * s_xx"
+            " - CAST(s_x AS DECIMAL(38,0)) * s_x"
+        ).alias("den_x"),
+        F.expr(
+            "CAST(n_pairs AS DECIMAL(38,0)) * s_yy"
+            " - CAST(s_y AS DECIMAL(38,0)) * s_y"
+        ).alias("den_y"),
+    )
+    return stats.select(
+        F.col("k").cast("long").alias("lag_days"),
+        "n_pairs",
+        F.col("num").cast("long").alias("num"),
+        F.col("den_x").cast("long").alias("den_x"),
+        F.col("den_y").cast("long").alias("den_y"),
+        F.expr(
+            "CAST(CASE WHEN den_x = 0 OR den_y = 0 THEN 0"
+            "          ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)"
+            "               * ((num * num DIV den_x) * 1000000 DIV den_y)"
+            "     END AS BIGINT)"
+        ).alias("r2_signed_e6"),
+    )

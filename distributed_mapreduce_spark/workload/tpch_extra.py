@@ -692,3 +692,81 @@ def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 7"
         ).alias("avg_yearly_cents"),
     )
+
+
+@query(
+    "interval_prorate_revenue",
+    oracle=f"""
+    WITH li AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS d0,
+             CAST(l.l_shipdate AS DATE) AS d1,
+             CAST(floor({_SQL_REVENUE} * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), iv AS (
+      SELECT d0, cents,
+             CAST(greatest(date_diff('day', d0, d1), 0) + 1 AS BIGINT) AS days
+      FROM li
+    ), slices AS (
+      SELECT CAST(date_trunc('month', d0 + CAST(u.i AS INTEGER)) AS DATE)
+               AS month,
+             cents // days
+               + CASE WHEN u.i < cents % days THEN 1 ELSE 0 END AS day_cents
+      FROM iv, unnest(generate_series(0, days - 1)) AS u(i)
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_day_slices,
+           CAST(sum(day_cents) AS BIGINT) AS prorated_cents
+    FROM slices GROUP BY month
+    """,
+)
+def q_interval_prorate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar proration — the revenue-recognition shape: each line's
+    discounted revenue is spread uniformly over the days of its
+    order-to-ship interval and re-aggregated per calendar month, so a
+    line ordered in January and shipped in March contributes to all
+    three months. Conservation is EXACT in integer cents: each of the
+    `days` slices gets cents DIV days, and the remainder cents go one
+    each to the first cents % days slices — Σ slices = cents per line,
+    so Σ months = Σ lines to the cent (no float proration drift);
+    degenerate ship-before-order rows clamp to a single slice at the
+    order date.
+
+    Plan: one equi-join orders⋈lineitem on the order key, a
+    per-row `sequence` explode whose fan-out is bounded by the maximum
+    fulfillment lead (a domain constant — ~4 months in TPC-H — not a
+    function of corpus size), and one hash-agg to ≤|months| rows.
+    No window, nothing driver-side."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.to_date("o_orderdate").alias("d0"),
+        F.to_date("l_shipdate").alias("d1"),
+        F.floor(rev * 100).cast("long").alias("cents"),
+    ).select(
+        "d0",
+        "cents",
+        (
+            F.greatest(F.datediff("d1", "d0"), F.lit(0)) + 1
+        ).cast("long").alias("days"),
+    )
+    slices = iv.select(
+        "d0",
+        "cents",
+        "days",
+        F.explode(F.sequence(F.lit(0), (F.col("days") - 1).cast("int"))).alias("i"),
+    ).select(
+        F.to_date(
+            F.date_trunc("month", F.date_add(F.col("d0"), F.col("i")))
+        ).alias("month"),
+        (
+            F.expr("cents DIV days")
+            + F.when(F.col("i") < F.expr("cents % days"), 1).otherwise(0)
+        ).alias("day_cents"),
+    )
+    return slices.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_day_slices"),
+        F.sum("day_cents").cast("long").alias("prorated_cents"),
+    )

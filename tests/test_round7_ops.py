@@ -432,3 +432,110 @@ def test_lsh_recall_audit_counts(spark, sf_dir):
     assert row.recall_bp == (
         10000 if not truth else len(truth & lsh) * 10000 // len(truth)
     )
+
+
+def test_blocking_audit_closed_form(spark, sf_dir):
+    """Every count must re-derive from an independent collect of the
+    blocking keys and normalized fingerprints."""
+    from distributed_mapreduce_spark.workload.dedup import ER_LEN_BUCKET
+    from distributed_mapreduce_spark.workload.registry import table
+
+    row = QUERIES["er_blocking_audit"](spark, sf_dir).collect()[0]
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    import hashlib
+    import re as _re
+
+    recs = []
+    for r in docs:
+        norm = _re.sub(r"[^a-z0-9]+", " ", r.text.lower()).strip()
+        recs.append(
+            (
+                r.doc_id,
+                (r.lang, len(r.text) // ER_LEN_BUCKET),
+                hashlib.md5(norm.encode()).hexdigest(),
+            )
+        )
+    from collections import Counter
+
+    bsizes = Counter(k for _, k, _ in recs)
+    n = len(recs)
+    assert row.n_docs == n
+    assert row.n_blocks == len(bsizes)
+    assert row.max_block == max(bsizes.values())
+    assert row.cand_pairs == sum(v * (v - 1) // 2 for v in bsizes.values())
+    assert row.all_pairs == n * (n - 1) // 2
+    assert row.reduction_bp == (row.all_pairs - row.cand_pairs) * 10000 // row.all_pairs
+    byfp: dict[str, list] = {}
+    for d, k, fp in recs:
+        byfp.setdefault(fp, []).append((d, k))
+    truth = cov = 0
+    for grp in byfp.values():
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                truth += 1
+                cov += grp[i][1] == grp[j][1]
+    assert (row.n_truth_pairs, row.n_covered) == (truth, cov)
+    assert row.completeness_bp == (10000 if truth == 0 else cov * 10000 // truth)
+
+
+def test_autocorr_matches_local_recompute(spark, sf_dir):
+    from distributed_mapreduce_spark.workload.registry import table
+    from distributed_mapreduce_spark.workload.robust import (
+        ACF_MAX_LAG,
+        ACF_SHARE_SCALE,
+    )
+
+    rows = {r.lag_days: r for r in QUERIES["events_autocorr_daily"](spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events").select(F.to_date(F.date_trunc("day", "ts")).alias("d")).collect()
+    from collections import Counter
+    import datetime as _dt
+
+    cnt = Counter(r.d for r in ev)
+    total = sum(cnt.values())
+    d0, d1 = min(cnt), max(cnt)
+    days = [d0 + _dt.timedelta(days=i) for i in range((d1 - d0).days + 1)]
+    s = [cnt.get(d, 0) * ACF_SHARE_SCALE // total for d in days]
+    for k in range(1, ACF_MAX_LAG + 1):
+        xs, ys = s[:-k], s[k:]
+        if not xs:
+            assert k not in rows
+            continue
+        npair = len(xs)
+        num = npair * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        dx = npair * sum(a * a for a in xs) - sum(xs) ** 2
+        dy = npair * sum(b * b for b in ys) - sum(ys) ** 2
+        r = rows[k]
+        assert (r.n_pairs, r.num, r.den_x, r.den_y) == (npair, num, dx, dy)
+        if dx == 0 or dy == 0:
+            assert r.r2_signed_e6 == 0
+        else:
+            expect = (1 if num >= 0 else -1) * ((num * num // dx) * 1000000 // dy)
+            assert r.r2_signed_e6 == expect
+            assert -1_000_000 <= r.r2_signed_e6 <= 1_000_000
+
+
+def test_prorate_conserves_cents(spark, sf_dir):
+    """The per-month prorated sums must add up EXACTLY to the floor-cents
+    total of all joined lines, and slice counts to the interval days."""
+    from decimal import Decimal
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = QUERIES["interval_prorate_revenue"](spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem").alias("l")
+    o = table(spark, sf_dir, "orders").alias("o")
+    src = li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey")).select(
+        F.to_date("o_orderdate").alias("d0"),
+        F.to_date("l_shipdate").alias("d1"),
+        "l_extendedprice",
+        "l_discount",
+    ).collect()
+    total = 0
+    slices = 0
+    for r in src:
+        rev = Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01")) * (
+            1 - Decimal(str(r.l_discount)).quantize(Decimal("0.01"))
+        )
+        total += int(rev * 100)  # floor: rev >= 0
+        slices += max((r.d1 - r.d0).days, 0) + 1
+    assert sum(r.prorated_cents for r in rows) == total
+    assert sum(r.n_day_slices for r in rows) == slices
