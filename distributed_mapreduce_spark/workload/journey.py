@@ -1203,3 +1203,64 @@ def q_attribution_position_credit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_touches"),
         F.sum("credit_bp").cast("long").alias("credit_bp"),
     )
+
+
+@query(
+    "event_type_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER w AS prev1,
+             lag(event_type, 2) OVER w AS prev2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tri AS (
+      SELECT prev2 AS t1, prev1 AS t2, event_type AS t3,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM seq WHERE prev2 IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT t1, t2, t3, n_occurrences,
+           CAST(floor(n_occurrences * 10000.0 /
+                      sum(n_occurrences) OVER (PARTITION BY t1, t2))
+                AS BIGINT) AS cond_prob_bp
+    FROM tri
+    """,
+)
+def q_event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order sequential patterns: counts of consecutive
+    event-type TRIPLES per user timeline with the conditional
+    P(t3 | t1,t2) in exact basis points — the order-2 Markov model that
+    `event_transitions` (order 1) cannot express; comparing the two
+    conditionals is the standard test for whether user behavior has
+    memory beyond one step.
+
+    Plan: the same single user-partitioned window produces both lags
+    (one shuffle on user_id, bounded per-user state), a hash aggregate
+    to ≤|types|³ rows, and the normalizing window runs over those
+    aggregated matrix rows partitioned by the (t1, t2) prefix — never
+    a global or raw-row window."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    ).filter(F.col("prev2").isNotNull())
+    tri = seq.groupBy(
+        F.col("prev2").alias("t1"),
+        F.col("prev1").alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).agg(F.count(F.lit(1)).alias("n_occurrences"))
+    wn = Window.partitionBy("t1", "t2")
+    return tri.select(
+        "t1",
+        "t2",
+        "t3",
+        "n_occurrences",
+        F.floor(
+            F.col("n_occurrences") * 10000.0 / F.sum("n_occurrences").over(wn)
+        )
+        .cast("long")
+        .alias("cond_prob_bp"),
+    )

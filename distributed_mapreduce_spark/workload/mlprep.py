@@ -693,3 +693,107 @@ def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
     )
     return per.crossJoin(F.broadcast(leak))
+
+
+#: Hamilton-apportionment split ratios in basis points (sum = 10000).
+APPORTION_BP = (("train", 8000), ("val", 1000), ("test", 1000))
+
+
+@query(
+    "split_apportion_hamilton",
+    oracle=f"""
+    WITH strata AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source, lang
+    ), quota AS (
+      SELECT s.source, s.lang, s.n_docs, r.split, r.ratio_bp,
+             CAST(s.n_docs * r.ratio_bp // 10000 AS BIGINT) AS floor_alloc,
+             CAST(s.n_docs * r.ratio_bp % 10000 AS BIGINT) AS rem
+      FROM strata s
+      CROSS JOIN (VALUES {", ".join(f"('{n}', {b})" for n, b in APPORTION_BP)})
+             r(split, ratio_bp)
+    ), ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (PARTITION BY source, lang
+                                     ORDER BY rem DESC, split) AS BIGINT)
+               AS rnk,
+             CAST(sum(rem) OVER (PARTITION BY source, lang) // 10000
+                  AS BIGINT) AS deficit
+      FROM quota
+    )
+    SELECT source, lang, split, n_docs, ratio_bp, floor_alloc, rem,
+           CAST(floor_alloc + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def q_split_apportion_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer split quotas per stratum by Hamilton's
+    largest-remainder apportionment: each (source, lang) stratum's
+    doc count is divided over the {'/'.join(n for n, _ in APPORTION_BP)}
+    splits so that Σ alloc = n_docs EXACTLY — floors of the exact
+    bp quotas first, then the stratum's leftover seats (Σ remainders /
+    10⁴, an integer because Σ ratio_bp = 10⁴) go one each to the
+    largest remainders (ties broken by split name — deterministic).
+    This is the quota table a stratified splitter must hit; the
+    hash-based assigners (`text_split_assign`, `mlprep_kfold_assign`)
+    only approximate ratios, and the delta IS the audit.
+
+    Plan: one hash-agg to |source × lang| strata, a ×{len(APPORTION_BP)}
+    literal explode, and windows partitioned BY STRATUM over those
+    {len(APPORTION_BP)} rows — nothing global, nothing raw-row."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    splits = F.array(
+        *[
+            F.struct(F.lit(n).alias("split"), F.lit(b).alias("ratio_bp"))
+            for n, b in APPORTION_BP
+        ]
+    )
+    quota = strata.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.explode(splits).alias("r"),
+    ).select(
+        "source",
+        "lang",
+        "n_docs",
+        F.col("r.split").alias("split"),
+        F.col("r.ratio_bp").cast("long").alias("ratio_bp"),
+        F.expr("CAST(n_docs * r.ratio_bp DIV 10000 AS BIGINT)").alias(
+            "floor_alloc"
+        ),
+        F.expr("CAST(n_docs * r.ratio_bp % 10000 AS BIGINT)").alias("rem"),
+    )
+    ws = Window.partitionBy("source", "lang")
+    ranked = quota.select(
+        "*",
+        F.row_number()
+        .over(ws.orderBy(F.col("rem").desc(), "split"))
+        .cast("long")
+        .alias("rnk"),
+        F.expr(
+            "CAST(sum(rem) OVER (PARTITION BY source, lang) DIV 10000"
+            " AS BIGINT)"
+        ).alias("deficit"),
+    )
+    return ranked.select(
+        "source",
+        "lang",
+        "split",
+        "n_docs",
+        "ratio_bp",
+        "floor_alloc",
+        "rem",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rnk") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -1220,3 +1220,49 @@ def q_sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     hash-agg over ~7n rows."""
     table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_ROLLUP_SQL)
+
+
+@query(
+    "intersect_all_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_intersect_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each customer key appears
+    min(#finished, #open) times — the multiset counterpart of
+    `intersect_customers`, completing the SQL set-op surface. Spark
+    plans `intersectAll` as a count-aggregate + generate (no pairwise
+    matching), the same shape DuckDB uses — shuffle on the key, never
+    a join of the raw relations."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersectAll(o)
+
+
+@query(
+    "except_all_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_except_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): each customer key appears
+    max(#finished − #open, 0) times — multiset difference."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.exceptAll(o)

@@ -539,3 +539,65 @@ def test_prorate_conserves_cents(spark, sf_dir):
         slices += max((r.d1 - r.d0).days, 0) + 1
     assert sum(r.prorated_cents for r in rows) == total
     assert sum(r.n_day_slices for r in rows) == slices
+
+
+def test_bag_setops_multiset_algebra(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL multiplicities must equal min(f,o) and
+    max(f-o,0) per key, recomputed from raw counts."""
+    from collections import Counter
+    from distributed_mapreduce_spark.workload.registry import table
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus").collect()
+    f = Counter(r.o_custkey for r in orders if r.o_orderstatus == "F")
+    o = Counter(r.o_custkey for r in orders if r.o_orderstatus == "O")
+    inter = Counter(
+        dict((k, min(f[k], o[k])) for k in f if k in o and min(f[k], o[k]) > 0)
+    )
+    exc = Counter(dict((k, f[k] - o.get(k, 0)) for k in f if f[k] > o.get(k, 0)))
+    got_i = Counter(r.custkey for r in QUERIES["intersect_all_customers"](spark, sf_dir).collect())
+    got_e = Counter(r.custkey for r in QUERIES["except_all_customers"](spark, sf_dir).collect())
+    assert got_i == inter and got_e == exc
+
+
+def test_trigram_conditionals_sum_to_one(spark, sf_dir):
+    """Each (t1,t2) prefix's conditional bp values must sum within
+    truncation slack of 10000, and trigram totals must not exceed the
+    bigram count of their prefix."""
+    rows = QUERIES["event_type_trigrams"](spark, sf_dir).collect()
+    bi = {
+        (r.prev_type, r.curr_type): r.n_transitions
+        for r in QUERIES["event_transitions"](spark, sf_dir).collect()
+    }
+    from collections import defaultdict
+
+    by_prefix = defaultdict(list)
+    for r in rows:
+        by_prefix[(r.t1, r.t2)].append(r)
+    for (t1, t2), grp in by_prefix.items():
+        tot = sum(r.n_occurrences for r in grp)
+        assert tot <= bi[(t1, t2)]
+        s = sum(r.cond_prob_bp for r in grp)
+        assert 10000 - len(grp) < s <= 10000
+        for r in grp:
+            assert r.cond_prob_bp == r.n_occurrences * 10000 // tot
+
+
+def test_hamilton_apportionment_conserves(spark, sf_dir):
+    """Per stratum: Σ alloc == n_docs (Hamilton's defining property),
+    every alloc within 1 of the exact quota (no Alabama-paradox drift
+    within a single apportionment), floors re-derive."""
+    rows = QUERIES["split_apportion_hamilton"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    strata = defaultdict(list)
+    for r in rows:
+        strata[(r.source, r.lang)].append(r)
+    assert strata
+    for grp in strata.values():
+        n = grp[0].n_docs
+        assert sum(r.alloc for r in grp) == n
+        assert sum(r.ratio_bp for r in grp) == 10000
+        for r in grp:
+            assert r.floor_alloc == n * r.ratio_bp // 10000
+            assert r.rem == n * r.ratio_bp % 10000
+            assert r.floor_alloc <= r.alloc <= r.floor_alloc + 1
