@@ -1070,3 +1070,83 @@ def q_events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     END AS BIGINT)"
         ).alias("r2_signed_e6"),
     )
+
+
+@query(
+    "events_weekday_seasonality",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+             CAST(date_trunc('day', max(ts)) AS DATE) AS d1,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM events
+    ), spine AS (
+      SELECT CAST(isodow(CAST(u.ts_d AS DATE)) AS BIGINT) AS weekday
+      FROM b, unnest(generate_series(b.d0, b.d1, INTERVAL '1 day')) AS u(ts_d)
+    ), wd_days AS MATERIALIZED (
+      SELECT weekday, CAST(count(*) AS BIGINT) AS n_days
+      FROM spine GROUP BY weekday
+    ), wd_ev AS MATERIALIZED (
+      SELECT CAST(isodow(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS weekday,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_days) AS BIGINT) AS d_all FROM wd_days
+    )
+    SELECT d.weekday,
+           COALESCE(e.n_events, 0) AS n_events,
+           d.n_days,
+           CAST(CAST(COALESCE(e.n_events, 0) AS HUGEINT) * t.d_all * 1000000
+                // (CAST(b.n_total AS HUGEINT) * d.n_days) AS BIGINT)
+             AS idx_ppm
+    FROM wd_days d
+    LEFT JOIN wd_ev e ON d.weekday = e.weekday
+    CROSS JOIN tot t CROSS JOIN b
+    """,
+)
+def q_events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal index: each ISO weekday's mean daily event
+    volume as a ppm ratio to the overall daily mean —
+    idx = (n_w · D_all) / (N_all · d_w) · 10⁶, exactly 10⁶ for a flat
+    week, cross-multiplied so the only division is one truncating
+    integer op. Weekday day-counts come from the zero-filled calendar
+    spine (an absent weekday still divides by its day count), the
+    companion readout to `events_autocorr_daily`'s lag-7 peak.
+
+    Plan: one hash-agg of the raw scan to ≤7 weekday rows, a 1-row
+    bounds aggregate whose date `sequence` explodes into the bounded
+    day spine (≤ days rows, aggregated straight back to ≤7), and
+    broadcast crosses of 1-row totals. ISO weekday (Mon=1) via
+    Spark's `weekday()+1` ≡ DuckDB `isodow`."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    wd_days = spine.groupBy(
+        (F.weekday("d") + 1).cast("long").alias("weekday")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    wd_ev = ev.groupBy(
+        (F.weekday(F.to_date(F.date_trunc("day", "ts"))) + 1)
+        .cast("long")
+        .alias("weekday")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    tot = wd_days.agg(F.sum("n_days").cast("long").alias("d_all"))
+    return (
+        wd_days.join(wd_ev, "weekday", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(b.select("n_total")))
+        .select(
+            "weekday",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            "n_days",
+            F.expr(
+                "CAST(CAST(coalesce(n_events, 0) AS DECIMAL(38,0)) * d_all"
+                " * 1000000 DIV (CAST(n_total AS DECIMAL(38,0)) * n_days)"
+                " AS BIGINT)"
+            ).alias("idx_ppm"),
+        )
+    )

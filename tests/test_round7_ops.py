@@ -601,3 +601,29 @@ def test_hamilton_apportionment_conserves(spark, sf_dir):
             assert r.floor_alloc == n * r.ratio_bp // 10000
             assert r.rem == n * r.ratio_bp % 10000
             assert r.floor_alloc <= r.alloc <= r.floor_alloc + 1
+
+
+def test_weekday_seasonality_recompute(spark, sf_dir):
+    from collections import Counter
+    import datetime as _dt
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = {r.weekday: r for r in QUERIES["events_weekday_seasonality"](spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events").select(F.to_date(F.date_trunc("day", "ts")).alias("d")).collect()
+    cnt = Counter(r.d for r in ev)
+    total = sum(cnt.values())
+    d0, d1 = min(cnt), max(cnt)
+    days = [d0 + _dt.timedelta(days=i) for i in range((d1 - d0).days + 1)]
+    wd_days = Counter(d.isoweekday() for d in days)
+    wd_ev = Counter()
+    for d, n in cnt.items():
+        wd_ev[d.isoweekday()] += n
+    assert set(rows) == set(wd_days)
+    for w, nd in wd_days.items():
+        r = rows[w]
+        ne = wd_ev.get(w, 0)
+        assert (r.n_events, r.n_days) == (ne, nd)
+        assert r.idx_ppm == ne * len(days) * 1_000_000 // (total * nd)
+    # a flat week would put every index at exactly 1e6; real data must
+    # still average out to ~1e6 (weighted by day counts)
+    assert sum(r.n_events for r in rows.values()) == total
