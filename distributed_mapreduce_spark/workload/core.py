@@ -675,3 +675,133 @@ def q_partition_range_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("hi"),
         )
     )
+
+
+#: Rendezvous-hashing node count (node index 0..RV_NODES-1; the removal
+#: experiment drops the LAST node).
+RV_NODES = 8
+
+
+@query(
+    "partition_rendezvous_hash",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT k FROM generate_series(0, {RV_NODES - 1}) t(k)
+    ), w AS (
+      SELECT o.o_orderkey, n.k,
+             ('0x' || substr(md5('rv_' || CAST(o.o_orderkey AS VARCHAR)
+                                 || '|node' || CAST(n.k AS VARCHAR)), 1, 8))::BIGINT
+               AS wt
+      FROM orders o CROSS JOIN nodes n
+    ), ranked AS (
+      SELECT o_orderkey, k, wt,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY wt DESC, k) AS rf,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY CASE WHEN k = {RV_NODES - 1} THEN 0 ELSE 1 END DESC,
+                                         wt DESC, k) AS rr
+      FROM w
+    ), assign AS MATERIALIZED (
+      SELECT f.o_orderkey, f.k AS idx_full, r.k AS idx_red
+      FROM (SELECT o_orderkey, k FROM ranked WHERE rf = 1) f
+      JOIN (SELECT o_orderkey, k FROM ranked
+            WHERE rr = 1 AND k <> {RV_NODES - 1}) r USING (o_orderkey)
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM assign),
+    per AS (
+      SELECT n.k AS node,
+             CAST(sum(CASE WHEN a.idx_full = n.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full,
+             CAST(sum(CASE WHEN a.idx_red = n.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reduced,
+             CAST(sum(CASE WHEN a.idx_red = n.k
+                            AND a.idx_full = {RV_NODES - 1}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+      FROM nodes n CROSS JOIN assign a GROUP BY n.k
+    )
+    SELECT CAST(node AS BIGINT) AS node, n_full, n_reduced, n_moved_in,
+           CAST(CAST(n_full AS HUGEINT) * {RV_NODES} * 1000000 // n_total
+                AS BIGINT) AS load_ppm
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_partition_rendezvous_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing — the third classic
+    partitioner next to the reference's hash and range splits
+    (fileserver.py:682-732): each key goes to the node with the highest
+    portable hash(key, node) weight, and when a node leaves, ONLY its
+    keys move (minimal disruption — the property modulo hashing lacks:
+    `hash % (n-1)` reshuffles ~all keys). Per node: the full-ring
+    assignment count, the count after removing the last node, how many
+    displaced keys it absorbed, and its load in ppm of perfect balance
+    (10⁶ = ideal). The disruption property is checkable in-row:
+    n_reduced = n_full + n_moved_in for every surviving node.
+
+    Plan: the {RV_NODES} weights are a per-row columnar struct array
+    (NO fan-out — `array_max` picks the winner by (weight, node)
+    lexicographic struct order, ties to the lower index via the
+    reversed-index field); both assignments come from the same array in
+    one projection; the output is one hash-agg to {RV_NODES} rows plus
+    a broadcast 1-row total. The oracle mirrors argmax via a per-key
+    row_number window (DuckDB has no struct max), same (wt DESC, k)
+    order."""
+    from distributed_mapreduce_spark.workload.dedup import _hash_u32
+
+    orders = table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    arr = F.array(
+        *[
+            F.struct(
+                _hash_u32(
+                    F.concat(key, F.lit(f"|node{i}")), "rv_"
+                ).alias("wt"),
+                F.lit(RV_NODES - 1 - i).alias("ni"),
+            )
+            for i in range(RV_NODES)
+        ]
+    )
+    assign = orders.select(arr.alias("a")).select(
+        (RV_NODES - 1 - F.array_max("a").getField("ni")).alias("idx_full"),
+        (
+            RV_NODES
+            - 1
+            - F.array_max(
+                F.filter("a", lambda s: s.getField("ni") != 0)
+            ).getField("ni")
+        ).alias("idx_red"),
+    )
+    nodes = spark.range(RV_NODES).select(F.col("id").cast("long").alias("node"))
+    # two keyed aggregates instead of a nodes x keys fan-out: the
+    # assignment relation is scanned once per measure family and
+    # reduced to <=RV_NODES rows map-side before joining the node spine
+    per_full = assign.groupBy(
+        F.col("idx_full").cast("long").alias("node")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_full"))
+    per_red = assign.groupBy(
+        F.col("idx_red").cast("long").alias("node")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reduced"),
+        F.sum(F.when(F.col("idx_full") == RV_NODES - 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved_in"),
+    )
+    per = (
+        nodes.join(F.broadcast(per_full), "node", "left")
+        .join(F.broadcast(per_red), "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_full", F.lit(0)).cast("long").alias("n_full"),
+            F.coalesce("n_reduced", F.lit(0)).cast("long").alias("n_reduced"),
+            F.coalesce("n_moved_in", F.lit(0)).cast("long").alias("n_moved_in"),
+        )
+    )
+    tot = assign.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "node",
+        "n_full",
+        "n_reduced",
+        "n_moved_in",
+        F.expr(
+            f"CAST(CAST(n_full AS DECIMAL(38,0)) * {RV_NODES} * 1000000"
+            " DIV n_total AS BIGINT)"
+        ).alias("load_ppm"),
+    )

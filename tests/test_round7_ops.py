@@ -627,3 +627,33 @@ def test_weekday_seasonality_recompute(spark, sf_dir):
     # a flat week would put every index at exactly 1e6; real data must
     # still average out to ~1e6 (weighted by day counts)
     assert sum(r.n_events for r in rows.values()) == total
+
+
+def test_rendezvous_minimal_disruption(spark, sf_dir):
+    """The HRW defining property: removing the last node moves ONLY its
+    keys (n_reduced = n_full + n_moved_in on survivors), totals
+    conserve, and a local recompute of the portable hash agrees."""
+    import hashlib
+    from distributed_mapreduce_spark.workload.core import RV_NODES
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = {r.node: r for r in QUERIES["partition_rendezvous_hash"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(RV_NODES))
+    n_total = sum(r.n_full for r in rows.values())
+    assert sum(r.n_reduced for r in rows.values()) == n_total
+    last = rows[RV_NODES - 1]
+    assert last.n_reduced == 0 and last.n_moved_in == 0
+    assert sum(r.n_moved_in for r in rows.values()) == last.n_full
+    for k, r in rows.items():
+        if k < RV_NODES - 1:
+            assert r.n_reduced == r.n_full + r.n_moved_in
+        assert r.load_ppm == r.n_full * RV_NODES * 1_000_000 // n_total
+
+    def w(key, i):
+        return int(hashlib.md5(f"rv_{key}|node{i}".encode()).hexdigest()[:8], 16)
+
+    keys = [r.o_orderkey for r in table(spark, sf_dir, "orders").select("o_orderkey").collect()]
+    from collections import Counter
+
+    full = Counter(max(range(RV_NODES), key=lambda i: (w(k, i), -i)) for k in keys)
+    assert full == Counter({k: r.n_full for k, r in rows.items() if r.n_full})

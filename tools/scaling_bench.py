@@ -104,6 +104,22 @@ FAMILIES = [
     # signal plus a window shuffle keyed on the 20 fixed sources (the
     # coarse-key skew case: per-source partitions grow with factor).
     "corpus_domain_cap",
+    # round-7 late: positional phrase retrieval. The phrase is the
+    # corpus-global argmax trigram, so at x10 it belongs to ONE replica
+    # and the match stage stays constant — what scales (and dominates)
+    # is the gram-count aggregate + the tokenizer pass over all text,
+    # the stages the anchor-alignment rewrite targets.
+    "retrieval_phrase_match",
+    # round-7 late: order-2 Markov trigrams — one user-partitioned
+    # double-lag window over the replicated (disjoint) user space plus
+    # a |types|^3 aggregate; the window shuffle carries every event.
+    "event_type_trigrams",
+    # round-7 late: blocking audit — md5 normalization fingerprints
+    # (replica-disjoint after Caesar rotation), a fingerprint SMJ
+    # self-join, and block-size aggregates whose (lang, lenbkt) keys
+    # are shared ACROSS replicas (block rows grow ~10x per key — the
+    # audit's arithmetic is sizes-only, so no pair blowup).
+    "er_blocking_audit",
 ]
 # NOT here by design: `contrastive_negatives` pairs anchors x pool, so
 # replication grows the candidate set quadratically (more anchors AND a
@@ -269,7 +285,11 @@ def main() -> int:
     input_table = {
         q: "lineitem"
         if q.startswith("graph_")
-        else ("events" if q.startswith("sessions_") else "documents")
+        else (
+            "events"
+            if q.startswith(("sessions_", "events_", "event_"))
+            else "documents"
+        )
         for q in FAMILIES
     }
 
