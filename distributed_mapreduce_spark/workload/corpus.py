@@ -2257,3 +2257,112 @@ def q_quality_model_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     END AS BIGINT)"
         ).alias("f1_bp"),
     )
+
+
+def _kappa_oracle() -> str:
+    from distributed_mapreduce_spark.workload.registry import ORACLES
+
+    mk = ORACLES["quality_model_logit"]
+    rk = ORACLES["quality_filter_reasons"]
+    return f"""
+    WITH mk AS MATERIALIZED (SELECT doc_id, model_keep FROM ({mk})),
+    rk AS MATERIALIZED (SELECT doc_id, kept AS rule_keep FROM ({rk})),
+    cm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN model_keep AND rule_keep THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN model_keep AND NOT rule_keep THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT model_keep AND rule_keep THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT model_keep AND NOT rule_keep THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM mk JOIN rk USING (doc_id)
+    ), p AS (
+      SELECT n, a, b, c, d,
+             CAST((a + d) * 1000000 // n AS BIGINT) AS po_ppm,
+             CAST((CAST(a + b AS HUGEINT) * (a + c)
+                   + CAST(c + d AS HUGEINT) * (b + d)) * 1000000
+                  // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+      FROM cm
+    )
+    SELECT n AS n_docs, a AS n_both_keep, b AS n_model_only,
+           c AS n_rule_only, d AS n_both_reject, po_ppm, pe_ppm,
+           CAST(CASE WHEN pe_ppm >= 1000000 THEN 0
+                     ELSE (CASE WHEN po_ppm >= pe_ppm THEN 1 ELSE -1 END)
+                          * (abs(CAST(po_ppm AS HUGEINT) - pe_ppm) * 1000000
+                             // (1000000 - pe_ppm))
+                END AS BIGINT) AS kappa_ppm
+    FROM p
+    """
+
+
+@query("quality_gates_cohen_kappa", oracle=_kappa_oracle())
+def q_quality_gates_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the learned and rule quality gates — the
+    chance-corrected agreement statistic (Cohen, 1960) that the raw
+    agreement audit (`quality_model_rule_agreement`) cannot express:
+    two gates that both keep ~90% agree ~82% by chance alone, and
+    kappa measures only the agreement ABOVE that. Exact truncated-ppm
+    integer arithmetic: po and pe from the 2x2 counts, kappa =
+    (po-pe)/(1e6-pe) with abs+sign so every division sees a
+    non-negative numerator (floor vs truncate agree); a degenerate
+    pe = 1 (both gates constant) reports 0 by the documented guard.
+
+    Plan: both verdicts are projections of the same documents scan;
+    ONE 1-row conditional-sum aggregate carries the whole confusion
+    matrix — the 2x2 never materializes as rows."""
+    m = q_quality_model_logit(spark, sf_dir).select("doc_id", "model_keep")
+    r = q_quality_filter_reasons(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("rule_keep")
+    )
+    cm = m.join(r, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("model_keep") & F.col("rule_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(
+            F.when(F.col("model_keep") & ~F.col("rule_keep"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when(~F.col("model_keep") & F.col("rule_keep"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(~F.col("model_keep") & ~F.col("rule_keep"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    p = cm.select(
+        "n",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr("CAST((a + d) * 1000000 DIV n AS BIGINT)").alias("po_ppm"),
+        F.expr(
+            "CAST((CAST(a + b AS DECIMAL(38,0)) * (a + c)"
+            "      + CAST(c + d AS DECIMAL(38,0)) * (b + d)) * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("pe_ppm"),
+    )
+    return p.select(
+        F.col("n").alias("n_docs"),
+        F.col("a").alias("n_both_keep"),
+        F.col("b").alias("n_model_only"),
+        F.col("c").alias("n_rule_only"),
+        F.col("d").alias("n_both_reject"),
+        "po_ppm",
+        "pe_ppm",
+        F.expr(
+            "CAST(CASE WHEN pe_ppm >= 1000000 THEN 0"
+            "          ELSE (CASE WHEN po_ppm >= pe_ppm THEN 1 ELSE -1 END)"
+            "               * (abs(CAST(po_ppm AS DECIMAL(38,0)) - pe_ppm)"
+            "                  * 1000000 DIV (1000000 - pe_ppm))"
+            "     END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )

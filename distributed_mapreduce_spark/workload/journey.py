@@ -1264,3 +1264,101 @@ def q_event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cond_prob_bp"),
     )
+
+
+@query(
+    "cohort_cumulative_ltv",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM orders
+    ), cohort AS MATERIALIZED (
+      SELECT o_custkey, min(m) AS cm FROM om GROUP BY o_custkey
+    ), csize AS (
+      SELECT cm, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM cohort GROUP BY cm
+    ), per AS MATERIALIZED (
+      SELECT c.cm AS cohort_month,
+             (year(o.m) * 12 + month(o.m))
+               - (year(c.cm) * 12 + month(c.cm)) AS month_offset,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+             CAST(sum(o.cents) AS BIGINT) AS spend_cents
+      FROM om o JOIN cohort c ON o.o_custkey = c.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT p.cohort_month,
+           CAST(p.month_offset AS BIGINT) AS month_offset,
+           p.n_active, p.spend_cents,
+           CAST(sum(p.spend_cents) OVER (PARTITION BY p.cohort_month
+                                         ORDER BY p.month_offset) AS BIGINT)
+             AS cum_spend_cents,
+           s.cohort_size,
+           CAST(sum(p.spend_cents) OVER (PARTITION BY p.cohort_month
+                                         ORDER BY p.month_offset)
+                // s.cohort_size AS BIGINT) AS ltv_per_cust_cents
+    FROM per p JOIN csize s ON p.cohort_month = s.cm
+    """,
+)
+def q_cohort_cumulative_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, each cohort's spend accumulated across month offsets and
+    normalized per cohort member — the LTV triangle that retention
+    counts (`retention_cohorts`) cannot price. Exact to the cent:
+    floor-cents spend, integer month offsets from (year*12+month)
+    deltas (identical on both engines — no fractional months_between),
+    one truncating division per output row.
+
+    Plan: one hash-agg for cohorts (re-agg on the o_custkey shuffle
+    key), equi-join back, aggregate to (cohort, offset) rows, and the
+    running-sum window runs PARTITIONED BY cohort over those
+    aggregated rows — never a raw-row or global window. Cohort sizes
+    join on the ≤|months| relation."""
+    orders = table(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("m"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    cohort = om.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    csize = cohort.groupBy("cm").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    per = (
+        om.join(cohort, "o_custkey")
+        .groupBy(
+            F.col("cm").alias("cohort_month"),
+            (
+                (F.year("m") * 12 + F.month("m"))
+                - (F.year("cm") * 12 + F.month("cm"))
+            ).alias("month_offset"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_active"),
+            F.sum("cents").cast("long").alias("spend_cents"),
+        )
+    )
+    w = Window.partitionBy("cohort_month").orderBy("month_offset")
+    return (
+        per.join(
+            csize.withColumnRenamed("cm", "cohort_month"), "cohort_month"
+        )
+        .select(
+            "cohort_month",
+            F.col("month_offset").cast("long").alias("month_offset"),
+            "n_active",
+            "spend_cents",
+            F.sum("spend_cents").over(w).cast("long").alias("cum_spend_cents"),
+            "cohort_size",
+        )
+        # integer DIV on the materialized cumulative (a float divide
+        # would round past 2^53 cents)
+        .withColumn(
+            "ltv_per_cust_cents",
+            F.expr("CAST(cum_spend_cents DIV cohort_size AS BIGINT)"),
+        )
+    )

@@ -1150,3 +1150,101 @@ def q_events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idx_ppm"),
         )
     )
+
+
+@query(
+    "price_qty_ols_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity) AS BIGINT) AS x,
+             CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS y
+      FROM lineitem
+    ), m AS MATERIALIZED (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s_x,
+             CAST(sum(y) AS BIGINT) AS s_y,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS s_xy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS s_xx
+      FROM pts GROUP BY l_returnflag
+    ), nd AS (
+      SELECT l_returnflag, n, s_x, s_y, s_xy, s_xx,
+             CAST(n AS HUGEINT) * s_xy - CAST(s_x AS HUGEINT) * s_y AS num,
+             CAST(n AS HUGEINT) * s_xx - CAST(s_x AS HUGEINT) * s_x AS den
+      FROM m
+    )
+    SELECT l_returnflag, n, s_x, s_y,
+           CAST(num AS BIGINT) AS num,
+           CAST(den AS BIGINT) AS den,
+           CAST(CASE WHEN den = 0 THEN 0
+                     ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+                          * ((abs(num) // den) * 1000000
+                             + (abs(num) % den) * 1000000 // den)
+                END AS BIGINT) AS slope_e6
+    FROM nd
+    """,
+)
+def q_price_qty_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag least-squares slope of line price (floor cents)
+    on quantity — the OLS complement to the outlier-robust
+    `robust_theil_sen_trend`: comparing the two slopes is the standard
+    influence check (a big gap = leverage points drive the fit). Exact
+    integers end to end: slope·10⁶ expanded as
+    (⌊|num|/den⌋·10⁶ + (|num| mod den)·10⁶/den) so no intermediate
+    exceeds DECIMAL(38) even at 10¹²-row groups (a direct num·10⁶
+    would overflow int128 there); abs+sign keeps every division
+    non-negative; floor() pins the double→int conversions (DuckDB
+    CAST rounds, Spark truncates — they agree only through floor).
+
+    Plan: one hash-agg of the scan to |returnflag| moment rows; the
+    slope arithmetic runs on those ≤3 rows."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s_x"),
+        F.sum("y").cast("long").alias("s_y"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS BIGINT)").alias(
+            "s_xy"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS BIGINT)").alias(
+            "s_xx"
+        ),
+    )
+    nd = m.select(
+        "l_returnflag",
+        "n",
+        "s_x",
+        "s_y",
+        "s_xy",
+        "s_xx",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * s_xy - CAST(s_x AS DECIMAL(38,0)) * s_y"
+        ).alias("num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * s_xx - CAST(s_x AS DECIMAL(38,0)) * s_x"
+        ).alias("den"),
+    )
+    return nd.select(
+        "l_returnflag",
+        "n",
+        "s_x",
+        "s_y",
+        F.col("num").cast("long").alias("num"),
+        F.col("den").cast("long").alias("den"),
+        F.expr(
+            "CAST(CASE WHEN den = 0 THEN 0"
+            "          ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)"
+            "               * ((abs(num) DIV den) * 1000000"
+            "                  + (abs(num) % den) * 1000000 DIV den)"
+            "     END AS BIGINT)"
+        ).alias("slope_e6"),
+    )

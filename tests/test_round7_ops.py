@@ -657,3 +657,71 @@ def test_rendezvous_minimal_disruption(spark, sf_dir):
 
     full = Counter(max(range(RV_NODES), key=lambda i: (w(k, i), -i)) for k in keys)
     assert full == Counter({k: r.n_full for k, r in rows.items() if r.n_full})
+
+
+def test_cohen_kappa_recompute(spark, sf_dir):
+    row = QUERIES["quality_gates_cohen_kappa"](spark, sf_dir).collect()[0]
+    n, a, b, c, d = row.n_docs, row.n_both_keep, row.n_model_only, row.n_rule_only, row.n_both_reject
+    assert a + b + c + d == n and n > 0
+    po = (a + d) * 1_000_000 // n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) * 1_000_000 // (n * n)
+    assert (row.po_ppm, row.pe_ppm) == (po, pe)
+    if pe >= 1_000_000:
+        assert row.kappa_ppm == 0
+    else:
+        sign = 1 if po >= pe else -1
+        assert row.kappa_ppm == sign * (abs(po - pe) * 1_000_000 // (1_000_000 - pe))
+        assert -1_000_000 <= row.kappa_ppm <= 1_000_000
+    # the 2x2 must agree with the existing confusion-matrix query
+    cm = {
+        (r.model_keep, r.rule_keep): r.n_docs
+        for r in QUERIES["quality_model_rule_agreement"](spark, sf_dir).collect()
+    }
+    assert a == cm.get((True, True), 0) and d == cm.get((False, False), 0)
+
+
+def test_cohort_ltv_monotone_and_conserves(spark, sf_dir):
+    from collections import defaultdict
+    rows = QUERIES["cohort_cumulative_ltv"](spark, sf_dir).collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_month].append(r)
+    assert by_cohort
+    for grp in by_cohort.values():
+        grp.sort(key=lambda r: r.month_offset)
+        assert grp[0].month_offset == 0  # the cohort's own first month
+        cum = 0
+        for r in grp:
+            cum += r.spend_cents
+            assert r.cum_spend_cents == cum
+            assert r.n_active <= r.cohort_size
+            assert r.ltv_per_cust_cents == cum // r.cohort_size
+        # offset-0 actives = everyone (cohort defined by first order)
+        assert grp[0].n_active == grp[0].cohort_size
+
+
+def test_ols_slope_matches_local_fit(spark, sf_dir):
+    from decimal import Decimal
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = {r.l_returnflag: r for r in QUERIES["price_qty_ols_trend"](spark, sf_dir).collect()}
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    from collections import defaultdict
+
+    pts = defaultdict(list)
+    for r in li:
+        x = int(r.l_quantity)  # quantities are integral
+        y = int(Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01")) * 100)
+        pts[r.l_returnflag].append((x, y))
+    for flag, p in pts.items():
+        n = len(p)
+        sx = sum(x for x, _ in p); sy = sum(y for _, y in p)
+        sxy = sum(x * y for x, y in p); sxx = sum(x * x for x, _ in p)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        r = rows[flag]
+        assert (r.n, r.num, r.den) == (n, num, den)
+        if den:
+            sign = 1 if num >= 0 else -1
+            expect = sign * ((abs(num) // den) * 1_000_000 + (abs(num) % den) * 1_000_000 // den)
+            assert r.slope_e6 == expect
