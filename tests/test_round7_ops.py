@@ -725,3 +725,41 @@ def test_ols_slope_matches_local_fit(spark, sf_dir):
             sign = 1 if num >= 0 else -1
             expect = sign * ((abs(num) // den) * 1_000_000 + (abs(num) % den) * 1_000_000 // den)
             assert r.slope_e6 == expect
+
+
+def test_consistent_ring_matches_local_successor(spark, sf_dir):
+    """Assignment must equal a local clockwise-successor walk over the
+    same md5 ring, and v32 must balance at least as well as v1 (the
+    vnode result the audit exists to show)."""
+    import hashlib
+    from distributed_mapreduce_spark.workload.core import (
+        RING_NODES,
+        RING_VARIANTS,
+        _ring_points,
+    )
+    from distributed_mapreduce_spark.workload.registry import table
+    from collections import Counter
+    import bisect
+
+    rows = QUERIES["partition_consistent_ring"](spark, sf_dir).collect()
+    got = {(r.variant, r.node): r for r in rows}
+    assert len(got) == len(RING_VARIANTS) * RING_NODES
+    keys = [r.o_orderkey for r in table(spark, sf_dir, "orders").select("o_orderkey").collect()]
+    for name, vn in RING_VARIANTS:
+        enc = _ring_points(vn)
+        pos = [p // 16 for p in enc]
+        cnt = Counter()
+        for k in keys:
+            h = int(hashlib.md5(f"ringk_{k}".encode()).hexdigest()[:8], 16)
+            i = bisect.bisect_left(pos, h)
+            cnt[enc[i % len(enc)] % 16] += 1
+        for node in range(RING_NODES):
+            r = got[(name, node)]
+            assert r.n_keys == cnt.get(node, 0)
+            assert r.load_ppm == r.n_keys * RING_NODES * 1_000_000 // len(keys)
+    spread = {
+        name: max(got[(name, n)].load_ppm for n in range(RING_NODES))
+        - min(got[(name, n)].load_ppm for n in range(RING_NODES))
+        for name, _ in RING_VARIANTS
+    }
+    assert spread["v32"] < spread["v1"]
