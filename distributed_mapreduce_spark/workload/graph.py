@@ -654,6 +654,18 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     `pagerank_converge`, with label frequencies as the combined
     message. State between rounds is one (node, label) row per node.
     """
+    labels, _ = _lpa_labels(spark, sf_dir)
+    out = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
+    )
+    return out
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """(labels, adj): the final (node, lbl) assignment of the
+    {LPA_ROUNDS}-round synchronous LPA plus the persisted symmetric
+    adjacency — shared by `graph_label_propagation` (community sizes)
+    and `graph_modularity_score` (partition quality)."""
     e = _edges(spark, sf_dir)
     adj = (
         e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -677,10 +689,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("u").alias("node"), "lbl")
         )
-    out = labels.groupBy(F.col("lbl").alias("community")).agg(
-        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
-    )
-    return out
+    return labels, adj
 
 
 #: Resource-allocation link prediction: pairs kept.
@@ -1274,4 +1283,124 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((4 * m * s_jk - s_sum * s_sum) * 1000000"
             " DIV (2 * m * s_sq - s_sum * s_sum) AS BIGINT)"
         ).alias("assort_ppm"),
+    )
+
+
+@query(
+    "graph_modularity_score",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_EDGES_SQL}),
+    adj AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL
+      SELECT dst AS u, src AS v FROM e
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, u AS lbl FROM adj
+    ),{",".join(_lpa_round_sql(k) for k in range(LPA_ROUNDS))},
+    lab AS MATERIALIZED (SELECT node, lbl FROM l{LPA_ROUNDS}),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY u),
+    intra AS (
+      SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS intra_edges
+      FROM e JOIN lab la ON e.src = la.node
+             JOIN lab lb ON e.dst = lb.node
+      WHERE la.lbl = lb.lbl GROUP BY la.lbl
+    ), dc AS MATERIALIZED (
+      SELECT l.lbl AS community,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.d) AS BIGINT) AS degree_sum
+      FROM lab l JOIN deg d ON l.node = d.node GROUP BY l.lbl
+    ), terms AS MATERIALIZED (
+      SELECT dc.community, dc.n_nodes,
+             COALESCE(i.intra_edges, 0) AS intra_edges,
+             dc.degree_sum,
+             CAST(4 AS HUGEINT) * COALESCE(i.intra_edges, 0) * m.m_edges
+               - CAST(dc.degree_sum AS HUGEINT) * dc.degree_sum AS t,
+             m.m_edges
+      FROM dc LEFT JOIN intra i USING (community) CROSS JOIN m
+    ), tot AS (SELECT CAST(sum(t) AS HUGEINT) AS t_all FROM terms)
+    SELECT community, n_nodes, intra_edges, degree_sum,
+           CAST((CASE WHEN t >= 0 THEN 1 ELSE -1 END)
+                * (abs(t) * 1000000
+                   // (CAST(4 AS HUGEINT) * m_edges * m_edges)) AS BIGINT)
+             AS contrib_ppm,
+           CAST((CASE WHEN t_all >= 0 THEN 1 ELSE -1 END)
+                * (abs(t_all) * 1000000
+                   // (CAST(4 AS HUGEINT) * m_edges * m_edges)) AS BIGINT)
+             AS q_ppm
+    FROM terms CROSS JOIN tot
+    """,
+)
+def q_graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition — the
+    number that says whether the communities LPA found are real
+    structure or noise (Q = Σ_c [m_c/m − (D_c/2m)²]; > 0.3 is the
+    usual "has community structure" bar). Exact truncated-ppm
+    integers: per-community term t_c = 4·m_c·m − D_c², global
+    Q·10⁶ = sign(Σt)·|Σt|·10⁶ / 4m² — every division on a
+    non-negative numerator, HUGEINT/DECIMAL(38) intermediates
+    (t_c ≤ 4·10²⁴ at 10¹² edges, inside int128).
+
+    Plan: reuses the LPA loop's persisted adjacency and final labels
+    (`_lpa_labels`); modularity adds one degree aggregate, one
+    two-sided label join over the EDGE list (equi-joins on node ids —
+    candidate volume |E|, never pairs), two ≤|communities| aggregates,
+    and a broadcast 1-row total."""
+    labels, adj = _lpa_labels(spark, sf_dir)
+    e = _edges(spark, sf_dir)
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    la = labels.withColumnsRenamed({"node": "src", "lbl": "la"})
+    lb = labels.withColumnsRenamed({"node": "dst", "lbl": "lb"})
+    intra = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    dc = (
+        labels.join(deg, "node")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    terms = (
+        dc.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            "degree_sum",
+            F.expr(
+                "CAST(4 AS DECIMAL(38,0)) * coalesce(intra_edges, 0) * m_edges"
+                " - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum"
+            ).alias("t"),
+            "m_edges",
+        )
+    )
+    tot = terms.agg(F.sum("t").alias("t_all"))
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "community",
+        "n_nodes",
+        "intra_edges",
+        "degree_sum",
+        F.expr(
+            "CAST((CASE WHEN t >= 0 THEN 1 ELSE -1 END)"
+            "     * (abs(t) * 1000000"
+            "        DIV (CAST(4 AS DECIMAL(38,0)) * m_edges * m_edges))"
+            " AS BIGINT)"
+        ).alias("contrib_ppm"),
+        F.expr(
+            "CAST((CASE WHEN t_all >= 0 THEN 1 ELSE -1 END)"
+            "     * (abs(t_all) * 1000000"
+            "        DIV (CAST(4 AS DECIMAL(38,0)) * m_edges * m_edges))"
+            " AS BIGINT)"
+        ).alias("q_ppm"),
     )

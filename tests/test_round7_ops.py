@@ -763,3 +763,43 @@ def test_consistent_ring_matches_local_successor(spark, sf_dir):
         for name, _ in RING_VARIANTS
     }
     assert spread["v32"] < spread["v1"]
+
+
+def test_modularity_matches_local_recompute(spark, sf_dir):
+    """Q must equal a local modularity computation over the SAME
+    LPA labels and edge list."""
+    from collections import Counter, defaultdict
+    from distributed_mapreduce_spark.workload.graph import _edges, _lpa_labels
+
+    rows = QUERIES["graph_modularity_score"](spark, sf_dir).collect()
+    labels_df, _ = _lpa_labels(spark, sf_dir)
+    lbl = {r.node: r.lbl for r in labels_df.collect()}
+    edges = [(r.src, r.dst) for r in _edges(spark, sf_dir).collect()]
+    m = len(edges)
+    deg = Counter()
+    for s, t in edges:
+        deg[s] += 1
+        deg[t] += 1
+    intra = Counter()
+    for s, t in edges:
+        if lbl[s] == lbl[t]:
+            intra[lbl[s]] += 1
+    dsum = defaultdict(int)
+    nn = Counter()
+    for node, c in lbl.items():
+        dsum[c] += deg[node]
+        nn[c] += 1
+    t_all = 0
+    expect = {}
+    for c in dsum:
+        t = 4 * intra.get(c, 0) * m - dsum[c] ** 2
+        t_all += t
+        sign = 1 if t >= 0 else -1
+        expect[c] = (nn[c], intra.get(c, 0), dsum[c], sign * (abs(t) * 1_000_000 // (4 * m * m)))
+    q_sign = 1 if t_all >= 0 else -1
+    q_ppm = q_sign * (abs(t_all) * 1_000_000 // (4 * m * m))
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (r.n_nodes, r.intra_edges, r.degree_sum, r.contrib_ppm) == expect[r.community]
+        assert r.q_ppm == q_ppm
+    assert -1_000_000 <= q_ppm <= 1_000_000
