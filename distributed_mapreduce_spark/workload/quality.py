@@ -766,3 +766,192 @@ def q_quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_stop") + F.col("r_punct")).alias("blend"),
     )
     return blended.orderBy("blend", "doc_id").limit(RANK_BLEND_TOP)
+
+
+#: RAKE phrase cap: top keywords kept (score desc, phrase asc).
+RAKE_TOP_K = 20
+#: Word-score scale (deg/freq in 1e-3 units).
+RAKE_SCALE = 1000
+
+_SQL_RAKE_STOPS = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM (SELECT doc_id, {{toks}} AS toks FROM documents)
+    ), nonstop AS (
+      SELECT doc_id, tok, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tk WHERE tok NOT IN ({_SQL_RAKE_STOPS})
+    ), phrases AS MATERIALIZED (
+      SELECT doc_id, grp,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM nonstop GROUP BY doc_id, grp
+    ), occ AS MATERIALIZED (
+      SELECT n.doc_id, n.grp, n.tok, p.plen, p.phrase
+      FROM nonstop n JOIN phrases p
+        ON n.doc_id = p.doc_id AND n.grp = p.grp
+    ), wordstats AS MATERIALIZED (
+      SELECT tok,
+             CAST(sum(plen) AS BIGINT) AS deg,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) * {RAKE_SCALE} // count(*) AS BIGINT) AS wscore
+      FROM occ GROUP BY tok
+    ), pscore AS (
+      SELECT o.doc_id, o.grp, o.phrase,
+             CAST(sum(w.wscore) AS BIGINT) AS score_e3
+      FROM occ o JOIN wordstats w ON o.tok = w.tok
+      GROUP BY o.doc_id, o.grp, o.phrase
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(score_e3) AS score_e3
+    FROM pscore GROUP BY phrase
+    ORDER BY score_e3 DESC, phrase LIMIT {RAKE_TOP_K}
+    """.format(toks=_sql_tokens("text")),
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are the maximal stopword-free token runs; each word scores
+    deg/freq (deg = Σ length of the candidate runs it appears in,
+    freq = its occurrences in candidates — co-occurrence degree favors
+    words living in long phrases); a phrase scores the sum of its
+    words' scores. Integer-exact with deg·{RAKE_SCALE}//freq truncated
+    per word (identical phrase text ⇒ identical score, so min() per
+    phrase is a no-op aggregator). Top-{RAKE_TOP_K} by (score, phrase).
+
+    Plan: one posexplode, the gaps-and-islands run id from a window
+    PARTITIONED BY doc_id (per-doc rows), a phrase aggregate with
+    position-ordered reassembly, one |vocab|-row word-stats aggregate
+    joined back to occurrences (equi-join on the token), and
+    TakeOrdered for the cap — no global sort, no raw-row global
+    window."""
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    nonstop = (
+        tk.filter(~F.col("tok").isin(*STOPWORDS))
+        .withColumn("grp", F.col("pos") - F.row_number().over(wd))
+    )
+    phrases = nonstop.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    occ = nonstop.select("doc_id", "grp", "tok").join(
+        phrases, ["doc_id", "grp"]
+    )
+    wordstats = occ.groupBy("tok").agg(
+        F.sum("plen").cast("long").alias("deg"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.expr(f"CAST(sum(plen) * {RAKE_SCALE} DIV count(*) AS BIGINT)").alias(
+            "wscore"
+        ),
+    )
+    pscore = (
+        occ.join(wordstats.select("tok", "wscore"), "tok")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum("wscore").cast("long").alias("score_e3"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("score_e3").alias("score_e3"),
+        )
+        .orderBy(F.col("score_e3").desc(), "phrase")
+        .limit(RAKE_TOP_K)
+    )
+
+
+#: Burstiness: minimum document frequency for a term to be audited.
+BURST_MIN_DF = 200
+
+
+@query(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, u.tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, {{toks}} AS toks FROM documents),
+           unnest(toks) AS u(tok)
+      GROUP BY doc_id, u.tok
+    ), stats AS MATERIALIZED (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS s_x,
+             CAST(sum(CAST(tf AS HUGEINT) * tf) AS BIGINT) AS s_xx
+      FROM tf GROUP BY tok HAVING count(*) >= {BURST_MIN_DF}
+    )
+    SELECT tok, df, s_x, s_xx,
+           CAST((CAST(n_docs AS HUGEINT) * s_xx - CAST(s_x AS HUGEINT) * s_x)
+                // (CAST(s_x AS HUGEINT) * (n_docs - 1)) * 1000000
+                + (CAST(n_docs AS HUGEINT) * s_xx - CAST(s_x AS HUGEINT) * s_x)
+                  % (CAST(s_x AS HUGEINT) * (n_docs - 1)) * 1000000
+                  // (CAST(s_x AS HUGEINT) * (n_docs - 1))
+             AS BIGINT) AS vmr_e6
+    FROM stats CROSS JOIN n
+    """.format(toks=_sql_tokens("text")),
+)
+def q_text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale's dispersion test): the
+    variance-to-mean ratio of a term's per-document count over ALL
+    documents (zeros included implicitly — Σx and Σx² only need the
+    docs that contain the term, N enters as the population size). A
+    Poisson-scattered term sits at 10⁶; content words clump and score
+    far above — the statistic behind burst-aware term weighting and
+    stopword detection. VMR·10⁶ = (N·Σx²−(Σx)²)/(Σx·(N−1)), expanded
+    div-first (q·10⁶ + r·10⁶/d) so nothing overflows int128 at
+    10¹²-doc corpora; the numerator is ≥ 0 by Cauchy-Schwarz
+    (Σx² ≥ (Σx)²/N), so no sign handling is needed.
+
+    Plan: one (doc, term) hash-agg off the token explode, one
+    |vocab|-row moment aggregate with the DF gate pushed into HAVING,
+    and a broadcast 1-row N."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    stats = (
+        tf.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("s_x"),
+            F.expr("CAST(sum(CAST(tf AS DECIMAL(38,0)) * tf) AS BIGINT)").alias(
+                "s_xx"
+            ),
+        )
+        .filter(F.col("df") >= BURST_MIN_DF)
+    )
+    return stats.crossJoin(F.broadcast(n)).select(
+        "tok",
+        "df",
+        "s_x",
+        "s_xx",
+        F.expr(
+            "CAST((CAST(n_docs AS DECIMAL(38,0)) * s_xx"
+            "      - CAST(s_x AS DECIMAL(38,0)) * s_x)"
+            "     DIV (CAST(s_x AS DECIMAL(38,0)) * (n_docs - 1)) * 1000000"
+            "     + (CAST(n_docs AS DECIMAL(38,0)) * s_xx"
+            "        - CAST(s_x AS DECIMAL(38,0)) * s_x)"
+            "       % (CAST(s_x AS DECIMAL(38,0)) * (n_docs - 1)) * 1000000"
+            "       DIV (CAST(s_x AS DECIMAL(38,0)) * (n_docs - 1))"
+            " AS BIGINT)"
+        ).alias("vmr_e6"),
+    )

@@ -803,3 +803,72 @@ def test_modularity_matches_local_recompute(spark, sf_dir):
         assert (r.n_nodes, r.intra_edges, r.degree_sum, r.contrib_ppm) == expect[r.community]
         assert r.q_ppm == q_ppm
     assert -1_000_000 <= q_ppm <= 1_000_000
+
+
+def test_rake_matches_local_recompute(spark, sf_dir):
+    """Top-K RAKE phrases must equal a reference implementation run
+    over the collected corpus."""
+    from collections import defaultdict
+    from distributed_mapreduce_spark.workload.quality import RAKE_SCALE, RAKE_TOP_K
+    from distributed_mapreduce_spark.workload.registry import table
+
+    stops = {"the", "a", "of", "and", "in", "to"}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    phrases = []  # (phrase_tokens,)
+    for r in docs:
+        run = []
+        for t in r.text.split(" "):
+            if not t:
+                continue
+            if t in stops:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+        if run:
+            phrases.append(tuple(run))
+    deg = defaultdict(int)
+    freq = defaultdict(int)
+    for p in phrases:
+        for w in p:
+            deg[w] += len(p)
+            freq[w] += 1
+    wscore = {w: deg[w] * RAKE_SCALE // freq[w] for w in deg}
+    pstat = defaultdict(int)
+    pscore = {}
+    for p in phrases:
+        pstat[" ".join(p)] += 1
+        pscore[" ".join(p)] = sum(wscore[w] for w in p)
+    top = sorted(pscore.items(), key=lambda kv: (-kv[1], kv[0]))[:RAKE_TOP_K]
+    got = QUERIES["text_rake_keywords"](spark, sf_dir).collect()
+    assert [(r.phrase, r.score_e3, r.n_occurrences) for r in got] == [
+        (ph, sc, pstat[ph]) for ph, sc in top
+    ]
+
+
+def test_burstiness_above_poisson_for_content_words(spark, sf_dir):
+    """VMR must re-derive from collected term counts and content terms
+    in this clumped synthetic corpus must exceed the Poisson line."""
+    from collections import Counter, defaultdict
+    from distributed_mapreduce_spark.workload.quality import BURST_MIN_DF
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = QUERIES["text_term_burstiness"](spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n = len(docs)
+    tf = defaultdict(Counter)
+    for r in docs:
+        for t in r.text.split(" "):
+            if t:
+                tf[t][r.doc_id] += 1
+    expect = {}
+    for term, per in tf.items():
+        if len(per) >= BURST_MIN_DF:
+            sx = sum(per.values())
+            sxx = sum(v * v for v in per.values())
+            num = n * sxx - sx * sx
+            den = sx * (n - 1)
+            expect[term] = (len(per), sx, sxx, (num // den) * 1_000_000 + (num % den) * 1_000_000 // den)
+    assert {r.tok: (r.df, r.s_x, r.s_xx, r.vmr_e6) for r in rows} == expect
+    assert rows and max(r.vmr_e6 for r in rows) > 1_000_000
