@@ -1362,3 +1362,121 @@ def q_cohort_cumulative_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(cum_spend_cents DIV cohort_size AS BIGINT)"),
         )
     )
+
+
+#: Power-iteration rounds for the stationary distribution (unrolled
+#: identically in the oracle; ppm truncation per term each round).
+MARKOV_ITERS = 8
+
+
+def _markov_round_sql(k: int) -> str:
+    return f"""
+    p{k + 1} AS MATERIALIZED (
+      SELECT m.curr_type AS event_type,
+             CAST(sum(p.pi_ppm * m.n_transitions // m.n_out) AS BIGINT)
+               AS pi_ppm
+      FROM p{k} p JOIN m ON p.event_type = m.prev_type
+      GROUP BY m.curr_type
+    )"""
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), m AS MATERIALIZED (
+      SELECT prev_type, event_type AS curr_type,
+             CAST(count(*) AS BIGINT) AS n_transitions,
+             CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS BIGINT)
+               AS n_out
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), types AS (SELECT DISTINCT prev_type AS event_type FROM m),
+    ntypes AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+    p0 AS MATERIALIZED (
+      SELECT event_type, CAST(1000000 // k AS BIGINT) AS pi_ppm
+      FROM types CROSS JOIN ntypes
+    ),{",".join(_markov_round_sql(k) for k in range(MARKOV_ITERS))},
+    emp AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT)
+               AS empirical_ppm
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.pi_ppm AS stationary_ppm,
+           e.empirical_ppm,
+           CAST(abs(p.pi_ppm - e.empirical_ppm) AS BIGINT) AS delta_ppm
+    FROM p{MARKOV_ITERS} p JOIN emp e USING (event_type)
+    """,
+)
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order behavior chain by
+    {MARKOV_ITERS} exact power-iteration rounds over the
+    `event_transitions` matrix (counts, not pre-truncated
+    probabilities: each round's term is pi·n_ij // n_i, one truncation
+    per term, identical in both engines), compared against the
+    empirical long-run type frequency — the closing member of the
+    Markov family (order-1 matrix → order-2 trigrams → fixed point),
+    and delta_ppm is the model-fit readout: a chain that describes the
+    stream well converges near the empirical mix.
+
+    Plan: ONE raw-scan window builds the matrix (same shuffle as
+    `event_transitions`); every iteration is a join of two bounded
+    aggregates (≤|types| and ≤|types|² rows) — the heavy lifting
+    happens once, the fixed point costs |types|-sized work per round.
+    The normalizing window in `emp` runs over ≤|types| aggregated
+    rows (bounded-window class)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    wn = Window.partitionBy("prev_type")
+    m = (
+        seq.groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .withColumn(
+            "n_out", F.sum("n_transitions").over(wn).cast("long")
+        )
+        .persist()
+    )
+    types = m.select(F.col("prev_type").alias("event_type")).distinct()
+    ntypes = types.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pi = types.crossJoin(F.broadcast(ntypes)).select(
+        "event_type", F.expr("CAST(1000000 DIV k AS BIGINT)").alias("pi_ppm")
+    )
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            pi.join(m, pi["event_type"] == m["prev_type"])
+            .groupBy(F.col("curr_type").alias("event_type"))
+            .agg(
+                F.expr(
+                    "CAST(sum(pi_ppm * n_transitions DIV n_out) AS BIGINT)"
+                ).alias("pi_ppm")
+            )
+        )
+    emp = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(n_events * 1000000 DIV sum(n_events) OVER () AS BIGINT)"
+            ).alias("empirical_ppm"),
+        )
+    )
+    return (
+        pi.join(emp, "event_type")
+        .select(
+            "event_type",
+            F.col("pi_ppm").alias("stationary_ppm"),
+            "empirical_ppm",
+            F.abs(F.col("pi_ppm") - F.col("empirical_ppm"))
+            .cast("long")
+            .alias("delta_ppm"),
+        )
+    )

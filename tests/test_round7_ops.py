@@ -872,3 +872,40 @@ def test_burstiness_above_poisson_for_content_words(spark, sf_dir):
             expect[term] = (len(per), sx, sxx, (num // den) * 1_000_000 + (num % den) * 1_000_000 // den)
     assert {r.tok: (r.df, r.s_x, r.s_xx, r.vmr_e6) for r in rows} == expect
     assert rows and max(r.vmr_e6 for r in rows) > 1_000_000
+
+
+def test_markov_stationary_matches_local_power_iteration(spark, sf_dir):
+    from collections import Counter, defaultdict
+    from distributed_mapreduce_spark.workload.journey import MARKOV_ITERS
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = {r.event_type: r for r in QUERIES["events_markov_stationary"](spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    n_out = Counter()
+    for (a, _), n in trans.items():
+        n_out[a] += n
+    types = sorted(n_out)
+    pi = {t: 1_000_000 // len(types) for t in types}
+    for _ in range(MARKOV_ITERS):
+        nxt = defaultdict(int)
+        for (a, b), n in trans.items():
+            nxt[b] += pi[a] * n // n_out[a]
+        pi = dict(nxt)
+    emp_n = Counter(r.event_type for r in ev)
+    total = sum(emp_n.values())
+    assert set(rows) == set(pi)
+    for t in pi:
+        r = rows[t]
+        e_ppm = emp_n[t] * 1_000_000 // total
+        assert (r.stationary_ppm, r.empirical_ppm) == (pi[t], e_ppm)
+        assert r.delta_ppm == abs(pi[t] - e_ppm)
+    # the chain fits its own stream: fixed point lands near empirical
+    assert max(r.delta_ppm for r in rows.values()) < 100_000
