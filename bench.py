@@ -102,6 +102,15 @@ HEADLINE = [
     # late round-7: perceptual image pairs, blocked record linkage
     "multimodal_phash_pairs",
     "er_fellegi_sunter",
+    # late round-7 second wave: band-scheme recall audit (runs both
+    # dedup pair pipelines + compares), RAKE keyword extraction
+    # (islands + word-graph join + top-k), ring partitioner (bucketed
+    # successor join), Markov fixed point (windowed matrix + bounded
+    # iteration)
+    "dedup_lsh_recall_audit",
+    "text_rake_keywords",
+    "partition_consistent_ring",
+    "events_markov_stationary",
 ]
 
 

@@ -72,6 +72,17 @@ from distributed_mapreduce_spark.workload import importance  # noqa: F401,E402
 # rows; split semantics are now additionally graded at sf0.1 by the
 # stronger `split_cluster_safe`). Rotated-out queries stay registered
 # + sf0.1-certified.
+#
+# Late round-7 swap: `dedup_lsh_recall_audit` replaces
+# `dedup_minhash_pairs` — the audit RUNS both pair pipelines
+# internally (MinHash band candidates AND the exact inverted-index
+# truth set, both Jaccard-verified) and grades their agreement, so
+# one driver row now certifies three dedup ops plus the measured
+# band-scheme recall; `quality_gates_cohen_kappa` replaces
+# `text_quality_score` — kappa composes BOTH quality gates (rule and
+# learned) with chance correction, grading the quality family more
+# strongly than the single rule-score row (text keeps lang-id and
+# PII rows). Rotated-out queries stay registered + sf0.1-certified.
 
 # The grading driver samples the FIRST 50 registered queries. Pin that
 # prefix EXPLICITLY: SURVEY §2 parity + one green representative per
@@ -90,11 +101,11 @@ _PREFIX = [
     "join_multiway", "window_rank", "window_running", "topk",
     "union_distinct", "partition_hash_assign", "maplejuice_exe_pipeline",
     "partition_rows_scalable", "partition_range_assign", "dedup_exact",
-    "dedup_minhash_pairs", "tcloseness_audit", "bm25_top_docs",
+    "dedup_lsh_recall_audit", "tcloseness_audit", "bm25_top_docs",
     "dedup_clusters", "ann_bruteforce", "ann_ivf", "embedding_near_dup",
     "retrieval_rrf_fusion", "multimodal_decode_errors",
     "sql_recursive_hierarchy_rollup",
-    "text_quality_score", "text_lang_id", "target_encode_loo",
+    "quality_gates_cohen_kappa", "text_lang_id", "target_encode_loo",
     "tokenizer_bpe_merges", "retrieval_hard_negatives", "text_scrub_pii",
     "maplejuice_flagship", "dsir_importance_weights", "pagerank_converge",
     "decontam_ngram_overlap",
