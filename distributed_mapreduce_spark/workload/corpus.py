@@ -2366,3 +2366,104 @@ def q_quality_gates_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     END AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+def _dup_quality_oracle() -> str:
+    from distributed_mapreduce_spark.workload.registry import ORACLES
+
+    rk = ORACLES["quality_filter_reasons"]
+    return f"""
+    WITH rk AS MATERIALIZED (SELECT doc_id, kept FROM ({rk})),
+    fp AS (
+      SELECT doc_id, md5(text) AS f FROM documents
+    ), gs AS (
+      SELECT f, count(*) AS n FROM fp GROUP BY f
+    ), flagged AS MATERIALIZED (
+      SELECT fp.doc_id, gs.n > 1 AS is_dup
+      FROM fp JOIN gs USING (f)
+    ), cm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             CAST(sum(CASE WHEN is_dup AND kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS keep_dup,
+             CAST(sum(CASE WHEN NOT is_dup AND kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS keep_nondup
+      FROM flagged JOIN rk USING (doc_id)
+    )
+    SELECT n_docs, n_dup,
+           CAST(n_docs - n_dup AS BIGINT) AS n_nondup,
+           keep_dup, keep_nondup,
+           CAST(CASE WHEN n_dup = 0 THEN 0
+                     ELSE keep_dup * 10000 // n_dup END AS BIGINT)
+             AS dup_keep_bp,
+           CAST(CASE WHEN n_docs - n_dup = 0 THEN 0
+                     ELSE keep_nondup * 10000 // (n_docs - n_dup)
+                END AS BIGINT) AS nondup_keep_bp,
+           CAST(CASE WHEN n_dup = 0 OR n_docs - n_dup = 0
+                       OR keep_nondup = 0 THEN 0
+                     ELSE (CAST(keep_dup AS HUGEINT) * (n_docs - n_dup)
+                           * 1000000)
+                          // (CAST(keep_nondup AS HUGEINT) * n_dup)
+                END AS BIGINT) AS keep_lift_ppm
+    FROM cm
+    """
+
+
+@query("dedup_quality_interaction", oracle=_dup_quality_oracle())
+def q_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family pipeline audit: do exact duplicates pass the
+    quality gate at a different rate than unique documents? The
+    keep-rate lift (dup vs non-dup, exact cross-multiplied ppm) is the
+    number that decides pipeline ORDER at 100 TB — a lift near 10⁶
+    says dedup and quality filtering are independent (run the cheaper
+    first); a low lift says duplicates are disproportionately junk and
+    deduping first saves quality-gate compute. The interaction query
+    every corpus pipeline should run once before freezing its DAG.
+
+    Plan: fingerprints and the gate verdict are projections of the
+    same scan; group sizes are one hash-agg on the 16-byte digest
+    joined back on it (the `dedup_exact` shape); the 2x2 collapses in
+    ONE 1-row conditional-sum aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("f"))
+    gs = fp.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+    flagged = fp.join(gs, "f").select(
+        "doc_id", (F.col("n") > 1).alias("is_dup")
+    )
+    rk = q_quality_filter_reasons(spark, sf_dir).select("doc_id", "kept")
+    cm = flagged.join(rk, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
+        F.sum(F.when(F.col("is_dup") & F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("keep_dup"),
+        F.sum(F.when(~F.col("is_dup") & F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("keep_nondup"),
+    )
+    return cm.select(
+        "n_docs",
+        "n_dup",
+        (F.col("n_docs") - F.col("n_dup")).cast("long").alias("n_nondup"),
+        "keep_dup",
+        "keep_nondup",
+        F.expr(
+            "CAST(CASE WHEN n_dup = 0 THEN 0"
+            "          ELSE keep_dup * 10000 DIV n_dup END AS BIGINT)"
+        ).alias("dup_keep_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_docs - n_dup = 0 THEN 0"
+            "          ELSE keep_nondup * 10000 DIV (n_docs - n_dup)"
+            "     END AS BIGINT)"
+        ).alias("nondup_keep_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_dup = 0 OR n_docs - n_dup = 0"
+            "            OR keep_nondup = 0 THEN 0"
+            "          ELSE (CAST(keep_dup AS DECIMAL(38,0))"
+            "                * (n_docs - n_dup) * 1000000)"
+            "               DIV (CAST(keep_nondup AS DECIMAL(38,0)) * n_dup)"
+            "     END AS BIGINT)"
+        ).alias("keep_lift_ppm"),
+    )

@@ -1687,3 +1687,116 @@ def q_dedup_qa_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= QA_PER_BUCKET)
         .select("bucket", "vec_a", "vec_b", "cos_u", "rn")
     )
+
+
+#: kNN-classifier audit: deterministic bounded query draw (residue
+#: gate + absolute cap keeps the broadcast fixed-size at any corpus).
+KNN_QMOD = 7
+KNN_QCAP = 1000
+#: Neighbors voting per query.
+KNN_K = 5
+
+
+@query(
+    "knn_classifier_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+      FROM embeddings
+      WHERE vec_id % {KNN_QMOD} = 0 AND vec_id < {KNN_QCAP}
+    ), scored AS (
+      SELECT q.query_id, q.true_label, e.label AS nb_label,
+             e.vec_id AS neighbor_id,
+             {_sql_cos_u('q.qv', 'e.embedding')} AS cos_u
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), topk AS MATERIALIZED (
+      SELECT query_id, true_label, nb_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_u DESC, neighbor_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {KNN_K}
+    ), votes AS (
+      SELECT query_id, true_label, nb_label,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM topk GROUP BY 1, 2, 3
+    ), pred AS MATERIALIZED (
+      SELECT query_id, true_label, nb_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cnt DESC, nb_label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    ), cm AS (
+      SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_queries
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT true_label, pred_label, n_queries,
+           CAST(sum(CASE WHEN true_label = pred_label THEN n_queries
+                         ELSE 0 END) OVER () * 10000
+                // sum(n_queries) OVER () AS BIGINT) AS accuracy_bp
+    FROM cm
+    """,
+)
+def q_knn_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification of the embedding label — the
+    cluster-coherence audit behind every "label your corpus by nearest
+    neighbors" workflow: a held-out query's {KNN_K} nearest vectors
+    vote (plurality, ties to the smallest label) and the confusion
+    matrix plus global accuracy say whether the embedding space
+    actually separates the labels ANN-side ops assume it does (IVF
+    probes, SemDeDup cells, contrastive sampling all lean on it).
+
+    Plan: the query draw is residue-gated AND absolutely capped
+    ({KNN_QCAP}), so the broadcast stays fixed-size at any corpus; the
+    scan side is one pass with the salted per-query top-k window
+    (partitioned by query — bounded); votes and the confusion are
+    ≤|Q|·{KNN_K} and ≤|labels|² aggregates; the accuracy window runs
+    over the aggregated confusion rows (bounded-window class)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(
+        (F.col("vec_id") % KNN_QMOD == 0) & (F.col("vec_id") < KNN_QCAP)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("nb_label"),
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_u(F.col("qv"), F.col("embedding")).alias("cos_u"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_u").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("query_id", "true_label", "nb_label")
+    )
+    votes = topk.groupBy("query_id", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("nb_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("nb_label").alias("pred_label"))
+    )
+    cm = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    return cm.select(
+        "true_label",
+        "pred_label",
+        "n_queries",
+        F.expr(
+            "CAST(sum(CASE WHEN true_label = pred_label THEN n_queries"
+            "              ELSE 0 END) OVER () * 10000"
+            "     DIV sum(n_queries) OVER () AS BIGINT)"
+        ).alias("accuracy_bp"),
+    )

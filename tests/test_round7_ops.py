@@ -909,3 +909,63 @@ def test_markov_stationary_matches_local_power_iteration(spark, sf_dir):
         assert r.delta_ppm == abs(pi[t] - e_ppm)
     # the chain fits its own stream: fixed point lands near empirical
     assert max(r.delta_ppm for r in rows.values()) < 100_000
+
+
+def test_dup_quality_interaction_algebra(spark, sf_dir):
+    row = QUERIES["dedup_quality_interaction"](spark, sf_dir).collect()[0]
+    assert row.n_dup + row.n_nondup == row.n_docs
+    assert row.keep_dup <= row.n_dup and row.keep_nondup <= row.n_nondup
+    if row.n_dup:
+        assert row.dup_keep_bp == row.keep_dup * 10000 // row.n_dup
+    if row.n_nondup:
+        assert row.nondup_keep_bp == row.keep_nondup * 10000 // row.n_nondup
+    if row.n_dup and row.n_nondup and row.keep_nondup:
+        assert row.keep_lift_ppm == (
+            row.keep_dup * row.n_nondup * 1_000_000
+        ) // (row.keep_nondup * row.n_dup)
+    # cross-check the dup universe against dedup_exact's group sizes
+    dup_from_groups = sum(
+        r.cnt
+        for r in QUERIES["dedup_exact"](spark, sf_dir).collect()
+        if r.cnt > 1
+    )
+    assert row.n_dup == dup_from_groups
+
+
+def test_knn_classifier_matches_local_vote(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+    from distributed_mapreduce_spark.workload.registry import table
+    from distributed_mapreduce_spark.workload.similarity import (
+        KNN_K,
+        KNN_QCAP,
+        KNN_QMOD,
+    )
+
+    rows = QUERIES["knn_classifier_audit"](spark, sf_dir).collect()
+    emb = table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: (r.embedding, r.label) for r in emb}
+
+    def cos_u(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return math.floor(d / (na * nb) * 1_000_000)
+
+    cm = Counter()
+    correct = total = 0
+    for qid, (qv, tl) in vecs.items():
+        if qid % KNN_QMOD or qid >= KNN_QCAP:
+            continue
+        scored = sorted(
+            ((-cos_u(qv, v), nid, lb) for nid, (v, lb) in vecs.items() if nid != qid)
+        )[:KNN_K]
+        votes = Counter(lb for _, _, lb in scored)
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        cm[(tl, pred)] += 1
+        correct += tl == pred
+        total += 1
+    acc = correct * 10000 // total
+    got = {(r.true_label, r.pred_label): r.n_queries for r in rows}
+    assert got == dict(cm)
+    assert all(r.accuracy_bp == acc for r in rows)
