@@ -244,8 +244,9 @@ def dsir_gate_stream(docs: DataFrame, lam_by_bucket: dict[int, int]) -> DataFram
         IR_DIM,
         IR_KEEP_MIN_PPM,
         IR_SEED,
-        _grams,
     )
+    from distributed_mapreduce_spark.workload.quality import _ngrams
+    from distributed_mapreduce_spark.workload.text import _tokens
 
     if sorted(lam_by_bucket) != list(range(IR_DIM)):
         raise ValueError(f"model must be total over [0, {IR_DIM})")
@@ -262,7 +263,12 @@ def dsir_gate_stream(docs: DataFrame, lam_by_bucket: dict[int, int]) -> DataFram
         ).cast("long"),
     )
     scored = docs.select(
-        "doc_id", _grams(F.col("text")).alias("__grams")
+        "doc_id", _tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("__toks"), _ngrams(F.col("__toks"), 2)
+        ).alias("__grams"),
     ).select(
         "doc_id",
         F.size(grams).cast("long").alias("n_grams"),

@@ -794,7 +794,9 @@ def q_partition_rendezvous_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_moved_in", F.lit(0)).cast("long").alias("n_moved_in"),
         )
     )
-    tot = assign.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # n_total from the <=RV_NODES-row aggregate — a third scan of the
+    # keys relation just to count rows would be pure waste
+    tot = per_full.agg(F.sum("n_full").cast("long").alias("n_total"))
     return per.crossJoin(F.broadcast(tot)).select(
         "node",
         "n_full",

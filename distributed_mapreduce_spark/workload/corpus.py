@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributed_mapreduce_spark.workload.dedup import _hash_u32, _sql_hash_u32
+from distributed_mapreduce_spark.workload.dedup import (
+    _fp_norm,
+    _hash_u32,
+    _sql_hash_u32,
+)
 from distributed_mapreduce_spark.workload.quality import (
     VOCAB_MIN_DF as _VOCAB_MIN_DF,
 )
@@ -1480,9 +1484,7 @@ def q_source_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
-        F.md5(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-        ).alias("fp"),
+        _fp_norm().alias("fp"),
     )
     first_d = d.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
     j = d.join(first_d, "fp")
@@ -2106,7 +2108,10 @@ def q_corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QM_CAL_BUCKET_MICRO = 20_000_000
 
 
-def _calibration_oracle() -> str:
+def _sql_bucketed_verdicts() -> str:
+    """Shared oracle prelude of the calibration and PR-curve queries:
+    (bucket, y) rows joining the learned gate score bin to the rule
+    verdict — one definition so the two curves can never drift."""
     from distributed_mapreduce_spark.workload.registry import ORACLES
 
     mk = ORACLES["quality_model_logit"]
@@ -2120,7 +2125,24 @@ def _calibration_oracle() -> str:
       SELECT logit_pt_micro // {QM_CAL_BUCKET_MICRO} AS bucket,
              CASE WHEN rule_keep THEN 1 ELSE 0 END AS y
       FROM mk JOIN rk USING (doc_id)
+    )"""
+
+
+def _bucketed_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, y): the Spark twin of `_sql_bucketed_verdicts` — both
+    verdicts are projections of the same documents scan."""
+    m = q_quality_model_logit(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"logit_pt_micro DIV {QM_CAL_BUCKET_MICRO}").alias("bucket"),
     )
+    r = q_quality_filter_reasons(spark, sf_dir).select(
+        "doc_id", F.when(F.col("kept"), 1).otherwise(0).alias("y")
+    )
+    return m.join(r, "doc_id").select("bucket", "y")
+
+
+def _calibration_oracle() -> str:
+    return _sql_bucketed_verdicts() + """
     SELECT bucket,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(y) AS BIGINT) AS n_rule_keep,
@@ -2142,15 +2164,8 @@ def q_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: both verdicts are projections of the same scan (the
     agreement-audit shape); the curve is one hash-agg to
     ≤|score range / bucket| rows."""
-    m = q_quality_model_logit(spark, sf_dir).select(
-        "doc_id",
-        F.expr(f"logit_pt_micro DIV {QM_CAL_BUCKET_MICRO}").alias("bucket"),
-    )
-    r = q_quality_filter_reasons(spark, sf_dir).select(
-        "doc_id", F.when(F.col("kept"), 1).otherwise(0).alias("y")
-    )
     return (
-        m.join(r, "doc_id")
+        _bucketed_verdicts(spark, sf_dir)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2163,20 +2178,8 @@ def q_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pr_curve_oracle() -> str:
-    from distributed_mapreduce_spark.workload.registry import ORACLES
-
-    mk = ORACLES["quality_model_logit"]
-    rk = ORACLES["quality_filter_reasons"]
-    return f"""
-    WITH mk AS MATERIALIZED (
-      SELECT doc_id, logit_pt_micro FROM ({mk})
-    ), rk AS MATERIALIZED (
-      SELECT doc_id, kept AS rule_keep FROM ({rk})
-    ), joined AS (
-      SELECT logit_pt_micro // {QM_CAL_BUCKET_MICRO} AS bucket,
-             CASE WHEN rule_keep THEN 1 ELSE 0 END AS y
-      FROM mk JOIN rk USING (doc_id)
-    ), per AS MATERIALIZED (
+    return _sql_bucketed_verdicts() + """
+    , per AS MATERIALIZED (
       SELECT bucket,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS pos
@@ -2192,7 +2195,9 @@ def _pr_curve_oracle() -> str:
            CAST(tp * 10000 // n_ge AS BIGINT) AS precision_bp,
            CAST(CASE WHEN p_all = 0 THEN 0
                      ELSE tp * 10000 // p_all END AS BIGINT) AS recall_bp,
-           CAST(CASE WHEN tp = 0 THEN 0
+           CAST(CASE WHEN tp = 0
+                       OR (tp * 10000 // n_ge) + (tp * 10000 // p_all) = 0
+                      THEN 0
                      ELSE (2 * (tp * 10000 // n_ge) * (tp * 10000 // p_all))
                           // ((tp * 10000 // n_ge) + (tp * 10000 // p_all))
                 END AS BIGINT) AS f1_bp
@@ -2219,15 +2224,8 @@ def q_quality_model_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     same whitelist as the calibration family)."""
     from pyspark.sql import Window
 
-    m = q_quality_model_logit(spark, sf_dir).select(
-        "doc_id",
-        F.expr(f"logit_pt_micro DIV {QM_CAL_BUCKET_MICRO}").alias("bucket"),
-    )
-    r = q_quality_filter_reasons(spark, sf_dir).select(
-        "doc_id", F.when(F.col("kept"), 1).otherwise(0).alias("y")
-    )
     per = (
-        m.join(r, "doc_id")
+        _bucketed_verdicts(spark, sf_dir)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -2250,8 +2248,14 @@ def q_quality_model_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN p_all = 0 THEN 0"
             "          ELSE tp * 10000 DIV p_all END AS BIGINT)"
         ).alias("recall_bp"),
+        # tp > 0 does NOT imply a nonzero denominator: both truncated
+        # bp terms can floor to 0 (first positive buried past 10^4
+        # negatives AND p_all > 10^4*tp) — Spark ANSI raises on DIV 0
+        # while DuckDB // returns NULL, so the guard covers both
         F.expr(
-            "CAST(CASE WHEN tp = 0 THEN 0"
+            "CAST(CASE WHEN tp = 0"
+            "            OR (tp * 10000 DIV n_ge) + (tp * 10000 DIV p_all) = 0"
+            "          THEN 0"
             "          ELSE (2 * (tp * 10000 DIV n_ge) * (tp * 10000 DIV p_all))"
             "               DIV ((tp * 10000 DIV n_ge) + (tp * 10000 DIV p_all))"
             "     END AS BIGINT)"

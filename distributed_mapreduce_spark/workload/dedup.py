@@ -1036,6 +1036,22 @@ def q_dedup_clusters_pointer_jump(spark: SparkSession, sf_dir: str) -> DataFrame
     return connected_components_pointer_jump(pairs.select("doc_a", "doc_b"))
 
 
+def _fp_norm() -> Column:
+    """Normalization fingerprint: md5 of lowercased text with
+    non-alphanumerics collapsed and trimmed — the ONE definition shared
+    by `dedup_exact_normalized`, `er_blocking_audit`'s truth set, and
+    the governance cascade (their cross-query agreement depends on the
+    three sites staying byte-identical)."""
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    )
+
+
+_SQL_FP_NORM = (
+    "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+)
+
+
 @query(
     "dedup_exact_normalized",
     oracle="""
@@ -1066,13 +1082,8 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_exact` (shuffle digests, not text).
     """
     docs = table(spark, sf_dir, "documents")
-    fp_norm = F.md5(
-        F.trim(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
-        )
-    )
     n = docs.select(
-        "doc_id", fp_norm.alias("fp_norm"), F.md5("text").alias("fp_raw")
+        "doc_id", _fp_norm().alias("fp_norm"), F.md5("text").alias("fp_raw")
     )
     return n.groupBy("fp_norm").agg(
         F.count(F.lit(1)).alias("n_copies"),
@@ -1630,15 +1641,15 @@ def q_er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication rates); the final row is two 1-row aggregates
     broadcast-crossed. Counts stay exact to 10¹²-doc corpora."""
     docs = table(spark, sf_dir, "documents")
-    fp_norm = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    )
+    # persisted: both self-join legs consume rec, and the md5-over-
+    # normalized-text projection is the CPU-dominant stage (the
+    # shingle_table discipline applied to fingerprints)
     rec = docs.select(
         "doc_id",
         "lang",
         (F.length("text") / ER_LEN_BUCKET).cast("long").alias("lenbkt"),
-        fp_norm.alias("fp_norm"),
-    )
+        _fp_norm().alias("fp_norm"),
+    ).persist()
     bs = rec.groupBy("lang", "lenbkt").agg(
         F.count(F.lit(1)).cast("long").alias("nb")
     )

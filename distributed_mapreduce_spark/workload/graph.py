@@ -689,7 +689,10 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
             .filter(F.col("rn") == 1)
             .select(F.col("u").alias("node"), "lbl")
         )
-    return labels, adj
+    # persisted: the modularity query references the final assignment
+    # three times (both intra-join sides + the degree-sum aggregate) —
+    # without this the whole 3-round loop DAG re-executes per reference
+    return labels.persist(), adj
 
 
 #: Resource-allocation link prediction: pairs kept.

@@ -404,10 +404,10 @@ def test_pr_curve_monotone_and_consistent(spark, sf_dir):
         prev_n, prev_tp = r.n_ge, r.tp
         assert r.precision_bp == r.tp * 10000 // r.n_ge
         assert r.recall_bp == (0 if p_all == 0 else r.tp * 10000 // p_all)
-        if r.tp == 0:
+        pr, rc = r.precision_bp, r.recall_bp
+        if r.tp == 0 or pr + rc == 0:
             assert r.f1_bp == 0
         else:
-            pr, rc = r.precision_bp, r.recall_bp
             assert r.f1_bp == 2 * pr * rc // (pr + rc)
 
 
