@@ -1189,3 +1189,46 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift_ppm"), "ante", "cons").limit(MB_TOP_K)
+
+
+@query(
+    "window_ties_suite",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority,
+           CAST(count(*) OVER (PARTITION BY o_orderstatus, o_orderpriority)
+                AS BIGINT) AS n_rows,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+    """,
+)
+def q_window_ties_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function TIE semantics in one pass — the corner
+    `window_analytics_suite` (unique ordering) cannot reach: ordering
+    by the 5-value priority inside each status makes every peer group
+    thousands of rows wide, so rank gaps (rank jumps by group size),
+    dense_rank compaction, percent_rank's (rank−1)/(n−1) on tied rank,
+    and cume_dist's peers-inclusive numerator all take distinct,
+    tie-determined values. All measures are functions of the ORDER
+    key alone, so projecting DISTINCT per (status, priority) collapses
+    the result to ≤|status|·|priority| deterministic rows; the two
+    ratios are single IEEE divisions of exact ints (bit-identical in
+    both engines).
+
+    Plan: one window over the status shuffle + a distinct hash-agg to
+    the tiny measure table."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    wp = Window.partitionBy("o_orderstatus", "o_orderpriority")
+    return orders.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_rows"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    ).distinct()

@@ -1800,3 +1800,129 @@ def q_knn_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     DIV sum(n_queries) OVER () AS BIGINT)"
         ).alias("accuracy_bp"),
     )
+
+
+#: Rocchio centroid quantization scale (embedding components in µ-units
+#: so centroids and distances are exact integers).
+ROCCHIO_Q = 1_000_000
+
+
+@query(
+    "rocchio_centroid_classifier",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {ROCCHIO_Q})
+                                      AS BIGINT)) AS q
+      FROM embeddings
+    ), dims AS (
+      SELECT vec_id, label, unnest(q) AS qx,
+             generate_subscripts(q, 1) AS dim
+      FROM qv
+    ), cent AS MATERIALIZED (
+      -- floor-division via a positive shift: components are >= -16
+      -- after quantization, so qx + 16e6 >= 0 keeps the single
+      -- division on a non-negative numerator (DuckDB // floors,
+      -- Spark DIV truncates — they agree only there), and the shift
+      -- cancels exactly because n * 16e6 is divisible by n
+      SELECT label AS c_label, dim,
+             CAST(sum(qx + {16 * ROCCHIO_Q}) // count(*)
+                  - {16 * ROCCHIO_Q} AS BIGINT) AS c
+      FROM dims GROUP BY label, dim
+    ), probe AS (
+      SELECT vec_id, label AS true_label, dim, qx
+      FROM dims
+      WHERE vec_id % {KNN_QMOD} = 0 AND vec_id < {KNN_QCAP}
+    ), dist AS (
+      SELECT p.vec_id, p.true_label, c.c_label,
+             CAST(sum((p.qx - c.c) * (p.qx - c.c)) AS BIGINT) AS d2
+      FROM probe p JOIN cent c ON p.dim = c.dim
+      GROUP BY 1, 2, 3
+    ), pred AS MATERIALIZED (
+      SELECT vec_id, true_label, c_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c_label) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), cm AS (
+      SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_queries
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT true_label, pred_label, n_queries,
+           CAST(sum(CASE WHEN true_label = pred_label THEN n_queries
+                         ELSE 0 END) OVER () * 10000
+                // sum(n_queries) OVER () AS BIGINT) AS accuracy_bp
+    FROM cm
+    """,
+)
+def q_rocchio_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of the embedding label
+    — the O(|labels|) companion to `knn_classifier_audit`'s O(n)
+    vote: per-label centroids in EXACT integer µ-units (floor-quantized
+    components, truncating integer mean — float means would be
+    partitioning-order-dependent), held-out probes assigned to the
+    argmin squared-distance centroid (ties to the smallest label).
+    Agreement between the two classifiers is the standard check that
+    the label clusters are convex enough for centroid shortcuts (IVF
+    coarse quantizers are exactly nearest-centroid assignment).
+
+    Plan: the centroid build is the 100 TB-shaped stage — one
+    (label, dim) hash-agg with map-side partials over the exploded
+    components (sums ≤ 10¹²·10⁶ stay in BIGINT); probes are the same
+    residue-gated, absolutely-capped draw as the kNN audit; the
+    distance join fans each probe component out by ≤|labels| via the
+    bounded centroid relation, and every window runs per-probe or over
+    the aggregated confusion (bounded-window class)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * ROCCHIO_Q).cast("long"),
+        ).alias("q"),
+    )
+    dims = qv.select(
+        "vec_id", "label", F.posexplode("q").alias("dim0", "qx")
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "qx")
+    # shifted floor-division — see the oracle comment: DIV truncates
+    # toward zero while the oracle's // floors, so the numerator must
+    # stay non-negative for the two to agree on negative-mean dims
+    cent = dims.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.expr(
+            f"CAST(sum(qx + {16 * ROCCHIO_Q}) DIV count(*)"
+            f" - {16 * ROCCHIO_Q} AS BIGINT)"
+        ).alias("c")
+    )
+    probe = dims.filter(
+        (F.col("vec_id") % KNN_QMOD == 0) & (F.col("vec_id") < KNN_QCAP)
+    ).select("vec_id", F.col("label").alias("true_label"), "dim", "qx")
+    dist = (
+        probe.join(cent, "dim")
+        .groupBy("vec_id", "true_label", "c_label")
+        .agg(
+            F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    pred = (
+        dist.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("c_label").alias("pred_label"))
+    )
+    cm = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    return cm.select(
+        "true_label",
+        "pred_label",
+        "n_queries",
+        F.expr(
+            "CAST(sum(CASE WHEN true_label = pred_label THEN n_queries"
+            "              ELSE 0 END) OVER () * 10000"
+            "     DIV sum(n_queries) OVER () AS BIGINT)"
+        ).alias("accuracy_bp"),
+    )

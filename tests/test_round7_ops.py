@@ -969,3 +969,84 @@ def test_knn_classifier_matches_local_vote(spark, sf_dir):
     got = {(r.true_label, r.pred_label): r.n_queries for r in rows}
     assert got == dict(cm)
     assert all(r.accuracy_bp == acc for r in rows)
+
+
+def test_window_ties_semantics(spark, sf_dir):
+    """Tie semantics must re-derive from group sizes: rank = 1 + rows
+    before the peer group, dense_rank = peer index, percent_rank =
+    (rank-1)/(n-1), cume_dist = (rows through peer group)/n."""
+    from collections import Counter
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = QUERIES["window_ties_suite"](spark, sf_dir).collect()
+    orders = table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").collect()
+    cnt = Counter((r.o_orderstatus, r.o_orderpriority) for r in orders)
+    by_status = {}
+    for (st, pr), n in cnt.items():
+        by_status.setdefault(st, []).append((pr, n))
+    expect = {}
+    for st, groups in by_status.items():
+        groups.sort()
+        n_part = sum(n for _, n in groups)
+        before = 0
+        for i, (pr, n) in enumerate(groups):
+            rnk = before + 1
+            expect[(st, pr)] = (
+                n,
+                rnk,
+                i + 1,
+                (rnk - 1) / (n_part - 1),
+                (before + n) / n_part,
+            )
+            before += n
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (r.n_rows, r.rnk, r.drnk, r.pr, r.cd) == expect[
+            (r.o_orderstatus, r.o_orderpriority)
+        ]
+
+
+def test_rocchio_matches_local_centroids(spark, sf_dir):
+    """Predictions must equal a local integer-centroid recompute, and
+    the audit must agree with the kNN classifier on most probes (the
+    convexity sanity the docstring promises)."""
+    import math
+    from collections import Counter, defaultdict
+    from distributed_mapreduce_spark.workload.registry import table
+    from distributed_mapreduce_spark.workload.similarity import (
+        KNN_QCAP,
+        KNN_QMOD,
+        ROCCHIO_Q,
+    )
+
+    rows = QUERIES["rocchio_centroid_classifier"](spark, sf_dir).collect()
+    emb = table(spark, sf_dir, "embeddings").collect()
+    OFF = 16 * ROCCHIO_Q
+    sums = defaultdict(lambda: None)
+    counts = Counter()
+    for r in emb:
+        q = [math.floor(float(x) * ROCCHIO_Q) for x in r.embedding]
+        if sums[r.label] is None:
+            sums[r.label] = [0] * len(q)
+        for i, v in enumerate(q):
+            sums[r.label][i] += v
+        counts[r.label] += 1
+    cents = {
+        lb: [((sv + counts[lb] * OFF) // counts[lb]) - OFF for sv in s]
+        for lb, s in sums.items()
+    }
+    cm = Counter()
+    for r in emb:
+        if r.vec_id % KNN_QMOD or r.vec_id >= KNN_QCAP:
+            continue
+        q = [math.floor(float(x) * ROCCHIO_Q) for x in r.embedding]
+        best = min(
+            cents,
+            key=lambda lb: (sum((a - b) ** 2 for a, b in zip(q, cents[lb])), lb),
+        )
+        cm[(r.label, best)] += 1
+    got = {(r.true_label, r.pred_label): r.n_queries for r in rows}
+    assert got == dict(cm)
+    total = sum(cm.values())
+    correct = sum(v for (t, p), v in cm.items() if t == p)
+    assert all(r.accuracy_bp == correct * 10000 // total for r in rows)
