@@ -1706,3 +1706,187 @@ def q_er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("completeness_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Band-geometry tuning: the same 8 signature components regrouped.
+# ---------------------------------------------------------------------------
+
+#: Geometries compared by the tuning audit: (bands, rows) with
+#: bands*rows = MINHASH_BANDS*MINHASH_ROWS (same signature, regrouped).
+BAND_GEOMETRIES = ((4, 2), (2, 4))
+
+
+def _sql_geom_cand(name: str, bands: int, rows: int) -> str:
+    """Candidate-pair CTE for one (bands, rows) regrouping of the
+    shared signature (mirrors `_sql_minhash_pairs`'s band VALUES)."""
+    band_rows = ", ".join(
+        "("
+        + ", ".join(
+            [str(b)] + [f"sig[{b * rows + r + 1}]" for r in range(rows)]
+        )
+        + ")"
+        for b in range(bands)
+    )
+    hcols = ", ".join(f"h{r}" for r in range(rows))
+    on = " AND ".join(
+        ["l.band = r.band"] + [f"l.h{r} = r.h{r}" for r in range(rows)]
+    )
+    return f"""
+    bands_{name} AS (
+      SELECT doc_id, b.* FROM sig,
+      LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, {hcols})) b
+    ), cand_{name} AS MATERIALIZED (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands_{name} l JOIN bands_{name} r ON {on} AND l.doc_id < r.doc_id
+    ), ver_{name} AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM cand_{name}
+      JOIN bh a ON a.doc_id = doc_a
+      JOIN bh b ON b.doc_id = doc_b
+      WHERE len(list_intersect(a.bh, b.bh)) * {JACCARD_DEN}
+            >= (len(a.bh) + len(b.bh) - len(list_intersect(a.bh, b.bh)))
+               * {JACCARD_NUM}
+    )"""
+
+
+def _band_geometry_oracle() -> str:
+    k = MINHASH_BANDS * MINHASH_ROWS
+    geoms = [(f"b{b}r{r}", b, r) for b, r in BAND_GEOMETRIES]
+    ctes = ",".join(_sql_geom_cand(n, b, r) for n, b, r in geoms)
+    stats = " UNION ALL ".join(
+        f"""
+      SELECT '{n}' AS geometry, {b} AS n_bands, {r} AS n_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_{n}) AS n_candidates,
+             (SELECT CAST(count(*) AS BIGINT) FROM ver_{n}) AS n_verified"""
+        for n, b, r in geoms
+    )
+    union_ver = " UNION ".join(
+        f"SELECT doc_a, doc_b FROM ver_{n}" for n, _, _ in geoms
+    )
+    return f"""
+    WITH bh AS MATERIALIZED (
+      SELECT doc_id, {_sql_bh()} AS bh FROM documents
+    ), sig AS MATERIALIZED (
+      SELECT doc_id, bh, {_sql_minhash('bh', k)} AS sig FROM bh
+    ),{ctes},
+    allver AS (SELECT CAST(count(*) AS BIGINT) AS n_union
+               FROM ({union_ver})),
+    stats AS ({stats})
+    SELECT s.geometry, CAST(s.n_bands AS BIGINT) AS n_bands,
+           CAST(s.n_rows AS BIGINT) AS n_rows,
+           s.n_candidates, s.n_verified,
+           CAST(CASE WHEN s.n_candidates = 0 THEN 10000
+                     ELSE s.n_verified * 10000 // s.n_candidates
+                END AS BIGINT) AS precision_bp,
+           CAST(CASE WHEN a.n_union = 0 THEN 10000
+                     ELSE s.n_verified * 10000 // a.n_union
+                END AS BIGINT) AS rel_recall_bp
+    FROM stats s CROSS JOIN allver a
+    """
+
+
+@query("dedup_band_geometry_tuning", oracle=_band_geometry_oracle())
+def q_dedup_band_geometry_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-geometry tuning table: the SAME 8-component MinHash
+    signature regrouped as 4 bands x 2 rows vs 2 bands x 4 rows, each
+    geometry reporting candidate volume, verified (exact Jaccard >=
+    0.7) pairs, precision, and recall RELATIVE to the union of
+    verified pairs across geometries — the measured S-curve trade
+    (P[collide] = 1-(1-j^rows)^bands: more rows per band = stricter =
+    fewer false candidates but more misses) that picks a geometry
+    from data instead of the textbook plot. Candidate cost (the
+    shuffle) and miss rate move in opposite directions; this table
+    prices both sides.
+
+    Plan: ONE shared persisted shingle/signature pass; per geometry a
+    band-bucket self-equi-join (band keys only, never all pairs) and
+    the candidates-only verify join; stats are 1-row aggregates
+    broadcast-crossed. Adding a geometry costs one more band join,
+    not another corpus scan."""
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    k = MINHASH_BANDS * MINHASH_ROWS
+    base = F.col("bh")
+
+    def affine(j):
+        return lambda x: (F.lit(MH_A[j]) * x + F.lit(MH_B[j])) % F.lit(MH_PRIME)
+
+    sig = [
+        F.coalesce(F.array_min(F.transform(base, affine(j))), F.lit(2**62))
+        for j in range(k)
+    ]
+    per_geom = []
+    vers = []
+    for bands_n, rows_n in BAND_GEOMETRIES:
+        name = f"b{bands_n}r{rows_n}"
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    *[
+                        sig[b * rows_n + r].alias(f"h{r}")
+                        for r in range(rows_n)
+                    ],
+                )
+                for b in range(bands_n)
+            ]
+        )
+        exploded = sh_df.select(
+            F.col("doc_id"), F.explode(bands).alias("bk")
+        ).select("doc_id", "bk.*")
+        l = exploded.alias("l")
+        r_ = exploded.alias("r")
+        on = [
+            F.col(f"l.{c}") == F.col(f"r.{c}")
+            for c in ["band"] + [f"h{r}" for r in range(rows_n)]
+        ]
+        cand = (
+            l.join(r_, on + [F.col("l.doc_id") < F.col("r.doc_id")], "inner")
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        ver = _verify_pairs(sh_df, cand).select("doc_a", "doc_b").persist()
+        vers.append(ver)
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        n_ver = ver.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+        per_geom.append(
+            n_cand.crossJoin(F.broadcast(n_ver)).select(
+                F.lit(name).alias("geometry"),
+                F.lit(bands_n).cast("long").alias("n_bands"),
+                F.lit(rows_n).cast("long").alias("n_rows"),
+                "n_candidates",
+                "n_verified",
+            )
+        )
+    union_ver = vers[0]
+    for v in vers[1:]:
+        union_ver = union_ver.unionAll(v)
+    allver = union_ver.distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_union")
+    )
+    stats = per_geom[0]
+    for g in per_geom[1:]:
+        stats = stats.unionAll(g)
+    return stats.crossJoin(F.broadcast(allver)).select(
+        "geometry",
+        "n_bands",
+        "n_rows",
+        "n_candidates",
+        "n_verified",
+        F.expr(
+            "CAST(CASE WHEN n_candidates = 0 THEN 10000"
+            "          ELSE n_verified * 10000 DIV n_candidates"
+            "     END AS BIGINT)"
+        ).alias("precision_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_union = 0 THEN 10000"
+            "          ELSE n_verified * 10000 DIV n_union"
+            "     END AS BIGINT)"
+        ).alias("rel_recall_bp"),
+    )

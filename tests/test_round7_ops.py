@@ -1050,3 +1050,48 @@ def test_rocchio_matches_local_centroids(spark, sf_dir):
     total = sum(cm.values())
     correct = sum(v for (t, p), v in cm.items() if t == p)
     assert all(r.accuracy_bp == correct * 10000 // total for r in rows)
+
+
+def test_richclub_matches_local_recompute(spark, sf_dir):
+    from collections import Counter
+    from distributed_mapreduce_spark.workload.graph import RICHCLUB_KS, _edges
+
+    rows = {r.k: r for r in QUERIES["graph_richclub_coefficient"](spark, sf_dir).collect()}
+    edges = [(r.src, r.dst) for r in _edges(spark, sf_dir).collect()]
+    deg = Counter()
+    for s, t in edges:
+        deg[s] += 1
+        deg[t] += 1
+    phis = []
+    for k in RICHCLUB_KS:
+        richset = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for s, t in edges if s in richset and t in richset)
+        nk = len(richset)
+        r = rows[k]
+        assert (r.n_rich, r.e_rich) == (nk, ek)
+        expect = 0 if nk < 2 else ek * 2_000_000 // (nk * (nk - 1))
+        assert r.phi_ppm == expect
+        phis.append((k, r.phi_ppm, nk))
+    # density of the full graph for context: phi must rise for at
+    # least one threshold step if hubs interconnect (soft check: the
+    # sequence is not all-zero)
+    assert any(p for _, p, _ in phis)
+
+
+def test_band_geometry_scurve_direction(spark, sf_dir):
+    """The stricter geometry (more rows per band) must produce no more
+    candidates and no more verified pairs than the looser one, and the
+    looser geometry's verified set must achieve full relative recall
+    whenever it is a superset; all bp values re-derive."""
+    rows = {r.geometry: r for r in QUERIES["dedup_band_geometry_tuning"](spark, sf_dir).collect()}
+    loose, strict = rows["b4r2"], rows["b2r4"]
+    assert strict.n_candidates <= loose.n_candidates
+    assert strict.n_verified <= loose.n_verified
+    union = max(loose.n_verified, strict.n_verified)
+    for r in rows.values():
+        assert r.n_verified <= r.n_candidates
+        if r.n_candidates:
+            assert r.precision_bp == r.n_verified * 10000 // r.n_candidates
+        # rel_recall denominator is the union; union >= each geometry
+        assert r.rel_recall_bp <= 10000
+    assert loose.rel_recall_bp >= strict.rel_recall_bp
