@@ -1890,3 +1890,95 @@ def q_dedup_band_geometry_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     END AS BIGINT)"
         ).alias("rel_recall_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+# MOSS algorithm): guaranteed-coverage local document fingerprinting.
+
+#: Winnowing k-gram size (tokens per gram) and window width (grams per
+#: window). Guarantee: every match of >= WINNOW_K + WINNOW_W - 1 tokens
+#: shares at least one selected fingerprint; density ~= 2/(W+1).
+WINNOW_K = 4
+WINNOW_W = 5
+
+
+def _winnow_oracle() -> str:
+    toks = _SQL_TOKS
+    k, w = WINNOW_K, WINNOW_W
+    # Packed key h*2^31 + pos makes the window min lexicographic in
+    # (hash, pos): ties on hash select the LEFTMOST gram, identically
+    # in both engines. pos < 2^31 is asserted by construction (pos is
+    # bounded by the doc's token count; a 2^31-token single document
+    # would be a 10+ GiB row, rejected far upstream).
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN len({toks}) >= {k}
+                  THEN list_transform(range(1, len({toks}) - {k - 1} + 1),
+                       i -> {_sql_hash_u32(f"array_to_string(({toks})[i : i + {k - 1}], ' ')", 'wn_')}
+                            * 2147483648 + i)
+                  ELSE [] END AS pk
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(pk) - {w - 1}, 1) + 1),
+                 s -> list_min(pk[s : s + {w - 1}]))) AS fps
+      FROM g WHERE len(pk) > 0
+    )
+    SELECT doc_id,
+           CAST(u >> 31 AS BIGINT) AS fp_hash,
+           CAST(u & 2147483647 AS BIGINT) AS fp_pos
+    FROM (SELECT doc_id, unnest(fps) AS u FROM f)
+    """
+
+
+@query("dedup_winnowing_fingerprints", oracle=_winnow_oracle())
+def q_dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint relation (doc_id, fp_hash, fp_pos): the
+    MOSS local fingerprinting scheme — hash every K-token gram, slide a
+    W-gram window, keep each window's minimum (leftmost on hash ties).
+    Guarantees any shared run of >= K+W-1 tokens between two documents
+    shares a fingerprint (MinHash gives no such locality guarantee),
+    at ~2/(W+1) selection density, so a fingerprint equi-join finds
+    partial overlaps/plagiarism that document-level signatures miss.
+
+    Scale: the entire select runs as per-row array expressions inside
+    whole-stage codegen — gram hashes, packed (hash,pos) keys, window
+    minima, and dedup all happen within the document's own row, so the
+    operator is embarrassingly parallel with ZERO shuffles (explode is
+    pipelined); output volume is ~2/(W+1) of gram count. The packed
+    key h*2^31+pos is safe: h < 2^32 by construction (md5 prefix) and
+    pos < 2^31 bounded by per-document token count.
+
+    Reference parity: the reference has no fingerprinting operator;
+    this extends its grep/wordcount text surface (SURVEY.md section 2)
+    with the standard training-corpus overlap primitive.
+    """
+    k, w = WINNOW_K, WINNOW_W
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    n = F.size(F.col("toks"))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: _hash_u32(
+                F.array_join(F.slice(F.col("toks"), i, k), " "), "wn_"
+            )
+            * F.lit(2147483648)
+            + i.cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = toked.select("doc_id", grams.alias("pk")).where(F.size("pk") > 0)
+    starts = F.sequence(F.lit(1), F.greatest(F.size("pk") - (w - 1), F.lit(1)))
+    fps = F.array_distinct(
+        F.transform(starts, lambda s: F.array_min(F.slice(F.col("pk"), s, w)))
+    )
+    return g.select("doc_id", F.explode(fps).alias("u")).select(
+        "doc_id",
+        F.shiftrightunsigned("u", 31).alias("fp_hash"),
+        F.col("u").bitwiseAND(F.lit(2147483647)).alias("fp_pos"),
+    )

@@ -835,3 +835,87 @@ def q_docs_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity gate: the exact-rational repetitiveness signal.
+
+#: Repetitive-document gate: flag when the Simpson diversity index
+#: 1 - sum(c_i^2)/n^2 falls below this many ppm (i.e. the chance two
+#: random token draws collide exceeds 10%). Exact integer arithmetic —
+#: the Shannon-entropy gate's role without the non-portable libm log.
+SIMPSON_GATE_PPM = 900_000
+
+
+@query(
+    "text_simpson_diversity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_sql_tokens('text')}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    st AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           CAST(1000000 * (n_tokens * n_tokens - s2)
+                // (n_tokens * n_tokens) AS BIGINT) AS simpson_ppm,
+           CAST(100 * n_tokens * n_tokens // s2 AS BIGINT) AS eff_vocab_x100,
+           (1000000 * (n_tokens * n_tokens - s2) // (n_tokens * n_tokens))
+               < {SIMPSON_GATE_PPM} AS repetitive
+    FROM st
+    """,
+)
+def q_text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson token-diversity gate per document: diversity = 1 -
+    sum(c_i^2)/n^2 (the probability two random tokens differ) in exact
+    ppm, plus the inverse-Simpson "effective vocabulary size" n^2/S in
+    centi-units. This is the repetitive-junk filter role that Shannon
+    entropy plays in corpus pipelines (Rae et al.'s Gopher rules),
+    expressed as an exact rational so Spark and any oracle agree
+    bit-for-bit — no libm log, no float summation order.
+
+    Plan: explode tokens -> ONE hash aggregate keyed (doc_id, token)
+    with map-side partials -> one (doc_id) re-aggregate. Both keys
+    carry doc_id, so AQE-coalesced shuffles stay balanced even with
+    hot vocabulary (the token key is never aggregated globally).
+    Integer bounds: n^2 * 10^6 stays under 2^63 for docs < ~3M tokens
+    (a 3M-token document is a >10 MiB row — bound documented here, far
+    above any realistic per-document size after length gating).
+
+    Reference parity: extends the reference's wordcount surface
+    (SURVEY.md section 2.4) from corpus-global counts to the per-doc
+    diversity statistic used as a quality gate.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    nn = F.col("n_tokens") * F.col("n_tokens")
+    simpson = F.expr(
+        "CAST(1000000 * (n_tokens * n_tokens - s2)"
+        " DIV (n_tokens * n_tokens) AS BIGINT)"
+    )
+    return st.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        simpson.alias("simpson_ppm"),
+        F.expr("CAST(100 * n_tokens * n_tokens DIV s2 AS BIGINT)").alias(
+            "eff_vocab_x100"
+        ),
+        (simpson < SIMPSON_GATE_PPM).alias("repetitive"),
+    )

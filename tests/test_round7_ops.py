@@ -1095,3 +1095,72 @@ def test_band_geometry_scurve_direction(spark, sf_dir):
         # rel_recall denominator is the union; union >= each geometry
         assert r.rel_recall_bp <= 10000
     assert loose.rel_recall_bp >= strict.rel_recall_bp
+
+
+def test_winnowing_guarantee_and_density(spark, sf_dir):
+    """Winnowing invariants from the SIGMOD'03 paper: (a) every selected
+    fingerprint is a real gram of its document (hash re-derivable from
+    the token stream at fp_pos), (b) coverage — consecutive selected
+    positions are less than K+W apart (no unfingerprinted window), and
+    (c) per-doc density is bounded by the gram count."""
+    from distributed_mapreduce_spark.workload.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        _hash_u32,
+        _tokens,
+    )
+    from distributed_mapreduce_spark.workload.registry import table
+
+    fps = QUERIES["dedup_winnowing_fingerprints"](spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    # (a) re-derive the gram hash at each selected position and compare.
+    rejoined = fps.join(docs, "doc_id").select(
+        "doc_id",
+        "fp_pos",
+        (F.col("fp_hash") == _hash_u32(
+            F.array_join(F.slice(F.col("toks"), F.col("fp_pos").cast("int"), WINNOW_K), " "),
+            "wn_",
+        )).alias("ok"),
+    )
+    assert rejoined.where(~F.col("ok")).count() == 0
+    # (b)+(c) per-doc: sorted positions gap < K+W; count <= gram count.
+    per_doc = {
+        r.doc_id: sorted(r.ps)
+        for r in fps.groupBy("doc_id").agg(F.collect_list("fp_pos").alias("ps")).collect()
+    }
+    grams = {
+        r.doc_id: max(0, len(r.toks) - WINNOW_K + 1) for r in docs.collect()
+    }
+    for d, ps in per_doc.items():
+        assert 1 <= len(ps) <= grams[d]
+        for a, b in zip(ps, ps[1:]):
+            assert b - a <= WINNOW_W, (d, a, b)
+    # every doc with at least one gram got at least one fingerprint
+    assert set(per_doc) == {d for d, g in grams.items() if g > 0}
+
+
+def test_simpson_diversity_bounds_and_recompute(spark, sf_dir):
+    """simpson_ppm must equal the exact rational recomputed from raw
+    token counts, sit in [0, 1e6), and eff_vocab_x100 must lie between
+    100 (all same token) and 100*n_types (uniform)."""
+    from collections import Counter
+
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = {r.doc_id: r for r in QUERIES["text_simpson_diversity"](spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        if not toks:
+            assert d.doc_id not in rows
+            continue
+        c = Counter(toks)
+        n, s2 = len(toks), sum(v * v for v in c.values())
+        r = rows[d.doc_id]
+        assert r.n_tokens == n and r.n_types == len(c)
+        assert r.simpson_ppm == 1_000_000 * (n * n - s2) // (n * n)
+        assert 0 <= r.simpson_ppm < 1_000_000
+        assert 100 <= r.eff_vocab_x100 <= 100 * len(c)
+        assert r.repetitive == (r.simpson_ppm < 900_000)
