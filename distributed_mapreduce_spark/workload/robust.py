@@ -1248,3 +1248,177 @@ def q_price_qty_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     END AS BIGINT)"
         ).alias("slope_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B lift (Deng, Xu, Kohavi & Walker, WSDM'13).
+
+#: Experiment cutoff: events strictly before this instant are the
+#: pre-period covariate window; at/after is the experiment window.
+CUPED_CUTOFF = "2024-01-16 00:00:00"
+
+
+def _cuped_oracle() -> str:
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             ('0x' || substr(md5('ab_' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 2 AS grp,
+             CAST(sum(CASE WHEN ts <  TIMESTAMP '{CUPED_CUTOFF}'
+                           THEN floor(CAST(value AS DECIMAL(18,2)) * 100)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}'
+                           THEN floor(CAST(value AS DECIMAL(18,2)) * 100)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s_x,
+             CAST(sum(y) AS BIGINT) AS s_y,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS s_xy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s_xx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s_yy
+      FROM per_user
+    ), arms AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+             CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_c,
+             CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+             CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_c
+      FROM per_user
+    ), nd AS (
+      SELECT n_t, n_c, sy_t, sy_c,
+             n * s_xy - CAST(s_x AS HUGEINT) * s_y AS cn,
+             n * s_xx - CAST(s_x AS HUGEINT) * s_x AS vxn,
+             n * s_yy - CAST(s_y AS HUGEINT) * s_y AS vyn,
+             CAST(sy_t AS HUGEINT) * n_c - CAST(sy_c AS HUGEINT) * n_t AS dy,
+             CAST(sx_t AS HUGEINT) * n_c - CAST(sx_c AS HUGEINT) * n_t AS dx
+      FROM arms, pooled
+    )
+    SELECT n_t, n_c,
+           CAST(CASE WHEN vxn = 0 THEN 0
+                     ELSE (CASE WHEN cn >= 0 THEN 1 ELSE -1 END)
+                          * ((abs(cn) // vxn) * 1000000
+                             + (abs(cn) % vxn) * 1000000 // vxn)
+                END AS BIGINT) AS theta_e6,
+           CAST((CASE WHEN dy >= 0 THEN 1 ELSE -1 END)
+                * ((abs(dy) // (CAST(n_t AS HUGEINT) * n_c)) * 100
+                   + (abs(dy) % (CAST(n_t AS HUGEINT) * n_c)) * 100
+                     // (CAST(n_t AS HUGEINT) * n_c)) AS BIGINT) AS raw_lift_c2,
+           CAST((CASE WHEN vxn * dy - cn * dx >= 0 THEN 1 ELSE -1 END)
+                * ((abs(vxn * dy - cn * dx) // (vxn * CAST(n_t AS HUGEINT) * n_c)) * 100
+                   + (abs(vxn * dy - cn * dx) % (vxn * CAST(n_t AS HUGEINT) * n_c)) * 100
+                     // (vxn * CAST(n_t AS HUGEINT) * n_c)) AS BIGINT) AS cuped_lift_c2,
+           CAST(CASE WHEN vxn = 0 OR vyn = 0 OR abs(cn) // k = 0 THEN 0
+                     ELSE ((abs(cn) // k) * (abs(cn) // k)) * 1000000
+                          // ((vxn // k) * (vyn // k))
+                END AS BIGINT) AS var_reduction_ppm
+    FROM (SELECT *, 1 + greatest(abs(cn), vxn, vyn) // 1000000000 AS k FROM nd)
+    """
+
+
+@query("cuped_adjusted_lift", oracle=_cuped_oracle())
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift (Deng et al., WSDM'13): users
+    hashed into treat/control arms, per-user revenue-cents in the
+    pre-period (covariate x) and experiment period (metric y); theta =
+    cov(x,y)/var(x) on the pooled users; the reported treatment effect
+    is (mean_y_t - mean_y_c) - theta*(mean_x_t - mean_x_c), and the
+    guaranteed variance reduction is rho^2 = cov^2/(var_x*var_y) —
+    all exact integers: lifts in hundredths of a cent via the
+    split-division expansion (|num| DIV den)*100 + (|num| mod den)*100
+    DIV den on DECIMAL(38) moments, theta in micro-units, rho^2 in ppm
+    via a pre-product scale reduction: cn, vxn, vyn are each divided
+    by the SAME k = 1 + greatest(|cn|, vxn, vyn) DIV 10^9 before any
+    product (Spark's DIV returns BIGINT, so reducing the moments FIRST
+    is what keeps every quotient inside int64), making the ppm ratio
+    EXACT when the moments are under 10^9 and deterministic with
+    O(k/|cn|) relative error above — identical integers in both
+    engines either way. In range up to moment sums of ~9*10^27;
+    beyond that, rescale the metric unit (every reported statistic is
+    scale-equivariant).
+
+    Plan: ONE hash-agg of the event scan to per-user (x, y) rows keyed
+    by user_id (map-side partials), then two 1-row aggregates (pooled
+    moments, per-arm sums) broadcast-crossed for the closed-form
+    arithmetic — no per-user theta adjustment pass is needed because
+    the CUPED estimator is linear in the moment sums. The event scan
+    prunes to (ts, user_id, value).
+
+    Reference parity: extends the reference's count-per-key surface
+    (SURVEY.md section 2.4) to the experiment-analysis statistic a
+    product pipeline runs on the same event logs.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    pre = F.col("ts") < F.lit(CUPED_CUTOFF).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(F.lit(0))).cast("long").alias("x"),
+        F.sum(F.when(~pre, cents).otherwise(F.lit(0))).cast("long").alias("y"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab_"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("grp"),
+        "x",
+        "y",
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s_x"),
+        F.sum("y").cast("long").alias("s_y"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))").alias("s_xy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))").alias("s_xx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))").alias("s_yy"),
+    )
+    arms = per_user.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y")).otherwise(0)).cast("long").alias("sy_t"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y")).otherwise(0)).cast("long").alias("sy_c"),
+        F.sum(F.when(F.col("grp") == 1, F.col("x")).otherwise(0)).cast("long").alias("sx_t"),
+        F.sum(F.when(F.col("grp") == 0, F.col("x")).otherwise(0)).cast("long").alias("sx_c"),
+    )
+    nd = arms.crossJoin(F.broadcast(pooled)).selectExpr(
+        "n_t",
+        "n_c",
+        "CAST(n AS DECIMAL(38,0)) * s_xy - CAST(s_x AS DECIMAL(38,0)) * s_y AS cn",
+        "CAST(n AS DECIMAL(38,0)) * s_xx - CAST(s_x AS DECIMAL(38,0)) * s_x AS vxn",
+        "CAST(n AS DECIMAL(38,0)) * s_yy - CAST(s_y AS DECIMAL(38,0)) * s_y AS vyn",
+        "CAST(sy_t AS DECIMAL(38,0)) * n_c - CAST(sy_c AS DECIMAL(38,0)) * n_t AS dy",
+        "CAST(sx_t AS DECIMAL(38,0)) * n_c - CAST(sx_c AS DECIMAL(38,0)) * n_t AS dx",
+    )
+    nd = nd.withColumn(
+        "k",
+        F.expr("1 + greatest(abs(cn), vxn, vyn) DIV 1000000000"),
+    )
+    return nd.selectExpr(
+        "n_t",
+        "n_c",
+        "CAST(CASE WHEN vxn = 0 THEN 0"
+        "          ELSE (CASE WHEN cn >= 0 THEN 1 ELSE -1 END)"
+        "               * ((abs(cn) DIV vxn) * 1000000"
+        "                  + (abs(cn) % vxn) * 1000000 DIV vxn)"
+        "     END AS BIGINT) AS theta_e6",
+        "CAST((CASE WHEN dy >= 0 THEN 1 ELSE -1 END)"
+        "     * ((abs(dy) DIV (CAST(n_t AS DECIMAL(38,0)) * n_c)) * 100"
+        "        + (abs(dy) % (CAST(n_t AS DECIMAL(38,0)) * n_c)) * 100"
+        "          DIV (CAST(n_t AS DECIMAL(38,0)) * n_c)) AS BIGINT) AS raw_lift_c2",
+        "CAST((CASE WHEN vxn * dy - cn * dx >= 0 THEN 1 ELSE -1 END)"
+        "     * ((abs(vxn * dy - cn * dx) DIV (vxn * CAST(n_t AS DECIMAL(38,0)) * n_c)) * 100"
+        "        + (abs(vxn * dy - cn * dx) % (vxn * CAST(n_t AS DECIMAL(38,0)) * n_c)) * 100"
+        "          DIV (vxn * CAST(n_t AS DECIMAL(38,0)) * n_c)) AS BIGINT) AS cuped_lift_c2",
+        "CAST(CASE WHEN vxn = 0 OR vyn = 0 OR abs(cn) DIV k = 0 THEN 0"
+        "          ELSE CAST((abs(cn) DIV k) * (abs(cn) DIV k) AS DECIMAL(38,0)) * 1000000"
+        "               DIV (CAST(vxn DIV k AS DECIMAL(38,0)) * (vyn DIV k))"
+        "     END AS BIGINT) AS var_reduction_ppm",
+    )

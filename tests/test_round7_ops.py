@@ -1164,3 +1164,68 @@ def test_simpson_diversity_bounds_and_recompute(spark, sf_dir):
         assert 0 <= r.simpson_ppm < 1_000_000
         assert 100 <= r.eff_vocab_x100 <= 100 * len(c)
         assert r.repetitive == (r.simpson_ppm < 900_000)
+
+
+def test_cuped_matches_fraction_recompute(spark, sf_dir):
+    """Exact-rational recompute of CUPED from raw per-user (x, y):
+    theta, both lifts, and the floor-composed variance-reduction term
+    must match the query's integers exactly; CUPED must equal the raw
+    lift when theta is applied with dx = 0."""
+    import hashlib
+    from fractions import Fraction
+
+    from distributed_mapreduce_spark.workload.registry import table
+    from distributed_mapreduce_spark.workload.robust import CUPED_CUTOFF
+
+    row = QUERIES["cuped_adjusted_lift"](spark, sf_dir).collect()[0]
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value").collect()
+    from collections import defaultdict
+    from datetime import datetime
+    import math
+
+    cutoff = datetime.fromisoformat(CUPED_CUTOFF)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    per = defaultdict(lambda: [0, 0])
+    for e in ev:
+        # mirror the query's CAST(value AS DECIMAL(18,2)) * 100 exactly
+        d2 = Decimal(repr(e.value)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        cents = math.floor(d2 * 100)
+        per[e.user_id][0 if e.ts < cutoff else 1] += cents
+    grp = {
+        u: int(hashlib.md5(f"ab_{u}".encode()).hexdigest()[:8], 16) % 2 for u in per
+    }
+    xs = {u: v[0] for u, v in per.items()}
+    ys = {u: v[1] for u, v in per.items()}
+    n = len(per)
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxy = sum(xs[u] * ys[u] for u in per)
+    sxx = sum(x * x for x in xs.values())
+    syy = sum(y * y for y in ys.values())
+    cn = n * sxy - sx * sy
+    vxn = n * sxx - sx * sx
+    vyn = n * syy - sy * sy
+    t = [u for u in per if grp[u] == 1]
+    c = [u for u in per if grp[u] == 0]
+    assert row.n_t == len(t) and row.n_c == len(c)
+    dy = sum(ys[u] for u in t) * len(c) - sum(ys[u] for u in c) * len(t)
+    dx = sum(xs[u] for u in t) * len(c) - sum(xs[u] for u in c) * len(t)
+
+    def signed_floor_units(num, den, units):
+        s = 1 if num >= 0 else -1
+        return s * ((abs(num) // den) * units + (abs(num) % den) * units // den)
+
+    assert row.theta_e6 == (0 if vxn == 0 else signed_floor_units(cn, vxn, 10**6))
+    assert row.raw_lift_c2 == signed_floor_units(dy, len(t) * len(c), 100)
+    assert row.cuped_lift_c2 == signed_floor_units(
+        vxn * dy - cn * dx, vxn * len(t) * len(c), 100
+    )
+    k = 1 + max(abs(cn), vxn, vyn) // 10**9
+    assert row.var_reduction_ppm == (
+        0 if vxn == 0 or vyn == 0 or abs(cn) // k == 0
+        else (abs(cn) // k) ** 2 * 10**6 // ((vxn // k) * (vyn // k))
+    )
+    # the scale reduction tracks true rho^2*1e6 within the O(k/|cn|) bound
+    true_ppm = Fraction(cn * cn * 10**6, vxn * vyn)
+    tol = 1 + (3 * k * 10**6) // max(abs(cn), 1)
+    assert abs(true_ppm - row.var_reduction_ppm) <= tol
