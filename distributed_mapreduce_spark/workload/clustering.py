@@ -754,3 +754,212 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "anchor_label", "neg_label", "cos_u", "rnk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Silhouette audit from sufficient statistics (no point-pair join).
+
+
+def _sil_oracle() -> str:
+    k = KMEANS_K
+    return f"""
+    WITH asn AS (
+      SELECT vec_id, cid, embedding FROM (
+        SELECT e.vec_id, c.vec_id AS cid, e.embedding,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_sqdist('e.embedding', 'c.embedding')}, c.vec_id
+               ) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < {k}) c
+      ) WHERE rn = 1
+    ),
+    pts AS (
+      SELECT vec_id, cid,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT)) AS v
+      FROM asn
+    ),
+    pq AS (
+      SELECT vec_id, cid, v,
+             list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS q
+      FROM pts
+    ),
+    comp AS (
+      SELECT cid, s.pos AS pos, s.val AS val
+      FROM (SELECT cid,
+                   unnest(list_transform(range(1, len(v) + 1),
+                          i -> struct_pack(pos := i, val := v[i]))) AS s
+            FROM pq)
+    ),
+    svec AS (
+      SELECT cid,
+             list_transform(list_sort(list(struct_pack(pos := pos, s := s))),
+                            x -> x.s) AS sv
+      FROM (SELECT cid, pos, CAST(sum(val) AS BIGINT) AS s
+            FROM comp GROUP BY cid, pos)
+      GROUP BY cid
+    ),
+    cstat AS (
+      SELECT pq.cid, CAST(count(*) AS BIGINT) AS n_c,
+             CAST(sum(q) AS BIGINT) AS qc, any_value(sv) AS sv
+      FROM pq JOIN svec ON pq.cid = svec.cid
+      GROUP BY pq.cid
+    ),
+    scored AS (
+      SELECT p.vec_id, p.cid AS own_cid, c.cid AS other_cid, c.n_c,
+             c.n_c * p.q
+               - 2 * list_reduce(list_transform(list_zip(p.v, c.sv),
+                       z -> z[1] * z[2]), (a, b) -> a + b)
+               + c.qc AS num
+      FROM pq p CROSS JOIN cstat c
+    ),
+    ab AS (
+      SELECT vec_id, own_cid,
+             max(CASE WHEN other_cid = own_cid AND n_c > 1
+                      THEN num // (n_c - 1) END) AS a,
+             min(CASE WHEN other_cid <> own_cid
+                      THEN num // n_c END) AS b,
+             max(CASE WHEN other_cid = own_cid THEN n_c END) AS n_own
+      FROM scored GROUP BY vec_id, own_cid
+    ),
+    sil AS (
+      SELECT vec_id, own_cid AS cid,
+             CASE WHEN n_own <= 1 OR greatest(a, b) = 0 THEN 0
+                  ELSE CAST((CASE WHEN b >= a THEN 1 ELSE -1 END)
+                       * (CAST(abs(b - a) AS HUGEINT) * 1000000
+                          // greatest(a, b)) AS BIGINT)
+             END AS s_ppm
+      FROM ab
+    )
+    SELECT cid, CAST(count(*) AS BIGINT) AS n,
+           CAST((CASE WHEN sum(s_ppm) >= 0 THEN 1 ELSE -1 END)
+                * (abs(CAST(sum(s_ppm) AS HUGEINT)) // count(*)) AS BIGINT)
+               AS mean_s_ppm,
+           CAST(min(s_ppm) AS BIGINT) AS min_s_ppm,
+           CAST(max(s_ppm) AS BIGINT) AS max_s_ppm,
+           CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM sil GROUP BY cid
+    """
+
+
+@query("clustering_silhouette_ss", oracle=_sil_oracle())
+def q_clustering_silhouette_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster silhouette audit of the Lloyd assignment WITHOUT a
+    point-pair join: for squared L2, the mean distance from a point to
+    a cluster decomposes over sufficient statistics — sum(||x - j||^2,
+    j in C) = n_C*||x||^2 - 2*x.S_C + Q_C with S_C = sum of member
+    vectors and Q_C = sum of member norms — so a(i)/b(i)/s(i) for
+    every point costs one broadcast join against K stat rows instead
+    of the O(n^2) pairwise silhouette. Vectors are floor-quantized to
+    integer micros first, making every sum/dot/min exact integer
+    arithmetic (the oracle replays the identical quantization); s(i)
+    is reported in ppm of the standard (b-a)/max(a,b), with singleton
+    clusters and coincident-point zeros pinned to 0.
+
+    Plan: assignment (broadcast K centroids) -> per-dim integer sums
+    via posexplode hash-agg (64*K grouped rows) -> K-row stat table
+    broadcast back -> per-point K-candidate scoring in one projection
+    -> per-cluster aggregate. Integer bounds: n_C*||v||^2 < 2^63 up to
+    ~10^5 vectors per cluster at unit-norm micro scale; the only
+    wider product, |b-a|*10^6, runs in DECIMAL(38)/HUGEINT.
+
+    Reference parity: no counterpart (the reference has no vector
+    surface); completes the engine's clustering family with the
+    standard cluster-quality audit at scale.
+    """
+    asn = _assignment(spark, sf_dir)
+    pts = asn.select(
+        "vec_id",
+        "cid",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * MICRO).cast("long"),
+        ).alias("v"),
+    )
+    pq = pts.withColumn(
+        "q",
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    comp = pq.select("cid", F.posexplode("v").alias("pos", "val"))
+    svec = (
+        comp.groupBy("cid", "pos")
+        .agg(F.sum("val").cast("long").alias("s"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: st.getField("s"),
+            ).alias("sv")
+        )
+    )
+    cstat = (
+        pq.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_c"),
+            F.sum("q").cast("long").alias("qc"),
+        )
+        .join(svec, "cid")
+    )
+    scored = pq.crossJoin(
+        F.broadcast(
+            cstat.select(
+                F.col("cid").alias("other_cid"), "n_c", "qc", "sv"
+            )
+        )
+    ).select(
+        "vec_id",
+        F.col("cid").alias("own_cid"),
+        "other_cid",
+        "n_c",
+        (
+            F.col("n_c") * F.col("q")
+            - 2
+            * F.aggregate(
+                F.zip_with(F.col("v"), F.col("sv"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            + F.col("qc")
+        ).alias("num"),
+    )
+    ab = scored.groupBy("vec_id", "own_cid").agg(
+        F.max(
+            F.when(
+                (F.col("other_cid") == F.col("own_cid")) & (F.col("n_c") > 1),
+                F.expr("num DIV (n_c - 1)"),
+            )
+        ).alias("a"),
+        F.min(
+            F.when(F.col("other_cid") != F.col("own_cid"), F.expr("num DIV n_c"))
+        ).alias("b"),
+        F.max(
+            F.when(F.col("other_cid") == F.col("own_cid"), F.col("n_c"))
+        ).alias("n_own"),
+    )
+    sil = ab.selectExpr(
+        "own_cid AS cid",
+        "CASE WHEN n_own <= 1 OR greatest(a, b) = 0 THEN CAST(0 AS BIGINT)"
+        "     ELSE CAST((CASE WHEN b >= a THEN 1 ELSE -1 END)"
+        "          * (CAST(abs(b - a) AS DECIMAL(38,0)) * 1000000"
+        "             DIV greatest(a, b)) AS BIGINT)"
+        " END AS s_ppm",
+    )
+    return sil.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "CAST((CASE WHEN sum(s_ppm) >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(CAST(sum(s_ppm) AS DECIMAL(38,0))) DIV count(*)) AS BIGINT)"
+        ).alias("mean_s_ppm"),
+        F.min("s_ppm").cast("long").alias("min_s_ppm"),
+        F.max("s_ppm").cast("long").alias("max_s_ppm"),
+        F.sum(F.when(F.col("s_ppm") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )

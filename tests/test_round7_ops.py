@@ -1229,3 +1229,52 @@ def test_cuped_matches_fraction_recompute(spark, sf_dir):
     true_ppm = Fraction(cn * cn * 10**6, vxn * vyn)
     tol = 1 + (3 * k * 10**6) // max(abs(cn), 1)
     assert abs(true_ppm - row.var_reduction_ppm) <= tol
+
+
+def test_silhouette_ss_matches_pairwise_bruteforce(spark, sf_dir):
+    """The sufficient-statistics silhouette must equal the O(n^2)
+    pairwise definition computed locally on the same quantized vectors
+    (floor-micro ints, floor-division a/b, ppm floor)."""
+    import math
+
+    import numpy as np
+
+    from distributed_mapreduce_spark.workload.clustering import KMEANS_K, MICRO
+    from distributed_mapreduce_spark.workload.registry import table
+
+    out = {r.cid: r for r in QUERIES["clustering_silhouette_ss"](spark, sf_dir).collect()}
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    V = {r.vec_id: np.array([math.floor(float(x) * MICRO) for x in r.embedding],
+                            dtype=object) for r in emb}
+    cents = {i: V[i] for i in range(KMEANS_K)}
+    # assignment on true (unquantized) doubles, ties by lowest cid —
+    # mirror the query's left-fold float order via np.sum on float64
+    raw = {r.vec_id: np.array([float(x) for x in r.embedding]) for r in emb}
+    own = {}
+    for vid, x in raw.items():
+        best = min(range(KMEANS_K), key=lambda c: (float(np.sum((x - raw[c]) ** 2)), c))
+        own[vid] = best
+    members = {}
+    for vid, c in own.items():
+        members.setdefault(c, []).append(vid)
+    sppm = {}
+    for vid, c in own.items():
+        def msd(cl, exclude_self):
+            ids = members[cl]
+            tot = sum(int(np.dot(V[vid] - V[j], V[vid] - V[j])) for j in ids)
+            den = len(ids) - (1 if exclude_self else 0)
+            return tot // den if den > 0 else None
+        if len(members[c]) <= 1:
+            sppm[vid] = 0
+            continue
+        a = msd(c, True)
+        b = min(msd(o, False) for o in members if o != c)
+        m = max(a, b)
+        sppm[vid] = 0 if m == 0 else (1 if b >= a else -1) * (abs(b - a) * 10**6 // m)
+    for c, r in out.items():
+        vals = [sppm[v] for v in members[c]]
+        assert r.n == len(vals)
+        tot = sum(vals)
+        assert r.mean_s_ppm == (1 if tot >= 0 else -1) * (abs(tot) // len(vals))
+        assert r.min_s_ppm == min(vals) and r.max_s_ppm == max(vals)
+        assert r.n_negative == sum(1 for v in vals if v < 0)
