@@ -963,3 +963,171 @@ def q_clustering_silhouette_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_negative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering (DBSCAN on a quantized 2-D projection).
+
+#: Density grid: cell edge in integer micro-projection units, the
+#: absolute density threshold (DBSCAN-style minPts), and the +-1
+#: projection planes (seeded like the LSH/JL planes, "dg_" namespace).
+DG_CELL = 200_000
+DG_MINPTS = 4
+DG_BIAS = 1 << 20  # grid coordinates are biased non-negative pre-pack
+
+
+def _dg_sign(j: int, i: int) -> int:
+    import hashlib
+
+    return (
+        1
+        if int(hashlib.md5(f"dg_{j}_{i}".encode()).hexdigest()[0], 16) < 8
+        else -1
+    )
+
+
+_DG_PLANES = [[_dg_sign(j, i) for i in range(64)] for j in range(2)]
+
+#: Offset added before the floor division so truncating integer DIV
+#: (both engines) equals mathematical floor: OFF = CELL * BIAS keeps
+#: every shifted projection positive, and OFF/CELL = BIAS is exactly
+#: the bias the packed key wants.
+_DG_OFF = DG_CELL * DG_BIAS
+
+
+def _dg_oracle() -> str:
+    # The 9-offset lateral above is awkward in DuckDB; generate the
+    # offsets as a plain VALUES list instead.
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+
+    def proj(plane):
+        body = " + ".join(
+            f"({s} * CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {MICRO}) AS BIGINT))"
+            for i, s in enumerate(plane)
+        )
+        return f"({body})"
+
+    return f"""
+    WITH RECURSIVE cells AS MATERIALIZED (
+      SELECT ({proj(_DG_PLANES[0])} + {_DG_OFF}) // {DG_CELL} AS bx,
+             ({proj(_DG_PLANES[1])} + {_DG_OFF}) // {DG_CELL} AS by,
+             count(*) AS n
+      FROM embeddings GROUP BY 1, 2
+    ),
+    dense AS MATERIALIZED (
+      SELECT bx * {1 << 21} + by AS k, bx, by, CAST(n AS BIGINT) AS n
+      FROM cells WHERE n >= {DG_MINPTS}
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.k AS s, b.k AS t
+      FROM dense a
+      CROSS JOIN (VALUES {offs}) ofs(dx, dy)
+      JOIN dense b ON b.k = (a.bx + ofs.dx) * {1 << 21} + (a.by + ofs.dy)
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ),
+    labels AS (
+      SELECT s AS k, min(t) AS cluster_id FROM reach GROUP BY s
+    )
+    SELECT l.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(d.n) AS BIGINT) AS n_points,
+           CAST(min(d.bx) - {DG_BIAS} AS BIGINT) AS min_cx,
+           CAST(max(d.bx) - {DG_BIAS} AS BIGINT) AS max_cx,
+           CAST(min(d.by) - {DG_BIAS} AS BIGINT) AS min_cy,
+           CAST(max(d.by) - {DG_BIAS} AS BIGINT) AS max_cy
+    FROM dense d JOIN labels l ON d.k = l.k
+    GROUP BY l.cluster_id
+    """
+
+
+@query("clustering_density_grid", oracle=_dg_oracle())
+def q_clustering_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (the scalable DBSCAN formulation):
+    embeddings project to 2-D through two fixed +-1 planes in exact
+    integer micros, land in {DG_CELL}-wide grid cells, cells with >=
+    {DG_MINPTS} points are dense, and 8-adjacent dense cells merge via
+    min-label connected components. Density clustering without any
+    point-point distance join: the grid aggregate is the only pass
+    over the data, and the merge graph has one node per DENSE CELL
+    (thousands at most), not per point — the standard way DBSCAN
+    survives 100 TB, since cell counts are a map-side-combinable
+    aggregate and the CC loop runs on the tiny cell graph.
+
+    Floor-div portability: projections are offset by CELL*2^20 before
+    the truncating integer division, so Spark's DIV and DuckDB's //
+    both compute mathematical floor; the offset IS the packed-key bias
+    (k = bx*2^21 + by), and |projection| < 2^26 keeps biased coords
+    far inside the 2^21 packing lanes.
+
+    Reference parity: no counterpart; completes the clustering family
+    with the density-based member alongside Lloyd k-means.
+    """
+    from distributed_mapreduce_spark.workload.dedup import (
+        connected_components,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * MICRO).cast("long"),
+    )
+
+    def proj(plane):
+        arr = F.array(*[F.lit(s).cast("long") for s in plane])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cells = (
+        emb.select(v.alias("v"))
+        .select(proj(_DG_PLANES[0]).alias("p0"), proj(_DG_PLANES[1]).alias("p1"))
+        .select(
+            F.expr(f"(p0 + {_DG_OFF}) DIV {DG_CELL}").alias("bx"),
+            F.expr(f"(p1 + {_DG_OFF}) DIV {DG_CELL}").alias("by"),
+        )
+        .groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dense = cells.filter(F.col("n") >= DG_MINPTS).select(
+        (F.col("bx") * (1 << 21) + F.col("by")).alias("k"),
+        "bx",
+        "by",
+        F.col("n").cast("long").alias("n"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    nbrs = dense.select(
+        F.col("k").alias("doc_a"),
+        F.explode(
+            F.array(
+                *[
+                    (F.col("bx") + dx) * (1 << 21) + (F.col("by") + dy)
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("nk"),
+    )
+    edges = nbrs.join(
+        dense.select(F.col("k").alias("doc_b")),
+        nbrs.nk == F.col("doc_b"),
+    ).select("doc_a", "doc_b")
+    labels = connected_components(edges).withColumnRenamed("doc_id", "k")
+    return (
+        dense.join(labels, "k")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+            (F.min("bx") - DG_BIAS).cast("long").alias("min_cx"),
+            (F.max("bx") - DG_BIAS).cast("long").alias("max_cx"),
+            (F.min("by") - DG_BIAS).cast("long").alias("min_cy"),
+            (F.max("by") - DG_BIAS).cast("long").alias("max_cy"),
+        )
+    )

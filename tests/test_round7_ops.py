@@ -1278,3 +1278,61 @@ def test_silhouette_ss_matches_pairwise_bruteforce(spark, sf_dir):
         assert r.mean_s_ppm == (1 if tot >= 0 else -1) * (abs(tot) // len(vals))
         assert r.min_s_ppm == min(vals) and r.max_s_ppm == max(vals)
         assert r.n_negative == sum(1 for v in vals if v < 0)
+
+
+def test_density_grid_matches_local_union_find(spark, sf_dir):
+    """The distributed grid-DBSCAN must equal a local union-find over
+    the same quantized projections: same dense cells, same cluster
+    partition, same per-cluster stats."""
+    import math
+    from collections import Counter, defaultdict
+
+    from distributed_mapreduce_spark.workload.clustering import (
+        _DG_PLANES,
+        DG_BIAS,
+        DG_CELL,
+        DG_MINPTS,
+        MICRO,
+    )
+    from distributed_mapreduce_spark.workload.registry import table
+
+    got = {r.cluster_id: r for r in QUERIES["clustering_density_grid"](spark, sf_dir).collect()}
+    emb = table(spark, sf_dir, "embeddings").select("embedding").collect()
+    pts = []
+    for r in emb:
+        v = [math.floor(float(x) * MICRO) for x in r.embedding]
+        p0 = sum(s * x for s, x in zip(_DG_PLANES[0], v))
+        p1 = sum(s * x for s, x in zip(_DG_PLANES[1], v))
+        pts.append((p0 // DG_CELL + DG_BIAS, p1 // DG_CELL + DG_BIAS))
+    counts = Counter(pts)
+    dense = {c: n for c, n in counts.items() if n >= DG_MINPTS}
+    parent = {c: c for c in dense}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (x, y) in dense:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (x + dx, y + dy)
+                if nb in dense:
+                    a, b = find((x, y)), find(nb)
+                    if a != b:
+                        parent[a] = b
+    comp = defaultdict(list)
+    for c in dense:
+        comp[find(c)].append(c)
+    expect = {}
+    for cells in comp.values():
+        cid = min(bx * (1 << 21) + by for bx, by in cells)
+        expect[cid] = cells
+    assert set(got) == set(expect)
+    for cid, cells in expect.items():
+        r = got[cid]
+        assert r.n_cells == len(cells)
+        assert r.n_points == sum(dense[c] for c in cells)
+        assert r.min_cx == min(c[0] for c in cells) - DG_BIAS
+        assert r.max_cy == max(c[1] for c in cells) - DG_BIAS
