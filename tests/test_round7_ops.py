@@ -1336,3 +1336,26 @@ def test_density_grid_matches_local_union_find(spark, sf_dir):
         assert r.n_points == sum(dense[c] for c in cells)
         assert r.min_cx == min(c[0] for c in cells) - DG_BIAS
         assert r.max_cy == max(c[1] for c in cells) - DG_BIAS
+
+
+def test_blocklist_gate_verdict_algebra(spark, sf_dir):
+    """Verdicts follow exactly from the counts; scores recompute; a
+    sev-3 hit always blocks regardless of score."""
+    from distributed_mapreduce_spark.workload.text import (
+        BLOCK_SCORE_BLOCK,
+        BLOCK_SCORE_REVIEW,
+    )
+
+    rows = QUERIES["text_blocklist_gate"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    seen = set()
+    for r in rows:
+        assert r.score == 3 * r.n_sev3 + 2 * r.n_sev2 + r.n_sev1
+        if r.n_sev3 > 0 or r.score >= BLOCK_SCORE_BLOCK:
+            assert r.verdict == "block"
+        elif r.score >= BLOCK_SCORE_REVIEW:
+            assert r.verdict == "review"
+        else:
+            assert r.verdict == "pass"
+        seen.add(r.verdict)
+    assert "pass" in seen  # the gate must not block the whole corpus
