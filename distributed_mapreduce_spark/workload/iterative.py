@@ -251,3 +251,146 @@ def q_graph_ppr_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return mass.orderBy(F.desc("m"), "u").limit(PPR_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg '99) with integer max-rescaling.
+
+#: HITS on the DIRECTED supplier->part graph: suppliers are hubs,
+#: parts are authorities. Each half-step rescales so the maximum
+#: score is exactly HITS_M0 (score*M0 DIV max) — the integer stand-in
+#: for the usual L2 normalization, contraction-free and portable.
+HITS_M0 = 1_000_000
+HITS_ROUNDS = 2
+HITS_TOP_K = 10
+
+
+def _hits_oracle(rounds: int) -> str:
+    ctes = [
+        """edges AS MATERIALIZED (
+          SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ), h0 AS (
+          SELECT s, CAST(%d AS BIGINT) AS h FROM (SELECT DISTINCT s FROM edges)
+        )"""
+        % HITS_M0
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f""", a{k}raw AS (
+              SELECT e.p, CAST(sum(h.h) AS BIGINT) AS a
+              FROM edges e JOIN h{k - 1} h ON e.s = h.s GROUP BY e.p
+            ), a{k} AS (
+              SELECT p, CAST(a * {HITS_M0} // (SELECT max(a) FROM a{k}raw)
+                        AS BIGINT) AS a
+              FROM a{k}raw
+            ), h{k}raw AS (
+              SELECT e.s, CAST(sum(a.a) AS BIGINT) AS h
+              FROM edges e JOIN a{k} a ON e.p = a.p GROUP BY e.s
+            ), h{k} AS (
+              SELECT s, CAST(h * {HITS_M0} // (SELECT max(h) FROM h{k}raw)
+                        AS BIGINT) AS h
+              FROM h{k}raw
+            )"""
+        )
+    return (
+        "WITH "
+        + "".join(ctes)
+        + f"""
+    SELECT kind, node_id, score, rnk FROM (
+      SELECT 'hub' AS kind, s AS node_id, h AS score,
+             row_number() OVER (ORDER BY h DESC, s) AS rnk
+      FROM h{rounds}
+      UNION ALL
+      SELECT 'authority' AS kind, p AS node_id, a AS score,
+             row_number() OVER (ORDER BY a DESC, p) AS rnk
+      FROM a{rounds}
+    ) WHERE rnk <= {HITS_TOP_K}
+    """
+    )
+
+
+@query("graph_hits_rounds", oracle=_hits_oracle(HITS_ROUNDS))
+def q_graph_hits_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the directed supplier->part graph
+    ({HITS_ROUNDS} mutual-reinforcement rounds): authority(p) = sum of
+    hub scores pointing at p, hub(s) = sum of authority scores s
+    points at, each half-step max-rescaled to HITS_M0 in exact integer
+    floor arithmetic (the integer stand-in for L2 normalization — it
+    fixes the scale so the iteration can't overflow, and both engines
+    floor identically). Returns the top-{HITS_TOP_K} of each side.
+
+    Plan: per round, two shuffle aggregates keyed by the receiving
+    node (map-side partials) and a 1-row broadcast max for the
+    rescale; the edge list is persisted and reused so its shuffle
+    partitioning amortizes across rounds. Top-k via orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, never a global
+    window over the full node set), then row_number over the bounded
+    {HITS_TOP_K} rows on a total order (score desc, id).
+
+    Reference parity: no counterpart; pairs with `pagerank_converge`
+    (iterative.py) as the second classic eigenvector-style ranking,
+    sharing the lineitem-derived graph.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    hubs = edges.select("s").distinct().withColumn(
+        "h", F.lit(HITS_M0).cast("long")
+    ).localCheckpoint()
+    auths = None
+    for _ in range(HITS_ROUNDS):
+        a_raw = (
+            edges.join(hubs, "s")
+            .groupBy("p")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        a_max = a_raw.agg(F.max("a").alias("amax"))
+        auths = (
+            a_raw.crossJoin(F.broadcast(a_max))
+            .select("p", F.expr(f"CAST(a * {HITS_M0} DIV amax AS BIGINT)").alias("a"))
+            .localCheckpoint()
+        )
+        h_raw = (
+            edges.join(auths, "p")
+            .groupBy("s")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        h_max = h_raw.agg(F.max("h").alias("hmax"))
+        hubs = (
+            h_raw.crossJoin(F.broadcast(h_max))
+            .select("s", F.expr(f"CAST(h * {HITS_M0} DIV hmax AS BIGINT)").alias("h"))
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    from pyspark.sql import Window as W
+
+    top_h = (
+        hubs.orderBy(F.desc("h"), "s")
+        .limit(HITS_TOP_K)
+        .withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("h"), "s"))
+        )
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("s").cast("long").alias("node_id"),
+            F.col("h").alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+    top_a = (
+        auths.orderBy(F.desc("a"), "p")
+        .limit(HITS_TOP_K)
+        .withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("a"), "p"))
+        )
+        .select(
+            F.lit("authority").alias("kind"),
+            F.col("p").cast("long").alias("node_id"),
+            F.col("a").alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+    return top_h.unionAll(top_a)

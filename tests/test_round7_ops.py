@@ -1359,3 +1359,41 @@ def test_blocklist_gate_verdict_algebra(spark, sf_dir):
             assert r.verdict == "pass"
         seen.add(r.verdict)
     assert "pass" in seen  # the gate must not block the whole corpus
+
+
+def test_hits_mutual_reinforcement_recompute(spark, sf_dir):
+    """Local recompute of the integer HITS iteration from the raw edge
+    list must reproduce the query's top-k scores and ranks."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_spark.workload.iterative import (
+        HITS_M0,
+        HITS_ROUNDS,
+        HITS_TOP_K,
+    )
+    from distributed_mapreduce_spark.workload.registry import table
+
+    got = QUERIES["graph_hits_rounds"](spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").collect()
+    edges = sorted({(r.l_suppkey, r.l_partkey) for r in li})
+    h = {s: HITS_M0 for s, _ in edges}
+    a = {}
+    for _ in range(HITS_ROUNDS):
+        acc = defaultdict(int)
+        for s, p in edges:
+            acc[p] += h[s]
+        amax = max(acc.values())
+        a = {p: v * HITS_M0 // amax for p, v in acc.items()}
+        acc = defaultdict(int)
+        for s, p in edges:
+            acc[s] += a[p]
+        hmax = max(acc.values())
+        h = {s: v * HITS_M0 // hmax for s, v in acc.items()}
+    exp_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOP_K]
+    exp_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOP_K]
+    got_h = sorted([r for r in got if r.kind == "hub"], key=lambda r: r.rnk)
+    got_a = sorted([r for r in got if r.kind == "authority"], key=lambda r: r.rnk)
+    assert [(r.node_id, r.score) for r in got_h] == exp_h
+    assert [(r.node_id, r.score) for r in got_a] == exp_a
+    # both sides carry the rescale fixed point: rank-1 score == M0
+    assert got_h[0].score == HITS_M0 and got_a[0].score == HITS_M0
