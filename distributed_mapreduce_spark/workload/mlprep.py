@@ -797,3 +797,116 @@ def q_split_apportion_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini-gain feature ranking (exact-rational decision-tree split scores).
+
+_GG_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "feature_gini_gain",
+    oracle=f"""
+    WITH pres AS MATERIALIZED (
+      SELECT DISTINCT doc_id, source, unnest(list_distinct({_GG_TOKS})) AS tok
+      FROM documents
+    ),
+    parent AS MATERIALIZED (
+      SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_c
+      FROM documents GROUP BY source
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(n_c) AS BIGINT) AS n,
+             CAST(sum(n_c * n_c) AS BIGINT) AS q_p
+      FROM parent
+    ),
+    lft AS (
+      SELECT tok, source, CAST(count(*) AS BIGINT) AS n_lc
+      FROM pres GROUP BY tok, source
+    ),
+    per_tok AS (
+      SELECT l.tok,
+             CAST(sum(l.n_lc) AS BIGINT) AS n_l,
+             CAST(sum(l.n_lc * l.n_lc) AS BIGINT) AS s_l,
+             CAST(sum(p.n_c * l.n_lc) AS BIGINT) AS xc
+      FROM lft l JOIN parent p ON l.source = p.source
+      GROUP BY l.tok
+    )
+    SELECT tok,
+           n_l AS n_with,
+           CAST(n - n_l AS BIGINT) AS n_without,
+           CAST(CASE WHEN n_l = 0 OR n_l = n THEN 0
+                ELSE (CASE WHEN s_l * n * (n - n_l) + (q_p - 2 * xc + s_l) * n * n_l
+                                >= q_p * n_l * (n - n_l) THEN 1 ELSE -1 END)
+                     * (CAST(abs(s_l * n * (n - n_l) + (q_p - 2 * xc + s_l) * n * n_l
+                                 - q_p * n_l * (n - n_l)) AS HUGEINT) * 1000000
+                        // (CAST(n AS HUGEINT) * n * n_l * (n - n_l)))
+                END AS BIGINT) AS gini_gain_ppm
+    FROM per_tok CROSS JOIN tot
+    """,
+)
+def q_feature_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-gain feature ranking: for every vocabulary token, the exact
+    decision-tree split score for predicting `source` from token
+    presence — gain = Gini(parent) - weighted Gini(children), which
+    reduces over sufficient statistics to
+    (S_L*n*n_R + S_R*n*n_L - S_P*n_L*n_R) / (n^2*n_L*n_R) with
+    S_X = sum over classes of member-count^2, so the whole ranking is
+    exact integer arithmetic in ppm (signed split-division). The
+    right-child statistic never needs an outer join: S_R = Q_P - 2*XC
+    + S_L with XC = sum(n_c * n_Lc) over classes present on the left.
+
+    Plan: one distinct (doc, token, source) explode -> (token, source)
+    hash-agg -> (token) re-agg against the broadcast 20-row class
+    table and 1-row totals; per-token arithmetic is a projection.
+    Scales as one shuffle over the presence relation; the class table
+    is the legitimate broadcast (label cardinality, not data size).
+
+    Reference parity: no counterpart; the feature-selection companion
+    to the kNN/Rocchio/logit classifier audits in this family.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pres = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")
+            )
+        ).alias("tok"),
+    ).distinct()
+    parent = docs.groupBy("source").agg(
+        F.count_distinct(F.col("doc_id")).cast("long").alias("n_c")
+    )
+    tot = parent.agg(
+        F.sum("n_c").cast("long").alias("n"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("long").alias("q_p"),
+    )
+    lft = pres.groupBy("tok", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lc")
+    )
+    per_tok = (
+        lft.join(F.broadcast(parent), "source")
+        .groupBy("tok")
+        .agg(
+            F.sum("n_lc").cast("long").alias("n_l"),
+            F.sum(F.col("n_lc") * F.col("n_lc")).cast("long").alias("s_l"),
+            F.sum(F.col("n_c") * F.col("n_lc")).cast("long").alias("xc"),
+        )
+    )
+    return per_tok.crossJoin(F.broadcast(tot)).selectExpr(
+        "tok",
+        "n_l AS n_with",
+        "CAST(n - n_l AS BIGINT) AS n_without",
+        "CAST(CASE WHEN n_l = 0 OR n_l = n THEN 0"
+        "     ELSE (CASE WHEN CAST(s_l AS DECIMAL(38,0)) * n * (n - n_l)"
+        "                     + CAST(q_p - 2 * xc + s_l AS DECIMAL(38,0)) * n * n_l"
+        "                     >= CAST(q_p AS DECIMAL(38,0)) * n_l * (n - n_l)"
+        "                THEN 1 ELSE -1 END)"
+        "          * (abs(CAST(s_l AS DECIMAL(38,0)) * n * (n - n_l)"
+        "                 + CAST(q_p - 2 * xc + s_l AS DECIMAL(38,0)) * n * n_l"
+        "                 - CAST(q_p AS DECIMAL(38,0)) * n_l * (n - n_l)) * 1000000"
+        "             DIV (CAST(n AS DECIMAL(38,0)) * n * n_l * (n - n_l)))"
+        " END AS BIGINT) AS gini_gain_ppm",
+    )

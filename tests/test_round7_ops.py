@@ -1397,3 +1397,47 @@ def test_hits_mutual_reinforcement_recompute(spark, sf_dir):
     assert [(r.node_id, r.score) for r in got_a] == exp_a
     # both sides carry the rescale fixed point: rank-1 score == M0
     assert got_h[0].score == HITS_M0 and got_a[0].score == HITS_M0
+
+
+def test_gini_gain_matches_fraction_recompute(spark, sf_dir):
+    """Exact-rational recompute of the split gain from raw documents:
+    the ppm integers must match, gains are non-negative, and the
+    sufficient-statistic identity S_R = Q_P - 2*XC + S_L must agree
+    with a direct right-child computation."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from distributed_mapreduce_spark.workload.registry import table
+
+    got = {r.tok: r for r in QUERIES["feature_gini_gain"](spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+    by_class = Counter(d.source for d in docs)
+    n = len(docs)
+    q_p = sum(v * v for v in by_class.values())
+    tok_docs = defaultdict(set)
+    doc_src = {}
+    for d in docs:
+        doc_src[d.doc_id] = d.source
+        for t in set(x for x in d.text.split(" ") if x):
+            tok_docs[t].add(d.doc_id)
+    assert set(got) == set(tok_docs)
+    for t, ids in tok_docs.items():
+        lc = Counter(doc_src[i] for i in ids)
+        n_l = len(ids)
+        n_r = n - n_l
+        r = got[t]
+        assert (r.n_with, r.n_without) == (n_l, n_r)
+        if n_l == 0 or n_r == 0:
+            assert r.gini_gain_ppm == 0
+            continue
+        s_l = sum(v * v for v in lc.values())
+        s_r_direct = sum((by_class[c] - lc.get(c, 0)) ** 2 for c in by_class)
+        xc = sum(by_class[c] * v for c, v in lc.items())
+        assert s_r_direct == q_p - 2 * xc + s_l
+        num = s_l * n * n_r + s_r_direct * n * n_l - q_p * n_l * n_r
+        sign = 1 if num >= 0 else -1
+        assert r.gini_gain_ppm == sign * (abs(num) * 10**6 // (n * n * n_l * n_r))
+        # true gain is the same rational — always non-negative
+        gain = (Fraction(s_l, n * n_l) + Fraction(s_r_direct, n * n_r)
+                - Fraction(q_p, n * n))
+        assert gain >= 0 and r.gini_gain_ppm >= 0
