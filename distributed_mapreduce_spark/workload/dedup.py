@@ -236,9 +236,13 @@ _SQL_VERIFY_TAIL = f"""
     """
 
 
-def _verify_pairs(sh_df: DataFrame, cand: DataFrame) -> DataFrame:
+def _verify_pairs(
+    sh_df: DataFrame, cand: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Join candidate pairs back to the hashed shingle sets and keep
-    pairs with exact Jaccard >= 0.7 (Spark twin of _SQL_VERIFY_TAIL)."""
+    pairs with exact Jaccard >= 0.7 (Spark twin of _SQL_VERIFY_TAIL).
+    `carry` names extra candidate columns to pass through (e.g. origin
+    flags when several candidate generators share one verify pass)."""
     sh = sh_df.select("doc_id", "bh")
     a = sh.alias("a")
     b = sh.alias("b")
@@ -252,6 +256,7 @@ def _verify_pairs(sh_df: DataFrame, cand: DataFrame) -> DataFrame:
         joined.select(
             "doc_a",
             "doc_b",
+            *carry,
             inter.cast("long").alias("inter_cnt"),
             union.cast("long").alias("union_cnt"),
         )
@@ -283,7 +288,11 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_MAX_DF = 50
 
 
-def ngram_jaccard_pairs(sh_df: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
+def ngram_jaccard_pairs(
+    sh_df: DataFrame,
+    max_df: int = NGRAM_MAX_DF,
+    prune: tuple[int, int, str] | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
     Plan: explode the distinct hashed shingles → drop grams with
@@ -292,6 +301,18 @@ def ngram_jaccard_pairs(sh_df: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFra
     bounded fan-out thanks to the cap) → distinct candidate pairs →
     exact `array_intersect` verify. Unlike MinHash this has no
     probabilistic misses for pairs sharing any rare shingle.
+
+    `prune=(num, den, base)` turns on a LOSSLESS count-based prune
+    before the expensive verify join: the true intersection of a pair
+    is at most shared_rare + min(capped_a, capped_b) (a gram missing
+    from the capped index can be shared only if BOTH docs hold it
+    among their over-cap grams), and the verify denominator is at
+    least max(|A|,|B|) for Jaccard (base='max') or exactly min for
+    containment (base='min'). A pair whose UPPER bound already fails
+    num/den cannot verify, so dropping it never changes the output —
+    it just skips the array_intersect. The shared-count aggregate
+    replaces the `.distinct()` (same shuffle, one extra long), and the
+    per-doc size/capped stats are an equi-join on doc_id.
     """
     from pyspark.sql import Window
 
@@ -302,14 +323,51 @@ def ngram_jaccard_pairs(sh_df: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFra
     )
     l = rare.alias("l")
     r = rare.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.gram") == F.col("r.gram"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    joined = l.join(
+        r,
+        (F.col("l.gram") == F.col("r.gram"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    if prune is None:
+        return joined.distinct()
+    num, den, base = prune
+    shared = joined.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    stats = (
+        sh_df.select("doc_id", F.size("bh").alias("sz"))
+        .join(
+            rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nr")),
+            "doc_id",
+            "left",
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            "doc_id",
+            "sz",
+            (F.col("sz") - F.coalesce(F.col("nr"), F.lit(0))).alias("capped"),
+        )
+    )
+    sa = stats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("capped").alias("cap_a"),
+    )
+    sb = stats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("capped").alias("cap_b"),
+    )
+    bound = (
+        F.greatest(F.col("sz_a"), F.col("sz_b"))
+        if base == "max"
+        else F.least(F.col("sz_a"), F.col("sz_b"))
+    )
+    ub = F.col("shared") + F.least(F.col("cap_a"), F.col("cap_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(ub * den >= bound * num)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -346,7 +404,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     sh_df = shingle_table(docs)
-    return _verify_pairs(sh_df, ngram_jaccard_pairs(sh_df))
+    return _verify_pairs(
+        sh_df, ngram_jaccard_pairs(sh_df, prune=(JACCARD_NUM, JACCARD_DEN, "max"))
+    )
 
 
 def _sql_simhash() -> str:
@@ -830,7 +890,7 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the containment predicate on the candidate set only."""
     docs = table(spark, sf_dir, "documents")
     sh_df = shingle_table(docs)
-    cand = ngram_jaccard_pairs(sh_df)
+    cand = ngram_jaccard_pairs(sh_df, prune=(CONTAIN_NUM, CONTAIN_DEN, "min"))
     sh = sh_df.select("doc_id", "bh")
     a, b = sh.alias("a"), sh.alias("b")
     joined = (
@@ -952,7 +1012,11 @@ def q_dedup_effectiveness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _verify_pairs(sh_df, minhash_candidate_pairs(sh_df)), "minhash_lsh"
     )
     ng = _count_leg(
-        _verify_pairs(sh_df, ngram_jaccard_pairs(sh_df)), "ngram_inverted"
+        _verify_pairs(
+            sh_df,
+            ngram_jaccard_pairs(sh_df, prune=(JACCARD_NUM, JACCARD_DEN, "max")),
+        ),
+        "ngram_inverted"
     )
     pf = _count_leg(q_dedup_prefix_filter_join(spark, sf_dir), "prefix_filter")
     return exact.unionAll(mh).unionAll(ng).unionAll(pf)
@@ -1541,23 +1605,30 @@ def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     values measure the cap's documented blind spot, not LSH false
     positives (both sides verify exact Jaccard >= 0.7).
 
-    Plan: both pipelines share the persisted shingle table; the audit
-    adds one full-outer equi-join of two (already candidate-sized)
-    pair relations and a 1-row fold. Nothing all-pairs anywhere."""
+    Plan: both pipelines share the persisted shingle table, and the
+    two CANDIDATE sets full-outer-merge BEFORE the exact-Jaccard
+    verify, so each unique pair is verified once (the sets overlap
+    almost entirely at recall ~0.97 — separate verifies would double
+    the intersect work and the shingle-set joins). One 1-row fold at
+    the end. Nothing all-pairs anywhere."""
     docs = table(spark, sf_dir, "documents")
     sh_df = shingle_table(docs)
-    t = _verify_pairs(sh_df, ngram_jaccard_pairs(sh_df)).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_truth")
+    tc = ngram_jaccard_pairs(
+        sh_df, prune=(JACCARD_NUM, JACCARD_DEN, "max")
+    ).select(
+        "doc_a", "doc_b", F.lit(1).alias("c_truth")
     )
-    l = _verify_pairs(sh_df, minhash_candidate_pairs(sh_df)).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    lc = minhash_candidate_pairs(sh_df).select(
+        "doc_a", "doc_b", F.lit(1).alias("c_lsh")
     )
-    u = (
-        t.join(l, ["doc_a", "doc_b"], "full_outer")
-        .select(
-            F.coalesce(F.col("in_truth"), F.lit(0)).alias("in_truth"),
-            F.coalesce(F.col("in_lsh"), F.lit(0)).alias("in_lsh"),
-        )
+    cand = tc.join(lc, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce(F.col("c_truth"), F.lit(0)).alias("in_truth"),
+        F.coalesce(F.col("c_lsh"), F.lit(0)).alias("in_lsh"),
+    )
+    u = _verify_pairs(sh_df, cand, carry=("in_truth", "in_lsh")).select(
+        "in_truth", "in_lsh"
     )
     return u.agg(
         F.sum("in_truth").cast("long").alias("n_truth"),
