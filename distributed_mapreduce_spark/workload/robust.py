@@ -1422,3 +1422,113 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "               DIV (CAST(vxn DIV k AS DECIMAL(38,0)) * (vyn DIV k))"
         "     END AS BIGINT) AS var_reduction_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic in exact integers.
+
+
+@query(
+    "ks_statistic_returnflag",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS c1,
+             CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS c2
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ),
+    per_v AS (
+      SELECT v, CAST(sum(c1) AS BIGINT) AS c1, CAST(sum(c2) AS BIGINT) AS c2
+      FROM pts GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM per_v
+    ),
+    cum AS (
+      SELECT v,
+             sum(c1) OVER (ORDER BY v) AS s1,
+             sum(c2) OVER (ORDER BY v) AS s2
+      FROM per_v
+    ),
+    d AS (
+      SELECT v, abs(s1 * n2 - s2 * n1) AS dnum FROM cum, tot
+    )
+    SELECT (SELECT n1 FROM tot) AS n1,
+           (SELECT n2 FROM tot) AS n2,
+           CAST(max(dnum) AS BIGINT) AS ks_num,
+           CAST(max(dnum) * 1000000 // ((SELECT n1 FROM tot) * (SELECT n2 FROM tot))
+                AS BIGINT) AS ks_e6,
+           CAST(-(max(struct_pack(a := dnum, b := -v)).b) AS BIGINT) AS at_value
+    FROM d
+    """,
+)
+def q_ks_statistic_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the price
+    distributions of returned ('R') and acknowledged ('A') line items:
+    KS = max over x of |F1(x) - F2(x)|, computed as exact integers by
+    cross-multiplying the cumulative counts (|S1*n2 - S2*n1|, so no
+    float CDFs), reported with the achieving price (smallest on ties)
+    and KS in micro-units.
+
+    Plan: per-value counts for BOTH samples in ONE hash-agg (indicator
+    columns, map-side partials), then the two running sums ride a
+    single distributed prefix-sum (`global_cumsum`) by packing
+    (c1 << 31) | c2 into one long — exact because each cumulative
+    count stays under 2^31 (documented bound: samples < 2^31 rows;
+    rescale to a coarser value grid beyond). NO unpartitioned window
+    anywhere: the prefix sum is the two-pass range-partitioned kind,
+    and the final max is an ordinary aggregate.
+
+    Reference parity: extends the reference's count-per-value surface
+    (SURVEY.md section 2.4) to the standard distribution-drift test.
+    """
+    from distributed_mapreduce_spark.operators.partitioning import (
+        global_cumsum,
+    )
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    per_v = (
+        li.select(
+            F.floor(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("v"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("c1"),
+            F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("c2"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("c1").cast("long").alias("c1"),
+            F.sum("c2").cast("long").alias("c2"),
+        )
+    )
+    packed = per_v.select(
+        "v", (F.col("c1") * F.lit(1 << 31) + F.col("c2")).alias("pk")
+    )
+    cum = global_cumsum(packed, [F.col("v")], "pk", cumsum_col="s")
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(
+            F.shiftrightunsigned("s", 31) * F.col("n2")
+            - F.col("s").bitwiseAND(F.lit((1 << 31) - 1)) * F.col("n1")
+        ).alias("dnum"),
+    )
+    return d.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("dnum").cast("long").alias("ks_num"),
+        F.expr("CAST(max(dnum) * 1000000 DIV (max(n1) * max(n2)) AS BIGINT)").alias(
+            "ks_e6"
+        ),
+        (-F.max(F.struct(F.col("dnum").alias("a"), (-F.col("v")).alias("b"))).getField("b"))
+        .cast("long")
+        .alias("at_value"),
+    )

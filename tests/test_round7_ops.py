@@ -1441,3 +1441,44 @@ def test_gini_gain_matches_fraction_recompute(spark, sf_dir):
         gain = (Fraction(s_l, n * n_l) + Fraction(s_r_direct, n * n_r)
                 - Fraction(q_p, n * n))
         assert gain >= 0 and r.gini_gain_ppm >= 0
+
+
+def test_ks_statistic_matches_scipy_free_recompute(spark, sf_dir):
+    """Exact local recompute of the integer KS from raw lineitem: same
+    ks_num, same achieving value, and the micro-unit statistic agrees
+    with the float KS within 1 ulp-ish tolerance."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from distributed_mapreduce_spark.workload.registry import table
+
+    row = QUERIES["ks_statistic_returnflag"](spark, sf_dir).collect()[0]
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    c1, c2 = Counter(), Counter()
+    for r in li:
+        if r.l_returnflag not in ("R", "A"):
+            continue
+        cents = int(
+            Decimal(repr(float(r.l_extendedprice))).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+            * 100
+        )
+        (c1 if r.l_returnflag == "R" else c2)[cents] += 1
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    assert (row.n1, row.n2) == (n1, n2)
+    s1 = s2 = 0
+    best = (-1, None)
+    for v in sorted(set(c1) | set(c2)):
+        s1 += c1.get(v, 0)
+        s2 += c2.get(v, 0)
+        d = abs(s1 * n2 - s2 * n1)
+        if d > best[0]:
+            best = (d, v)
+    assert row.ks_num == best[0]
+    assert row.at_value == best[1]
+    assert row.ks_e6 == best[0] * 10**6 // (n1 * n2)
+    ks_float = best[0] / (n1 * n2)
+    assert abs(row.ks_e6 / 10**6 - ks_float) < 1e-6
