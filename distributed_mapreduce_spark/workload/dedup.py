@@ -314,6 +314,26 @@ def ngram_jaccard_pairs(
     replaces the `.distinct()` (same shuffle, one extra long), and the
     per-doc size/capped stats are an equi-join on doc_id.
     """
+    rare, joined = _rare_index_pairs(sh_df, max_df)
+    if prune is None:
+        return joined.distinct()
+    num, den, base = prune
+    annotated = _annotate_shared_stats(sh_df, rare, joined)
+    bound = (
+        F.greatest(F.col("sz_a"), F.col("sz_b"))
+        if base == "max"
+        else F.least(F.col("sz_a"), F.col("sz_b"))
+    )
+    ub = F.col("shared") + F.least(F.col("cap_a"), F.col("cap_b"))
+    return annotated.filter(ub * den >= bound * num).select("doc_a", "doc_b")
+
+
+def _rare_index_pairs(
+    sh_df: DataFrame, max_df: int
+) -> tuple[DataFrame, DataFrame]:
+    """The capped inverted index (`rare`: doc_id/gram rows with
+    doc-freq <= max_df) and its raw self-join pair stream (`joined`:
+    one (doc_a < doc_b) row per shared rare gram)."""
     from pyspark.sql import Window
 
     inv = sh_df.select("doc_id", F.explode("bh").alias("gram"))
@@ -328,9 +348,16 @@ def ngram_jaccard_pairs(
         (F.col("l.gram") == F.col("r.gram"))
         & (F.col("l.doc_id") < F.col("r.doc_id")),
     ).select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-    if prune is None:
-        return joined.distinct()
-    num, den, base = prune
+    return rare, joined
+
+
+def _annotate_shared_stats(
+    sh_df: DataFrame, rare: DataFrame, joined: DataFrame
+) -> DataFrame:
+    """Candidate pairs annotated with the prune statistics: shared rare
+    grams per pair plus each side's shingle-set size and over-cap gram
+    count — the inputs to any intersection upper bound
+    (shared + min(cap_a, cap_b) >= true |A n B|)."""
     shared = joined.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("shared")
     )
@@ -357,18 +384,7 @@ def ngram_jaccard_pairs(
         F.col("sz").alias("sz_b"),
         F.col("capped").alias("cap_b"),
     )
-    bound = (
-        F.greatest(F.col("sz_a"), F.col("sz_b"))
-        if base == "max"
-        else F.least(F.col("sz_a"), F.col("sz_b"))
-    )
-    ub = F.col("shared") + F.least(F.col("cap_a"), F.col("cap_b"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(ub * den >= bound * num)
-        .select("doc_a", "doc_b")
-    )
+    return shared.join(sa, "doc_a").join(sb, "doc_b")
 
 
 @query(
@@ -2052,4 +2068,100 @@ def q_dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id",
         F.shiftrightunsigned("u", 31).alias("fp_hash"),
         F.col("u").bitwiseAND(F.lit(2147483647)).alias("fp_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capped edit-distance near-dup pairs (fuzzy dedup).
+
+#: Levenshtein acceptance threshold in characters. The q-gram prune is
+#: lossless for it: one character edit touches at most 2 whitespace
+#: words (a space insert/delete merges or splits a pair), so it can
+#: remove at most 2*SHINGLE_W = 6 distinct word-shingles from either
+#: side's set; hence lev(a,b) <= D implies |A n B| >= max(|A|,|B|) - 6D.
+EDIT_MAX = 8
+
+
+def _edit_pairs_oracle() -> str:
+    return f"""
+    WITH bh AS MATERIALIZED (
+      SELECT doc_id, {_sql_bh()} AS bh FROM documents
+    ), inv AS (
+      SELECT doc_id, unnest(bh) AS gram FROM bh
+    ), rare AS MATERIALIZED (
+      SELECT inv.doc_id, inv.gram
+      FROM inv JOIN (
+        SELECT gram FROM inv GROUP BY gram HAVING count(*) <= {NGRAM_MAX_DF}
+      ) g ON inv.gram = g.gram
+    ), shared AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS shared
+      FROM rare l JOIN rare r ON l.gram = r.gram AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), stats AS (
+      SELECT b.doc_id, len(b.bh) AS sz,
+             len(b.bh) - coalesce(n.nr, 0) AS capped
+      FROM bh b LEFT JOIN (
+        SELECT doc_id, count(*) AS nr FROM rare GROUP BY doc_id
+      ) n ON b.doc_id = n.doc_id
+    ), cand AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s
+      JOIN stats a ON s.doc_a = a.doc_id
+      JOIN stats b ON s.doc_b = b.doc_id
+      WHERE s.shared + least(a.capped, b.capped)
+            >= greatest(a.sz, b.sz) - {6 * EDIT_MAX}
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN documents da ON c.doc_a = da.doc_id
+    JOIN documents db ON c.doc_b = db.doc_id
+    WHERE abs(length(da.text) - length(db.text)) <= {EDIT_MAX}
+      AND levenshtein(da.text, db.text) <= {EDIT_MAX}
+    """
+
+
+@query("dedup_edit_distance_pairs", oracle=_edit_pairs_oracle())
+def q_dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by capped Levenshtein distance (<=
+    {EDIT_MAX} chars): the character-level complement of the
+    set-similarity family, catching small in-place edits (typo fixes,
+    value substitutions) whatever they do to shingle Jaccard.
+
+    Never all-pairs: candidates come from the shared rare-shingle
+    index with a LOSSLESS q-gram count prune — lev(a,b) <= D implies
+    the shingle intersection is at least max(|A|,|B|) - 6D (one char
+    edit touches <= 2 words, killing <= 6 word-shingles), so a pair
+    whose intersection upper bound (shared + min over-cap) misses that
+    floor cannot pass the verify and is dropped BEFORE the O(len^2)
+    levenshtein. A |len_a - len_b| <= D band (another necessary
+    condition) prunes again after the text join. At sf0.1 the verify
+    set is a few hundred pairs out of 12.5M possible.
+
+    Plan: shared persisted shingle table -> pair-count aggregate ->
+    stat joins -> text equi-joins for survivors only -> levenshtein
+    projection. Both engines ship the identical levenshtein (exact DP
+    definition), so the distances compare as integers.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    rare, joined = _rare_index_pairs(sh_df, NGRAM_MAX_DF)
+    ann = _annotate_shared_stats(sh_df, rare, joined)
+    ub = F.col("shared") + F.least(F.col("cap_a"), F.col("cap_b"))
+    floor_ = F.greatest(F.col("sz_a"), F.col("sz_b")) - 6 * EDIT_MAX
+    cand = ann.filter(ub >= floor_).select("doc_a", "doc_b")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.abs(F.length("ta") - F.length("tb")) <= EDIT_MAX
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= EDIT_MAX)
     )

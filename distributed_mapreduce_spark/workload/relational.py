@@ -1266,3 +1266,44 @@ def q_except_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return f.exceptAll(o)
+
+
+# ---------------------------------------------------------------------------
+# Per-group statistical mode with deterministic tie-break.
+
+
+@query(
+    "mode_quantity_by_flag",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity) AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           CAST(-(max(struct_pack(a := cnt, b := -qty)).b) AS BIGINT) AS mode_qty,
+           CAST(max(struct_pack(a := cnt, b := -qty)).a AS BIGINT) AS mode_cnt,
+           CAST(count(*) AS BIGINT) AS n_distinct_qty
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q_mode_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode of line quantity per return flag, ties broken
+    to the SMALLEST quantity via a lexicographic (count, -qty) struct
+    max — the deterministic mode an engine must offer (an arbitrary-
+    tie mode is unusable in a differential pipeline).
+
+    Plan: one (flag, qty) hash-agg with map-side partials, then a
+    |flags| x |distinct qty| re-agg — never a sort, never a window.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.floor("l_quantity").cast("long").alias("qty")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    best = F.max(F.struct(F.col("cnt").alias("a"), (-F.col("qty")).alias("b")))
+    return c.groupBy("l_returnflag").agg(
+        (-best.getField("b")).cast("long").alias("mode_qty"),
+        best.getField("a").cast("long").alias("mode_cnt"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_qty"),
+    )

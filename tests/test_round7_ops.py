@@ -1482,3 +1482,58 @@ def test_ks_statistic_matches_scipy_free_recompute(spark, sf_dir):
     assert row.ks_e6 == best[0] * 10**6 // (n1 * n2)
     ks_float = best[0] / (n1 * n2)
     assert abs(row.ks_e6 / 10**6 - ks_float) < 1e-6
+
+
+def test_edit_distance_pairs_exhaustive_at_sf0001(spark, sf_dir):
+    """The blocked+pruned pair set must equal the EXHAUSTIVE all-pairs
+    Levenshtein scan at sf0.001 — the losslessness proof, measured."""
+    from distributed_mapreduce_spark.workload.dedup import EDIT_MAX
+    from distributed_mapreduce_spark.workload.registry import table
+
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in QUERIES["dedup_edit_distance_pairs"](spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    texts = {d.doc_id: d.text for d in docs}
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > EDIT_MAX:
+            return EDIT_MAX + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            best = i
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+                best = min(best, cur[-1])
+            if best > EDIT_MAX:
+                return EDIT_MAX + 1
+            prev = cur
+        return prev[-1]
+
+    ids = sorted(texts)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = lev(texts[a], texts[b])
+            if d <= EDIT_MAX:
+                expect[(a, b)] = d
+    assert got == expect
+
+
+def test_mode_by_flag_matches_counter(spark, sf_dir):
+    from collections import Counter
+    import math
+
+    from distributed_mapreduce_spark.workload.registry import table
+
+    got = {r.l_returnflag: r for r in QUERIES["mode_quantity_by_flag"](spark, sf_dir).collect()}
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity").collect()
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, Counter())[math.floor(float(r.l_quantity))] += 1
+    for flag, c in by_flag.items():
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = got[flag]
+        assert (r.mode_qty, r.mode_cnt, r.n_distinct_qty) == (best[0], best[1], len(c))
