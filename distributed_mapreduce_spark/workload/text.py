@@ -999,3 +999,104 @@ def q_text_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("pass"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve over the shingle space.
+
+
+@query(
+    "vocab_heaps_curve",
+    oracle=f"""
+    WITH bh AS MATERIALIZED (
+      SELECT d.doc_id, u.gram
+      FROM (SELECT doc_id,
+                   list_distinct(list_transform(
+                     CASE WHEN len({_sql_tokens('text')}) >= 3
+                          THEN list_transform(range(0, len({_sql_tokens('text')}) - 2),
+                               i -> array_to_string(({_sql_tokens('text')})[i + 1 : i + 3], ' '))
+                          ELSE [] END,
+                     s -> ('0x' || substr(md5('mh_' || s), 1, 8))::BIGINT)) AS bh
+            FROM documents) d, unnest(d.bh) AS u(gram)
+    ),
+    mx AS (SELECT max(doc_id) AS mx FROM documents),
+    cuts AS (
+      SELECT i AS decile, ((mx + 1) * i) // 10 AS cut
+      FROM mx CROSS JOIN (SELECT unnest(range(1, 11)) AS i)
+    ),
+    firsts AS (
+      SELECT gram, min(doc_id) AS first_doc FROM bh GROUP BY gram
+    ),
+    occs AS (
+      SELECT doc_id, count(*) AS n_occ FROM bh GROUP BY doc_id
+    )
+    SELECT c.decile AS decile,
+           CAST((SELECT count(*) FROM documents d WHERE d.doc_id < c.cut)
+                AS BIGINT) AS n_docs,
+           CAST((SELECT coalesce(sum(o.n_occ), 0) FROM occs o
+                 WHERE o.doc_id < c.cut) AS BIGINT) AS n_occurrences,
+           CAST((SELECT count(*) FROM firsts f WHERE f.first_doc < c.cut)
+                AS BIGINT) AS n_types
+    FROM cuts c
+    """,
+)
+def q_vocab_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth readout: distinct 3-gram shingle
+    types vs corpus prefix size at ten doc-id deciles — the curve
+    whose log-log slope (the Heaps beta) tells a pipeline how vocab
+    tables, first-occurrence indexes, and novelty filters will grow
+    on the next 10x of data. Unigram vocab saturates instantly on any
+    real corpus; the shingle space is where growth lives.
+
+    Plan: one shingle explode feeding BOTH a min-per-gram aggregate
+    (first occurrence) and a per-doc occurrence count; ten broadcast
+    cut rows then turn each into a 10-row grouped count via a range
+    condition on the aggregated relations (never re-scanning text).
+    Equivalent to ten prefix queries for the price of one pass.
+
+    Reference parity: growth-curve extension of the reference's
+    wordcount (SURVEY.md section 2.4).
+    """
+    from distributed_mapreduce_spark.workload.dedup import shingle_table
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_table(docs)
+    bh = sh.select("doc_id", F.explode("bh").alias("gram"))
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    cuts = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("long").alias("decile"))
+        .crossJoin(F.broadcast(mx))
+        .select("decile", F.expr("((mx + 1) * decile) DIV 10").alias("cut"))
+    )
+    firsts = bh.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    occs = bh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
+    c = F.broadcast(cuts)
+    n_docs = (
+        docs.select("doc_id")
+        .join(c, F.col("doc_id") < F.col("cut"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    n_occ = (
+        occs.join(c, F.col("doc_id") < F.col("cut"))
+        .groupBy("decile")
+        .agg(F.sum("n_occ").cast("long").alias("n_occurrences"))
+    )
+    n_types = (
+        firsts.join(c, F.col("first_doc") < F.col("cut"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    )
+    return (
+        cuts.select("decile")
+        .join(n_docs, "decile", "left")
+        .join(n_occ, "decile", "left")
+        .join(n_types, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_occurrences", F.lit(0)).cast("long").alias("n_occurrences"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+        )
+    )

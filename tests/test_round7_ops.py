@@ -1537,3 +1537,30 @@ def test_mode_by_flag_matches_counter(spark, sf_dir):
         best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
         r = got[flag]
         assert (r.mode_qty, r.mode_cnt, r.n_distinct_qty) == (best[0], best[1], len(c))
+
+
+def test_heaps_curve_monotone_and_exact_at_last_decile(spark, sf_dir):
+    """All three series must be non-decreasing in the decile, the last
+    decile must equal whole-corpus totals, and types <= occurrences."""
+    from distributed_mapreduce_spark.workload.dedup import shingle_table
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = sorted(
+        QUERIES["vocab_heaps_curve"](spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs <= b.n_docs
+        assert a.n_occurrences <= b.n_occurrences
+        assert a.n_types <= b.n_types
+    for r in rows:
+        assert r.n_types <= r.n_occurrences
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_table(docs)
+    from pyspark.sql import functions as F2
+
+    last = rows[-1]
+    assert last.n_docs == docs.count()
+    tot = sh.select(F2.explode("bh").alias("g"))
+    assert last.n_occurrences == tot.count()
+    assert last.n_types == tot.distinct().count()

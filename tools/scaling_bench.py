@@ -131,6 +131,25 @@ FAMILIES = [
     # the 8 iterations are |types|-sized and factor-invariant, so the
     # slope isolates the window+aggregate stage.
     "events_markov_stationary",
+    # round-7 closing: winnowing is the zero-shuffle per-row baseline —
+    # its slope certifies the scan+explode floor every other family
+    # sits above.
+    "dedup_winnowing_fingerprints",
+    # round-7 closing: one (doc, token) hash-agg + doc re-agg; the
+    # canonical two-level aggregate shape.
+    "text_simpson_diversity",
+    # round-7 closing: the q-gram-pruned candidate chain + levenshtein
+    # verify over replica-disjoint shingle spaces — certifies that the
+    # lossless prune keeps the O(len^2) verify set per-replica-bounded.
+    "dedup_edit_distance_pairs",
+    # round-7 closing: distributed two-pass prefix sum over the
+    # per-value count relation; replica prices are value-invariant so
+    # the distinct-value grid is constant and the slope isolates the
+    # per-value counting scan.
+    "ks_statistic_returnflag",
+    # round-7 closing: per-user moment agg + two 1-row closed-form
+    # aggregates over the replicated user space.
+    "cuped_adjusted_lift",
 ]
 # NOT here by design: `contrastive_negatives` pairs anchors x pool, so
 # replication grows the candidate set quadratically (more anchors AND a
@@ -313,6 +332,9 @@ def main() -> int:
         )
         for q in FAMILIES
     }
+    # prefix rule exceptions (per-query dominant input)
+    input_table["ks_statistic_returnflag"] = "lineitem"
+    input_table["cuped_adjusted_lift"] = "events"
 
     results = {}
     if merge_from:
