@@ -1532,3 +1532,99 @@ def q_ks_statistic_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("at_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed and winsorized means (exact integer robust location).
+
+#: Trim fraction per tail in basis points (500 = 5% each side).
+TRIM_BP = 500
+
+
+@query(
+    "trimmed_mean_by_flag",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    rk AS (
+      SELECT flag, v,
+             row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY flag) AS n
+      FROM pts
+    ),
+    lim AS (
+      SELECT flag, v, rn, n,
+             (n * {TRIM_BP}) // 10000 AS k
+      FROM rk
+    )
+    SELECT flag,
+           CAST(min(n) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS k_trimmed_each_side,
+           CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN v ELSE 0 END) * 100
+                // (min(n) - 2 * min(k)) AS BIGINT) AS trimmed_mean_c2,
+           CAST(sum(CASE WHEN rn <= k THEN 0
+                         WHEN rn > n - k THEN 0
+                         ELSE v END)
+                + min(k) * (min(CASE WHEN rn = k + 1 THEN v END)
+                            + min(CASE WHEN rn = n - k THEN v END)) AS BIGINT)
+               AS winsor_sum,
+           CAST((sum(CASE WHEN rn > k AND rn <= n - k THEN v ELSE 0 END)
+                 + min(k) * (min(CASE WHEN rn = k + 1 THEN v END)
+                             + min(CASE WHEN rn = n - k THEN v END))) * 100
+                // min(n) AS BIGINT) AS winsor_mean_c2
+    FROM lim GROUP BY flag
+    """,
+)
+def q_trimmed_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag trimmed mean (drop the lowest and highest
+    {TRIM_BP} bp of prices) and winsorized mean (clamp those tails to
+    the cut values) — the robust location pair, in exact hundredths of
+    a cent: per-group ranks come from a window PARTITIONED by the
+    3-value flag key (per-partition state bounded by the group, the
+    sanctioned per-group ranking pattern), tail width k = floor(n *
+    {TRIM_BP}/10000) per side, and the winsorized sum re-adds k copies
+    of each boundary value instead of the dropped tails.
+
+    Plan: one ranked window over (flag), then a single grouped
+    aggregate computes both statistics — the boundary values are
+    picked out of the same pass with rank-equality indicators, so no
+    self-join and no second scan.
+
+    Reference parity: robust-statistics extension of the reference's
+    aggregation surface (SURVEY.md section 2.4).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    w = Window.partitionBy("flag").orderBy("v")
+    rk = pts.select(
+        "flag",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("flag")).alias("n"),
+    ).withColumn("k", F.expr(f"(n * {TRIM_BP}) DIV 10000"))
+    mid = F.when((F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")), F.col("v")).otherwise(F.lit(0))
+    lo_b = F.min(F.when(F.col("rn") == F.col("k") + 1, F.col("v")))
+    hi_b = F.min(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("v")))
+    return rk.groupBy("flag").agg(
+        F.min("n").cast("long").alias("n"),
+        F.min("k").cast("long").alias("k_trimmed_each_side"),
+        F.expr(
+            f"CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN v ELSE 0 END) * 100"
+            f" DIV (min(n) - 2 * min(k)) AS BIGINT)"
+        ).alias("trimmed_mean_c2"),
+        (F.sum(mid) + F.min("k") * (lo_b + hi_b)).cast("long").alias("winsor_sum"),
+        F.expr(
+            "CAST((sum(CASE WHEN rn > k AND rn <= n - k THEN v ELSE 0 END)"
+            " + min(k) * (min(CASE WHEN rn = k + 1 THEN v END)"
+            "             + min(CASE WHEN rn = n - k THEN v END))) * 100"
+            " DIV min(n) AS BIGINT)"
+        ).alias("winsor_mean_c2"),
+    )

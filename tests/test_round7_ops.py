@@ -1564,3 +1564,40 @@ def test_heaps_curve_monotone_and_exact_at_last_decile(spark, sf_dir):
     tot = sh.select(F2.explode("bh").alias("g"))
     assert last.n_occurrences == tot.count()
     assert last.n_types == tot.distinct().count()
+
+
+def test_trimmed_winsorized_recompute(spark, sf_dir):
+    """Both robust means must match a local sort-and-slice recompute,
+    and the winsorized sum must equal sum(clamped values)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from distributed_mapreduce_spark.workload.registry import table
+    from distributed_mapreduce_spark.workload.robust import TRIM_BP
+
+    got = {r.flag: r for r in QUERIES["trimmed_mean_by_flag"](spark, sf_dir).collect()}
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    by_flag = {}
+    for r in li:
+        c = int(
+            Decimal(repr(float(r.l_extendedprice))).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+            * 100
+        )
+        by_flag.setdefault(r.l_returnflag, []).append(c)
+    for flag, vals in by_flag.items():
+        vals.sort()
+        n = len(vals)
+        k = n * TRIM_BP // 10000
+        mid = vals[k : n - k]
+        r = got[flag]
+        assert (r.n, r.k_trimmed_each_side) == (n, k)
+        assert r.trimmed_mean_c2 == sum(mid) * 100 // len(mid)
+        wins = sum(mid) + k * (vals[k] + vals[n - k - 1])
+        assert r.winsor_sum == wins
+        # equivalently: clamp every value into [vals[k], vals[n-k-1]]
+        lo, hi = vals[k], vals[n - k - 1]
+        assert wins == sum(min(max(v, lo), hi) for v in vals)
+        assert r.winsor_mean_c2 == wins * 100 // n
