@@ -1480,3 +1480,114 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delta_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction accuracy (train/test time split).
+
+#: Time split for the next-event evaluation: transitions whose BOTH
+#: endpoints precede the cutoff train the model; transitions whose
+#: both endpoints follow it evaluate it (straddling pairs belong to
+#: neither — no leakage in either direction).
+MARKOV_EVAL_CUTOFF = "2024-01-16 00:00:00"
+
+
+@query(
+    "markov_next_event_accuracy",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ts < TIMESTAMP '{MARKOV_EVAL_CUTOFF}' AS is_train,
+             lag(event_type) OVER w AS prev_type,
+             lag(ts < TIMESTAMP '{MARKOV_EVAL_CUTOFF}') OVER w AS prev_train
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    train AS (
+      SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL AND is_train AND prev_train
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT prev_type, next_type AS predicted FROM (
+        SELECT prev_type, next_type,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY cnt DESC, next_type) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    test AS (
+      SELECT prev_type, event_type AS next_type
+      FROM seq
+      WHERE prev_type IS NOT NULL AND NOT is_train AND NOT prev_train
+    )
+    SELECT t.prev_type,
+           p.predicted,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.next_type = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN t.next_type = p.predicted THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS acc_bp
+    FROM test t JOIN pred p USING (prev_type)
+    GROUP BY t.prev_type, p.predicted
+    """,
+)
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction accuracy of the first-order Markov model
+    under a leak-free time split: transition counts from pre-cutoff
+    pairs train the argmax predictor (ties to the lexicographically
+    smallest type), post-cutoff pairs evaluate it, straddling pairs are
+    discarded from both sides. Per prior-event row: the prediction,
+    test support, hits, and accuracy in exact basis points — the
+    out-of-sample companion to `events_markov_stationary`'s in-sample
+    fixed point.
+
+    Plan: ONE per-user lag window (the same shape every sequence query
+    here uses) tags each transition with both endpoints' periods; the
+    train aggregate is |types|^2 rows, the argmax a |types|-bounded
+    window, and the test join broadcasts the 5-row prediction table.
+
+    Reference parity: sequence-model extension of the reference's
+    count-per-key aggregation (SURVEY.md section 2.4).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_train = F.col("ts") < F.lit(MARKOV_EVAL_CUTOFF).cast("timestamp")
+    seq = ev.select(
+        "event_type",
+        is_train.alias("is_train"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag(is_train).over(w).alias("prev_train"),
+    ).filter(F.col("prev_type").isNotNull())
+    train = (
+        seq.filter(F.col("is_train") & F.col("prev_train"))
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pw = Window.partitionBy("prev_type").orderBy(
+        F.desc("cnt"), F.asc("next_type")
+    )
+    pred = (
+        train.withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    test = seq.filter(~F.col("is_train") & ~F.col("prev_train")).select(
+        "prev_type", F.col("event_type").alias("next_type")
+    )
+    return (
+        test.join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)"
+                " * 10000 DIV count(*) AS BIGINT)"
+            ).alias("acc_bp"),
+        )
+    )

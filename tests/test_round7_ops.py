@@ -1601,3 +1601,49 @@ def test_trimmed_winsorized_recompute(spark, sf_dir):
         lo, hi = vals[k], vals[n - k - 1]
         assert wins == sum(min(max(v, lo), hi) for v in vals)
         assert r.winsor_mean_c2 == wins * 100 // n
+
+
+def test_markov_next_accuracy_leakfree_recompute(spark, sf_dir):
+    """Local recompute with an explicit train/test split: same argmax
+    predictions (tie to smallest type), same per-prior accuracy, and
+    no straddling transition counted on either side."""
+    from collections import Counter, defaultdict
+    from datetime import datetime
+
+    from distributed_mapreduce_spark.workload.journey import MARKOV_EVAL_CUTOFF
+    from distributed_mapreduce_spark.workload.registry import table
+
+    got = {r.prev_type: r for r in QUERIES["markov_next_event_accuracy"](spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    cutoff = datetime.fromisoformat(MARKOV_EVAL_CUTOFF)
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(e)
+    train, test = Counter(), []
+    for rows in by_user.values():
+        rows.sort(key=lambda e: (e.ts, e.event_id))
+        for a, b in zip(rows, rows[1:]):
+            ta, tb = a.ts < cutoff, b.ts < cutoff
+            if ta and tb:
+                train[(a.event_type, b.event_type)] += 1
+            elif not ta and not tb:
+                test.append((a.event_type, b.event_type))
+    # argmax with smallest-type tie-break
+    best = {}
+    for (p, n), c in train.items():
+        k = best.get(p)
+        if k is None or (-c, n) < (-k[1], k[0]):
+            best[p] = (n, c)
+    stats = defaultdict(lambda: [0, 0])
+    for p, n in test:
+        if p in best:
+            stats[p][0] += 1
+            stats[p][1] += 1 if n == best[p][0] else 0
+    assert set(got) == set(stats)
+    for p, (nt, nc) in stats.items():
+        r = got[p]
+        assert r.predicted == best[p][0]
+        assert (r.n_test, r.n_correct) == (nt, nc)
+        assert r.acc_bp == nc * 10000 // nt
