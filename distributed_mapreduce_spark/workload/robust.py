@@ -1593,6 +1593,12 @@ def q_trimmed_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked out of the same pass with rank-equality indicators, so no
     self-join and no second scan.
 
+    Sibling: `winsorized_price_stats` clips to INTERPOLATED [p05,p95]
+    percentile bounds (the metrics-pipeline form); this one trims and
+    winsorizes by exact RANK counts (the estimator-theory form, where
+    exactly k order statistics leave each tail) and adds the trimmed
+    mean the clip variant cannot produce.
+
     Reference parity: robust-statistics extension of the reference's
     aggregation surface (SURVEY.md section 2.4).
     """
