@@ -1131,3 +1131,214 @@ def q_clustering_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("by") - DG_BIAS).cast("long").alias("max_cy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA probe with convergence readout.
+
+#: Geometry: vectors in milli-units; the exact centered covariance
+#: NUMERATOR C = n*sum(v v^T) - S S^T is scale-reduced once by
+#: PCA_C_DIV so each iterate sum_j C'_ij*w_j stays inside int64 with
+#: |w| rescaled to PCA_W0 per round.
+PCA_MILLI = 1_000
+PCA_C_DIV = 1_000_000
+PCA_W0 = 1_000_000
+PCA_ITERS = 6
+PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    milli = (
+        "list_transform(embedding, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {PCA_MILLI}) AS BIGINT))"
+    )
+    ctes = [
+        f"""v AS MATERIALIZED (
+      SELECT {milli} AS v FROM embeddings
+    ),
+    flat AS (
+      SELECT u.i, u.j, u.p FROM (
+        SELECT unnest(flatten(list_transform(range(1, {PCA_DIM} + 1),
+                 i -> list_transform(range(1, {PCA_DIM} + 1),
+                      j -> struct_pack(i := i, j := j, p := v[i] * v[j])))))
+               AS u
+        FROM v)
+    ),
+    sums AS (
+      SELECT i, j, CAST(sum(p) AS BIGINT) AS vv FROM flat GROUP BY i, j
+    ),
+    svec AS (
+      SELECT u.i AS i, CAST(sum(u.x) AS BIGINT) AS s FROM (
+        SELECT unnest(list_transform(range(1, {PCA_DIM} + 1),
+                 i -> struct_pack(i := i, x := v[i]))) AS u
+        FROM v) GROUP BY u.i
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    cmat AS MATERIALIZED (
+      SELECT m.i, m.j,
+             (CASE WHEN n * m.vv - a.s * b.s >= 0 THEN 1 ELSE -1 END)
+             * (abs(n * m.vv - a.s * b.s) // {PCA_C_DIV}) AS c
+      FROM sums m
+      JOIN svec a ON m.i = a.i
+      JOIN svec b ON m.j = b.i
+      CROSS JOIN nn
+    ),
+    w0 AS (
+      SELECT i, CAST({PCA_W0} AS BIGINT) AS w
+      FROM (SELECT unnest(range(1, {PCA_DIM} + 1)) AS i)
+    )"""
+    ]
+    reads = []
+    for k in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f""", r{k} AS (
+      SELECT m.i, CAST(sum(m.c * w.w) AS BIGINT) AS raw
+      FROM cmat m JOIN w{k - 1} w ON m.j = w.i GROUP BY m.i
+    ), w{k} AS MATERIALIZED (
+      SELECT i, (CASE WHEN raw >= 0 THEN 1 ELSE -1 END)
+                * (abs(raw) * {PCA_W0} // (SELECT max(abs(raw)) FROM r{k}))
+                AS w
+      FROM r{k}
+    ), d{k} AS (
+      SELECT CAST({k} AS BIGINT) AS iter,
+             (SELECT CAST((CASE WHEN sum(wi.w * m.c * wj.w) >= 0
+                           THEN 1 ELSE -1 END)
+                     * (abs(CAST(sum(wi.w * m.c * wj.w) AS HUGEINT))
+                        // (SELECT sum(w * w) FROM w{k}))
+                     AS BIGINT)
+              FROM cmat m
+              JOIN w{k} wi ON m.i = wi.i
+              JOIN w{k} wj ON m.j = wj.i) AS rayleigh_c,
+             (SELECT CAST(sum(abs(n.w - p.w)) AS BIGINT)
+              FROM w{k} n JOIN w{k - 1} p ON n.i = p.i) AS l1_delta
+    )"""
+        )
+        reads.append(f"SELECT * FROM d{k}")
+    return "WITH " + "".join(ctes) + "\n" + "\nUNION ALL\n".join(reads)
+
+
+@query("embedding_pca_power_probe", oracle=_pca_oracle())
+def q_embedding_pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration PCA probe over the embedding cloud with a
+    per-round convergence readout (the `pagerank_converge` idiom):
+    the exact integer centered-covariance numerator C = n*sum(v v^T) -
+    S S^T drives w <- C w with sign-preserving max-rescaling, and each
+    round reports the Rayleigh quotient w'Cw/w'w (variance captured,
+    in C-units) plus the L1 step delta. On a spectrum with gap g the
+    contraction goes as 1/g per round — near-isotropic clouds (like
+    this synthetic table: g ~ 1.01-1.07) converge slowly, WHICH IS THE
+    POINT of surfacing the trajectory instead of pretending a fixed
+    round count yields "the" eigenvector; callers read the readout and
+    pick their stopping rule, exactly as with PageRank deltas.
+
+    Plan: ONE data pass builds the {PCA_DIM}x{PCA_DIM} covariance
+    (per-row flattened outer product into a single hash-agg — the
+    tree-aggregated Gram matrix; at 10^9 rows still one pass); every
+    round then joins the persisted 4096-row matrix against a broadcast
+    64-row vector. Sign-preserving rescale is explicit sign*(|x|*W0
+    DIV max|x|) because Spark DIV truncates and DuckDB // floors on
+    negatives. Rayleigh numerators run in DECIMAL(38)/HUGEINT.
+
+    Reference parity: no counterpart; the PCA-direction primitive
+    beside `embedding_random_projection`'s JL transform.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * PCA_MILLI).cast("long"),
+        ).alias("v")
+    ).persist()
+    pairs = v.select(
+        F.posexplode(
+            F.flatten(
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.transform(F.col("v"), lambda y: x * y),
+                )
+            )
+        ).alias("idx", "p")
+    )
+    sums_ij = (
+        pairs.groupBy("idx")
+        .agg(F.sum("p").cast("long").alias("vv"))
+        .select(
+            (F.expr(f"idx DIV {PCA_DIM}") + 1).alias("i"),
+            (F.col("idx") % PCA_DIM + 1).alias("j"),
+            "vv",
+        )
+    )
+    svec = (
+        v.select(F.posexplode("v").alias("i0", "x"))
+        .groupBy("i0")
+        .agg(F.sum("x").cast("long").alias("s"))
+    )
+    nn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sa = svec.select((F.col("i0") + 1).alias("i"), F.col("s").alias("s_i"))
+    sb = svec.select((F.col("i0") + 1).alias("j"), F.col("s").alias("s_j"))
+    cmat = (
+        sums_ij.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "i",
+            "j",
+            "(CASE WHEN n * vv - s_i * s_j >= 0 THEN 1 ELSE -1 END)"
+            f" * (abs(n * vv - s_i * s_j) DIV {PCA_C_DIV}) AS c",
+        )
+        .persist()
+    )
+    w = (
+        spark.range(1, PCA_DIM + 1)
+        .select(F.col("id").alias("i"), F.lit(PCA_W0).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    readouts = []
+    for k in range(1, PCA_ITERS + 1):
+        r = (
+            cmat.join(F.broadcast(w.withColumnRenamed("i", "j").withColumnRenamed("w", "wj")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("wj")).cast("long").alias("raw"))
+        )
+        mx = r.agg(F.max(F.abs(F.col("raw"))).alias("mab"))
+        w_new = (
+            r.crossJoin(F.broadcast(mx))
+            .selectExpr(
+                "i",
+                f"(CASE WHEN raw >= 0 THEN 1 ELSE -1 END)"
+                f" * (abs(raw) * {PCA_W0} DIV mab) AS w",
+            )
+            .localCheckpoint()
+        )
+        wi = w_new.select("i", F.col("w").alias("w_i"))
+        wj = w_new.select(F.col("i").alias("j"), F.col("w").alias("w_j"))
+        num = (
+            cmat.join(F.broadcast(wi), "i")
+            .join(F.broadcast(wj), "j")
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(w_i AS DECIMAL(38,0)) * c * w_j)"
+                    " AS DECIMAL(38,0))"
+                ).alias("wcw")
+            )
+        )
+        den = w_new.agg(F.sum(F.col("w") * F.col("w")).cast("long").alias("ww"))
+        delta = (
+            w_new.join(w.withColumnRenamed("w", "pw"), "i")
+            .agg(F.sum(F.abs(F.col("w") - F.col("pw"))).cast("long").alias("l1_delta"))
+        )
+        readouts.append(
+            num.crossJoin(den)
+            .crossJoin(delta)
+            .selectExpr(
+                f"CAST({k} AS BIGINT) AS iter",
+                "CAST((CASE WHEN wcw >= 0 THEN 1 ELSE -1 END)"
+                " * (abs(wcw) DIV ww) AS BIGINT) AS rayleigh_c",
+                "l1_delta",
+            )
+        )
+        w = w_new
+    out = readouts[0]
+    for rdf in readouts[1:]:
+        out = out.unionAll(rdf)
+    return out

@@ -1647,3 +1647,55 @@ def test_markov_next_accuracy_leakfree_recompute(spark, sf_dir):
         assert r.predicted == best[p][0]
         assert (r.n_test, r.n_correct) == (nt, nc)
         assert r.acc_bp == nc * 10000 // nt
+
+def test_pca_power_probe_readout_invariants(spark, sf_dir):
+    """Rayleigh quotient per round must match a numpy replay of the
+    SAME integer iteration, be bounded by the true top eigenvalue of
+    the reduced covariance, and (power-iteration theory) be
+    non-decreasing across rounds up to integer-floor jitter."""
+    import math
+
+    import numpy as np
+
+    from distributed_mapreduce_spark.workload.clustering import (
+        PCA_C_DIV,
+        PCA_ITERS,
+        PCA_MILLI,
+        PCA_W0,
+    )
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = sorted(
+        QUERIES["embedding_pca_power_probe"](spark, sf_dir).collect(),
+        key=lambda r: r.iter,
+    )
+    assert [r.iter for r in rows] == list(range(1, PCA_ITERS + 1))
+    emb = table(spark, sf_dir, "embeddings").select("embedding").collect()
+    V = np.array(
+        [[math.floor(float(x) * PCA_MILLI) for x in r.embedding] for r in emb],
+        dtype=object,
+    )
+    n = len(V)
+    Vf = V.astype(float)
+    C = n * (Vf.T @ Vf) - np.outer(Vf.sum(0), Vf.sum(0))
+    Cr = (np.sign(C) * (np.abs(C).astype(object) // PCA_C_DIV)).astype(object)
+    w = np.array([PCA_W0] * 64, dtype=object)
+    prev_r = None
+    lam_max = float(np.linalg.eigvalsh(Cr.astype(float)).max())
+    for r in rows:
+        raw = Cr @ w
+        mab = max(abs(int(x)) for x in raw)
+        w_new = np.array(
+            [int(np.sign(int(x))) * (abs(int(x)) * PCA_W0 // mab) for x in raw],
+            dtype=object,
+        )
+        wcw = int(w_new @ Cr @ w_new)
+        ww = int(w_new @ w_new)
+        ray = (1 if wcw >= 0 else -1) * (abs(wcw) // ww)
+        l1 = int(sum(abs(int(a) - int(b)) for a, b in zip(w_new, w)))
+        assert (r.rayleigh_c, r.l1_delta) == (ray, l1), r.iter
+        assert r.rayleigh_c <= lam_max * 1.001
+        if prev_r is not None:
+            assert r.rayleigh_c >= prev_r - max(2, abs(prev_r) // 1000)
+        prev_r = r.rayleigh_c
+        w = w_new
