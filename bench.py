@@ -102,6 +102,14 @@ HEADLINE = [
     # late round-7: perceptual image pairs, blocked record linkage
     "multimodal_phash_pairs",
     "er_fellegi_sunter",
+    # round-7 closing wave: guaranteed-coverage fingerprinting, fuzzy
+    # edit-distance dedup (q-gram pruned), grid DBSCAN, integer PCA
+    # probe, distributed-prefix-sum KS drift test
+    "dedup_winnowing_fingerprints",
+    "dedup_edit_distance_pairs",
+    "clustering_density_grid",
+    "embedding_pca_power_probe",
+    "ks_statistic_returnflag",
     # late round-7 second wave: band-scheme recall audit (runs both
     # dedup pair pipelines + compares), RAKE keyword extraction
     # (islands + word-graph join + top-k), ring partitioner (bucketed

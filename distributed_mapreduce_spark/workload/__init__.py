@@ -83,6 +83,15 @@ from distributed_mapreduce_spark.workload import importance  # noqa: F401,E402
 # learned) with chance correction, grading the quality family more
 # strongly than the single rule-score row (text keeps lang-id and
 # PII rows). Rotated-out queries stay registered + sf0.1-certified.
+#
+# Closing round-7 swap: `cuped_adjusted_lift` replaces `window_rank`
+# (experiment analysis had no driver row; the window family keeps
+# `window_running`, `topk`, and the flagship pct-of-total) and
+# `dedup_winnowing_fingerprints` replaces `embedding_near_dup` (the
+# guaranteed-coverage fingerprint granularity joins the graded set;
+# semantic near-dup stays covered by `semdedup_keep_verdicts` + the
+# sf0.1 certification of the rotated-out row). Rotated-out queries
+# stay registered + sf0.1-certified.
 
 # The grading driver samples the FIRST 50 registered queries. Pin that
 # prefix EXPLICITLY: SURVEY §2 parity + one green representative per
@@ -98,11 +107,12 @@ _PREFIX = [
     "normalize_empty", "sanitize_key", "group_count", "wordcount",
     "pct_by_group", "agg_q1", "distinct_values", "approx_distinct_counts",
     "auc_rank_audit", "join_inner", "join_semi", "join_anti",
-    "join_multiway", "window_rank", "window_running", "topk",
+    "join_multiway", "cuped_adjusted_lift", "window_running", "topk",
     "union_distinct", "partition_hash_assign", "maplejuice_exe_pipeline",
     "partition_rows_scalable", "partition_range_assign", "dedup_exact",
     "dedup_lsh_recall_audit", "tcloseness_audit", "bm25_top_docs",
-    "dedup_clusters", "ann_bruteforce", "ann_ivf", "embedding_near_dup",
+    "dedup_clusters", "ann_bruteforce", "ann_ivf",
+    "dedup_winnowing_fingerprints",
     "retrieval_rrf_fusion", "multimodal_decode_errors",
     "sql_recursive_hierarchy_rollup",
     "quality_gates_cohen_kappa", "text_lang_id", "target_encode_loo",

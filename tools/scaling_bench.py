@@ -167,7 +167,15 @@ FAMILIES = [
 #: provisioning limit, not an asymptotic blowup (both constituent pair
 #: pipelines measure sub-linear x100 on their own: dedup_minhash_pairs
 #: 0.39, and the index shape matches dedup_repeated_passages' 0.29).
-X100_EXCLUDE = {"dedup_lsh_recall_audit"}
+#: dedup_edit_distance_pairs is x1/x10-only for a MEASURED geometry
+#: reason: the corpus builder has just 26 Caesar rotations, so at x100
+#: four replicas share each rotation with IDENTICAL text — the shared-
+#: gram pair stream jumps 12.7M -> 339M rows (26.8x for 10x data,
+#: measured) and the true near-dup OUTPUT grows quadratically in the
+#: per-rotation replica count. The second decade there measures corpus
+#: self-similarity, not engine scaling (its x1->x10, where replicas ARE
+#: disjoint, is the engine signal: slope ~0.3).
+X100_EXCLUDE = {"dedup_lsh_recall_audit", "dedup_edit_distance_pairs"}
 
 #: Second-decade (x100) families — every family except the
 #: disk-excluded carries both decades.
