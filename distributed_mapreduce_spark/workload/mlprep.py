@@ -910,3 +910,94 @@ def q_feature_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "             DIV (CAST(n AS DECIMAL(38,0)) * n * n_l * (n - n_l)))"
         " END AS BIGINT) AS gini_gain_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (rank-based batch-effect removal).
+
+
+@query(
+    "quantile_normalize_sources",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n_s
+      FROM scored
+    ),
+    pooled AS (
+      SELECT score AS pooled_score,
+             row_number() OVER (ORDER BY score, doc_id) AS g
+      FROM scored
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+    tgt AS (
+      SELECT doc_id, source, score,
+             ((r * n - 1) // n_s) + 1 AS g
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT t.doc_id, t.source,
+           t.score AS raw_score,
+           CAST(p.pooled_score AS BIGINT) AS normalized_score
+    FROM tgt t JOIN pooled p USING (g)
+    """,
+)
+def q_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document score across sources
+    (the rank-based batch-effect removal used when per-source scoring
+    scales drift): each document's score is replaced by the POOLED
+    corpus order statistic at its within-source quantile — target
+    pooled rank g = floor((r*N - 1)/n_s) + 1, the exact integer form
+    of ceil(r*N/n_s) that maps rank n_s to exactly N. After
+    normalization every source has (up to rounding) the same score
+    distribution, so a single corpus-wide threshold means the same
+    thing in every source.
+
+    Plan: per-source ranks from a window partitioned by the bounded
+    source key; the POOLED ranks come from the distributed two-pass
+    `global_rank` primitive (range shuffle + per-partition offsets),
+    never an unpartitioned window; the final step is one equi-join on
+    the target rank. Everything integer-exact; ties broken (score,
+    doc_id) identically in both engines.
+
+    Reference parity: no counterpart; the cross-source calibration
+    step between `text_quality_score` and the corpus-wide gates.
+    """
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("score")
+    )
+    sw = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(sw).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+    )
+    pooled = global_rank(
+        scored.select("score", "doc_id"),
+        [F.col("score"), F.col("doc_id")],
+        rank_col="g",
+        total_col="n",
+    ).select(F.col("score").alias("pooled_score"), "g", "n")
+    tot = pooled.agg(F.max("n").alias("n"))
+    tgt = ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "score",
+        (F.expr("(r * n - 1) DIV n_s") + 1).alias("g"),
+    )
+    return tgt.join(pooled.select("pooled_score", "g"), "g").select(
+        "doc_id",
+        "source",
+        F.col("score").alias("raw_score"),
+        F.col("pooled_score").cast("long").alias("normalized_score"),
+    )

@@ -1699,3 +1699,39 @@ def test_pca_power_probe_readout_invariants(spark, sf_dir):
             assert r.rayleigh_c >= prev_r - max(2, abs(prev_r) // 1000)
         prev_r = r.rayleigh_c
         w = w_new
+
+
+def test_quantile_normalize_distribution_equalized(spark, sf_dir):
+    """After normalization the score multiset per source must match the
+    pooled order statistics at that source's quantile grid (local
+    recompute), monotonicity within source must be preserved, and the
+    largest rank must map to the pooled maximum."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = QUERIES["quantile_normalize_sources"](spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    pooled = sorted((int(d.n_chars), d.doc_id) for d in docs)
+    pooled_scores = [s for s, _ in pooled]
+    n = len(pooled)
+    by_src = defaultdict(list)
+    for d in docs:
+        by_src[d.source].append((int(d.n_chars), d.doc_id))
+    expect = {}
+    for src, vals in by_src.items():
+        vals.sort()
+        n_s = len(vals)
+        for r, (s, did) in enumerate(vals, 1):
+            g = (r * n - 1) // n_s + 1
+            expect[did] = pooled_scores[g - 1]
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == set(expect)
+    for did, exp in expect.items():
+        assert got[did].normalized_score == exp
+    # the top-ranked doc of every source maps to the pooled maximum
+    for src, vals in by_src.items():
+        top_doc = vals[-1][1]
+        assert got[top_doc].normalized_score == pooled_scores[-1]
