@@ -394,3 +394,126 @@ def q_graph_hits_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_h.unionAll(top_a)
+
+
+# ---------------------------------------------------------------------------
+# Luby-style Maximal Independent Set with deterministic hash priorities.
+
+#: Rounds of the Luby iteration (each removes an MIS wave plus its
+#: neighborhood; O(log n) rounds decide everything w.h.p. — the
+#: readout shows the residual so callers see exactly how far a fixed
+#: budget got).
+MIS_ROUNDS = 3
+
+
+def _mis_prio_sql(u: str) -> str:
+    # 31-bit md5 prefix * 2^32 + node id: a TOTAL priority order
+    # (unique per node even on hash collisions) that fits int64 for
+    # node ids < 2^32.
+    return (
+        f"((('0x' || substr(md5('mis_' || CAST({u} AS VARCHAR)), 1, 8))::BIGINT >> 1)"
+        f" * 4294967296 + {u})"
+    )
+
+
+def _mis_oracle(rounds: int) -> str:
+    ctes = [
+        _ADJ_SQL,
+        f""", nodes AS (
+      SELECT u, {_mis_prio_sql('u')} AS p FROM (SELECT DISTINCT u FROM adj)
+    ), u0 AS (SELECT u, p FROM nodes)""",
+    ]
+    reads = []
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f""", nb{k} AS (
+      SELECT a.u, min(w.p) AS nbmin
+      FROM adj a JOIN u{k - 1} w ON a.v = w.u
+      WHERE a.u IN (SELECT u FROM u{k - 1})
+      GROUP BY a.u
+    ), mis{k} AS MATERIALIZED (
+      SELECT c.u FROM u{k - 1} c LEFT JOIN nb{k} n ON c.u = n.u
+      WHERE n.nbmin IS NULL OR c.p < n.nbmin
+    ), gone{k} AS (
+      SELECT u FROM mis{k}
+      UNION
+      SELECT a.v AS u FROM adj a JOIN mis{k} m ON a.u = m.u
+    ), u{k} AS MATERIALIZED (
+      SELECT u, p FROM u{k - 1} WHERE u NOT IN (SELECT u FROM gone{k})
+    )"""
+        )
+        reads.append(
+            f"""SELECT CAST({k} AS BIGINT) AS iter,
+               (SELECT CAST(count(*) AS BIGINT) FROM mis{k}) AS n_joined,
+               (SELECT CAST(count(*) AS BIGINT) FROM u{k}) AS n_undecided"""
+        )
+    return "WITH " + "".join(ctes) + "\n" + "\nUNION ALL\n".join(reads)
+
+
+@query("graph_mis_luby", oracle=_mis_oracle(MIS_ROUNDS))
+def q_graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Independent Set by Luby's algorithm with DETERMINISTIC
+    hash priorities (31-bit md5 prefix * 2^32 + node id — a total
+    order, so no RNG and both engines agree exactly): each round every
+    undecided node joins the MIS iff its priority beats every
+    undecided neighbor's, then winners and their neighborhoods leave
+    the graph. {MIS_ROUNDS} rounds with a per-round readout (wave
+    size, residual) — the O(log n) contraction made visible, the same
+    convergence-surface contract as `pagerank_converge`.
+
+    Plan: per round one neighbor-min aggregate keyed by the receiving
+    node (map-side combinable) and one anti-join to shrink the
+    frontier; the adjacency is persisted once and reused. This is THE
+    symmetry-breaking primitive under distributed coloring/matching —
+    greedy sequential MIS cannot parallelize, priority waves can.
+
+    Reference parity: no counterpart; joins PageRank/PPR/HITS in the
+    iterative family on the same lineitem-derived graph.
+    """
+    adj = _bipartite_adj(spark, sf_dir)
+    nodes = adj.select("u").distinct().select(
+        "u",
+        F.expr(
+            "(CAST(conv(substring(md5(concat('mis_', CAST(u AS STRING))), 1, 8),"
+            " 16, 10) AS BIGINT) DIV 2) * 4294967296 + u"
+        ).alias("p"),
+    )
+    undecided = nodes.localCheckpoint()
+    readouts = []
+    joined_cum = None
+    for k in range(1, MIS_ROUNDS + 1):
+        w = undecided.select(F.col("u").alias("v"), F.col("p").alias("wp"))
+        nb = (
+            adj.join(undecided.select("u"), "u")
+            .join(w, "v")
+            .groupBy("u")
+            .agg(F.min("wp").alias("nbmin"))
+        )
+        mis_k = (
+            undecided.join(nb, "u", "left")
+            .filter(F.col("nbmin").isNull() | (F.col("p") < F.col("nbmin")))
+            .select("u")
+            .localCheckpoint()
+        )
+        gone = mis_k.unionAll(
+            adj.join(mis_k, "u").select(F.col("v").alias("u"))
+        ).distinct()
+        undecided = undecided.join(gone, "u", "left_anti").localCheckpoint()
+        readouts.append(
+            mis_k.agg(F.count(F.lit(1)).cast("long").alias("n_joined"))
+            .crossJoin(
+                undecided.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_undecided")
+                )
+            )
+            .select(
+                F.lit(k).cast("long").alias("iter"),
+                "n_joined",
+                "n_undecided",
+            )
+        )
+        joined_cum = mis_k if joined_cum is None else joined_cum.unionAll(mis_k)
+    out = readouts[0]
+    for r in readouts[1:]:
+        out = out.unionAll(r)
+    return out

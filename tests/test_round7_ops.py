@@ -1735,3 +1735,54 @@ def test_quantile_normalize_distribution_equalized(spark, sf_dir):
     for src, vals in by_src.items():
         top_doc = vals[-1][1]
         assert got[top_doc].normalized_score == pooled_scores[-1]
+
+
+def test_mis_luby_invariants_via_local_replay(spark, sf_dir):
+    """Replaying the priority waves locally must reproduce the per-round
+    readout; the cumulative MIS must be independent (no internal edge)
+    and dominating over everything removed."""
+    import hashlib
+    from collections import defaultdict
+
+    from distributed_mapreduce_spark.workload.iterative import MIS_ROUNDS
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = sorted(
+        QUERIES["graph_mis_luby"](spark, sf_dir).collect(), key=lambda r: r.iter
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").collect()
+    e0 = {(r.l_suppkey * 2, r.l_partkey * 2 + 1) for r in li}
+    adj = defaultdict(set)
+    for s, p in e0:
+        adj[s].add(p)
+        adj[p].add(s)
+
+    def prio(u):
+        return (int(hashlib.md5(f"mis_{u}".encode()).hexdigest()[:8], 16) >> 1) * (
+            1 << 32
+        ) + u
+
+    undecided = set(adj)
+    mis, removed = set(), set()
+    for k in range(1, MIS_ROUNDS + 1):
+        wave = {
+            u
+            for u in undecided
+            if all(
+                prio(u) < prio(v) for v in adj[u] if v in undecided
+            )
+        }
+        gone = set(wave)
+        for u in wave:
+            gone |= adj[u] & undecided
+        undecided -= gone
+        mis |= wave
+        removed |= gone - wave
+        r = rows[k - 1]
+        assert (r.n_joined, r.n_undecided) == (len(wave), len(undecided)), k
+    # independence: no edge within the MIS
+    for u in mis:
+        assert not (adj[u] & mis), u
+    # domination: every removed neighbor has an MIS neighbor
+    for u in removed:
+        assert adj[u] & mis, u
