@@ -1006,3 +1006,96 @@ def q_events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
             " DIV (nxt_us - us) AS BIGINT)"
         ).alias("value_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiwindow multi-burn-rate SLO alerts (the SRE alerting classic).
+
+#: SLO error budget: 5% error ratio (500 bp). Burn rate = observed
+#: error ratio / budget, in exact basis points of budget (10000 bp =
+#: burning exactly at budget). Alert fires when BOTH the short and the
+#: long trailing window burn faster than the threshold — the
+#: two-window form that suppresses blips (short-only) and stale pages
+#: (long-only).
+SLO_BUDGET_BP = 500
+SLO_SHORT_H = 1
+SLO_LONG_H = 6
+SLO_BURN_X10 = 20  # threshold: 2.0x budget, in tenths
+
+
+@query(
+    "events_slo_burn_alerts",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT h, n, errs,
+             sum(n) OVER (ORDER BY h ROWS BETWEEN {SLO_SHORT_H - 1} PRECEDING
+                          AND CURRENT ROW) AS n_s,
+             sum(errs) OVER (ORDER BY h ROWS BETWEEN {SLO_SHORT_H - 1} PRECEDING
+                             AND CURRENT ROW) AS e_s,
+             sum(n) OVER (ORDER BY h ROWS BETWEEN {SLO_LONG_H - 1} PRECEDING
+                          AND CURRENT ROW) AS n_l,
+             sum(errs) OVER (ORDER BY h ROWS BETWEEN {SLO_LONG_H - 1} PRECEDING
+                             AND CURRENT ROW) AS e_l
+      FROM hourly
+    )
+    SELECT h, n, errs,
+           CAST(e_s * 100000 // (n_s * {SLO_BUDGET_BP}) AS BIGINT) AS burn_short_x10,
+           CAST(e_l * 100000 // (n_l * {SLO_BUDGET_BP}) AS BIGINT) AS burn_long_x10,
+           (e_s * 100000 // (n_s * {SLO_BUDGET_BP}) >= {SLO_BURN_X10}
+            AND e_l * 100000 // (n_l * {SLO_BUDGET_BP}) >= {SLO_BURN_X10}) AS alert
+    FROM win
+    """,
+)
+def q_events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow multi-burn-rate SLO alerting (the SRE workbook
+    pattern): hourly error ratios against a {SLO_BUDGET_BP}-bp budget,
+    burn rate over a {SLO_SHORT_H}h short and {SLO_LONG_H}h long
+    trailing window in exact tenths-of-budget (e*1e5 DIV (n*budget)),
+    alert = BOTH windows burning >= {SLO_BURN_X10 / 10}x budget —
+    the AND is what kills blip pages (short-only spikes) and stale
+    pages (long-only tails).
+
+    Plan: one hourly hash-agg of the scan, then trailing-ROWS window
+    sums over the BOUNDED hourly relation (one row per hour of the
+    observation range — the input-bounded window class, same as the
+    anomaly/seasonality family); per-row integer arithmetic after.
+
+    Reference parity: alerting extension of the reference's
+    grep-count surface (SURVEY.md section 2.4 `agg_global_count` over
+    error lines).
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    ws = Window.orderBy("h").rowsBetween(-(SLO_SHORT_H - 1), 0)
+    wl = Window.orderBy("h").rowsBetween(-(SLO_LONG_H - 1), 0)
+    win = hourly.select(
+        "h",
+        "n",
+        "errs",
+        F.sum("n").over(ws).alias("n_s"),
+        F.sum("errs").over(ws).alias("e_s"),
+        F.sum("n").over(wl).alias("n_l"),
+        F.sum("errs").over(wl).alias("e_l"),
+    )
+    burn_s = F.expr(f"CAST(e_s * 100000 DIV (n_s * {SLO_BUDGET_BP}) AS BIGINT)")
+    burn_l = F.expr(f"CAST(e_l * 100000 DIV (n_l * {SLO_BUDGET_BP}) AS BIGINT)")
+    return win.select(
+        "h",
+        "n",
+        "errs",
+        burn_s.alias("burn_short_x10"),
+        burn_l.alias("burn_long_x10"),
+        ((burn_s >= SLO_BURN_X10) & (burn_l >= SLO_BURN_X10)).alias("alert"),
+    )

@@ -1786,3 +1786,43 @@ def test_mis_luby_invariants_via_local_replay(spark, sf_dir):
     # domination: every removed neighbor has an MIS neighbor
     for u in removed:
         assert adj[u] & mis, u
+
+
+def test_slo_burn_alerts_recompute(spark, sf_dir):
+    """Trailing-window burn rates must match a local replay over the
+    hourly series; alert iff both windows clear the threshold; with a
+    ~20% error mix every hour should burn hot against a 5% budget."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_spark.workload.events import (
+        SLO_BUDGET_BP,
+        SLO_BURN_X10,
+        SLO_LONG_H,
+        SLO_SHORT_H,
+    )
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = sorted(
+        QUERIES["events_slo_burn_alerts"](spark, sf_dir).collect(),
+        key=lambda r: r.h,
+    )
+    ev = table(spark, sf_dir, "events").select("ts", "event_type").collect()
+    hourly = defaultdict(lambda: [0, 0])
+    for e in ev:
+        k = e.ts.replace(minute=0, second=0, microsecond=0)
+        hourly[k][0] += 1
+        hourly[k][1] += 1 if e.event_type == "error" else 0
+    hs = sorted(hourly)
+    assert [r.h for r in rows] == hs
+    for i, r in enumerate(rows):
+        sl = hs[max(0, i - SLO_SHORT_H + 1) : i + 1]
+        ll = hs[max(0, i - SLO_LONG_H + 1) : i + 1]
+        n_s = sum(hourly[h][0] for h in sl)
+        e_s = sum(hourly[h][1] for h in sl)
+        n_l = sum(hourly[h][0] for h in ll)
+        e_l = sum(hourly[h][1] for h in ll)
+        bs = e_s * 100000 // (n_s * SLO_BUDGET_BP)
+        bl = e_l * 100000 // (n_l * SLO_BUDGET_BP)
+        assert (r.burn_short_x10, r.burn_long_x10) == (bs, bl)
+        assert r.alert == (bs >= SLO_BURN_X10 and bl >= SLO_BURN_X10)
+    assert any(r.alert for r in rows), "synthetic 20% error mix must page"
