@@ -2471,3 +2471,107 @@ def q_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     END AS BIGINT)"
         ).alias("keep_lift_ppm"),
     )
+
+
+def _isotonic_oracle() -> str:
+    return _sql_bucketed_verdicts() + """
+    , per AS MATERIALIZED (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM joined GROUP BY bucket
+    ), cum AS MATERIALIZED (
+      SELECT bucket,
+             CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY bucket) AS BIGINT) AS cp,
+             CAST(sum(n) OVER (ORDER BY bucket) - n AS BIGINT) AS cn0,
+             CAST(sum(pos) OVER (ORDER BY bucket) - pos AS BIGINT) AS cp0
+      FROM per
+    ), spans AS MATERIALIZED (
+      SELECT j.bucket AS jb, k.bucket AS kb,
+             (k.cp - j.cp0) * 1000000000 // (k.cn - j.cn0) AS rate_e9
+      FROM cum j JOIN cum k ON j.bucket <= k.bucket
+    ), inner_min AS (
+      SELECT i.bucket AS ib, s.jb,
+             min(s.rate_e9) AS lo
+      FROM per i JOIN spans s ON s.jb <= i.bucket AND i.bucket <= s.kb
+      GROUP BY i.bucket, s.jb
+    ), iso AS (
+      SELECT ib AS bucket, CAST(max(lo) AS BIGINT) AS iso_rate_e9
+      FROM inner_min GROUP BY ib
+    )
+    SELECT p.bucket, p.n AS n_docs,
+           CAST(p.pos * 10000 // p.n AS BIGINT) AS raw_rate_bp,
+           i.iso_rate_e9,
+           CAST(i.iso_rate_e9 // 100000 AS BIGINT) AS iso_rate_bp
+    FROM per p JOIN iso i USING (bucket)
+    """
+
+
+@query("quality_isotonic_calibration", oracle=_isotonic_oracle())
+def q_quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the learned quality gate
+    against the rule gate — the PAV fit computed by the minimax
+    identity iso(i) = max_{{j<=i}} min_{{k>=i}} rate(j..k), which is
+    embarrassingly parallel over the BOUNDED bin relation (B bins ->
+    B^2 spans, B^3 triples; B ~ tens) instead of the sequential
+    pool-adjacent-violators merge loop. Span rates compare in floor
+    e9-units — deterministic in both engines — so the fitted curve is
+    non-decreasing by construction and this query is the production
+    calibration mapping the reliability curve only diagnoses.
+
+    Plan: the same shared bucketed-verdicts projection as the
+    calibration/PR curves, one hash-agg to B bins, then bin-bounded
+    joins; nothing touches the corpus twice.
+
+    Reference parity: no counterpart; completes the quality-curve
+    triptych (reliability `quality_model_calibration`, ranking
+    `quality_model_pr_curve`, monotone fit here).
+    """
+    from pyspark.sql import Window
+
+    per = (
+        _bucketed_verdicts(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    w = Window.orderBy("bucket")
+    cum = per.select(
+        "bucket",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+        (F.sum("n").over(w) - F.col("n")).alias("cn0"),
+        (F.sum("pos").over(w) - F.col("pos")).alias("cp0"),
+    )
+    j = cum.select(
+        F.col("bucket").alias("jb"), F.col("cn0"), F.col("cp0")
+    )
+    k = cum.select(F.col("bucket").alias("kb"), F.col("cn"), F.col("cp"))
+    spans = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        F.expr("(cp - cp0) * 1000000000 DIV (cn - cn0)").alias("rate_e9"),
+    )
+    bins = per.select(F.col("bucket").alias("ib"))
+    inner = (
+        spans.join(
+            bins,
+            (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("rate_e9").alias("lo"))
+    )
+    iso = inner.groupBy("ib").agg(F.max("lo").cast("long").alias("iso_rate_e9"))
+    return (
+        per.join(iso, per.bucket == iso.ib)
+        .select(
+            "bucket",
+            F.col("n").alias("n_docs"),
+            F.expr("CAST(pos * 10000 DIV n AS BIGINT)").alias("raw_rate_bp"),
+            "iso_rate_e9",
+            F.expr("CAST(iso_rate_e9 DIV 100000 AS BIGINT)").alias(
+                "iso_rate_bp"
+            ),
+        )
+    )

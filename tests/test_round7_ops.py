@@ -1826,3 +1826,50 @@ def test_slo_burn_alerts_recompute(spark, sf_dir):
         assert (r.burn_short_x10, r.burn_long_x10) == (bs, bl)
         assert r.alert == (bs >= SLO_BURN_X10 and bl >= SLO_BURN_X10)
     assert any(r.alert for r in rows), "synthetic 20% error mix must page"
+
+
+def test_isotonic_calibration_matches_pav(spark, sf_dir):
+    """The minimax fit must be non-decreasing and equal the weighted
+    pool-adjacent-violators solution replayed locally (floor-e9)."""
+    rows = sorted(
+        QUERIES["quality_isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    cal = {
+        r.bucket: (r.n_docs, r.n_rule_keep)
+        for r in QUERIES["quality_model_calibration"](spark, sf_dir).collect()
+    }
+    assert [r.bucket for r in rows] == sorted(cal)
+    # PAV with exact fractions
+    from fractions import Fraction
+
+    blocks = [
+        [b, cal[b][0], cal[b][1]] for b in sorted(cal)
+    ]  # bucket, n, pos
+    stack = []
+    for b, n, pos in blocks:
+        stack.append([n, pos])
+        while len(stack) >= 2 and Fraction(stack[-2][1], stack[-2][0]) >= Fraction(
+            stack[-1][1], stack[-1][0]
+        ):
+            n2, p2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += p2
+    # expand merged blocks back to per-bin fitted values
+    iso_vals = []
+    it = iter(stack)
+    cur_n, cur_p = next(it)
+    consumed = 0
+    for b, n, pos in blocks:
+        if consumed == cur_n:
+            cur_n, cur_p = next(it)
+            consumed = 0
+        iso_vals.append(Fraction(cur_p, cur_n))
+        consumed += n
+    prev = None
+    for r, v in zip(rows, iso_vals):
+        want = (v.numerator * 10**9) // v.denominator
+        assert r.iso_rate_e9 == want, (r.bucket, r.iso_rate_e9, want)
+        if prev is not None:
+            assert r.iso_rate_e9 >= prev
+        prev = r.iso_rate_e9
