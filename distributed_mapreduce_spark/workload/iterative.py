@@ -517,3 +517,148 @@ def q_graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in readouts[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Greedy maximal matching by mutual-minimum edge proposals.
+
+#: Rounds of the Israeli-Itai-style proposal iteration; the readout
+#: carries the residual so a caller sees how far the budget got.
+MATCH_ROUNDS = 3
+
+
+def _match_prio_sql() -> str:
+    return (
+        "(('0x' || substr(md5('me_' || CAST(u AS VARCHAR) || '_' ||"
+        " CAST(v AS VARCHAR)), 1, 8))::BIGINT)"
+    )
+
+
+def _matching_oracle(rounds: int) -> str:
+    ctes = [
+        _ADJ_SQL,
+        f""", edges AS MATERIALIZED (
+      SELECT u, v, {_match_prio_sql()} AS h FROM adj WHERE u < v
+    ), live0 AS (SELECT u, v, h FROM edges)""",
+    ]
+    reads = []
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f""", pick{k} AS MATERIALIZED (
+      SELECT node, min(struct_pack(h := h, u := u, v := v)) AS e
+      FROM (
+        SELECT u AS node, h, u, v FROM live{k - 1}
+        UNION ALL
+        SELECT v AS node, h, u, v FROM live{k - 1}
+      ) GROUP BY node
+    ), matched{k} AS MATERIALIZED (
+      SELECT a.e.u AS u, a.e.v AS v
+      FROM pick{k} a JOIN pick{k} b
+        ON a.e.u = b.e.u AND a.e.v = b.e.v AND a.e.h = b.e.h
+       AND a.node = a.e.u AND b.node = a.e.v
+    ), gone{k} AS (
+      SELECT u AS node FROM matched{k}
+      UNION
+      SELECT v AS node FROM matched{k}
+    ), live{k} AS MATERIALIZED (
+      SELECT u, v, h FROM live{k - 1}
+      WHERE u NOT IN (SELECT node FROM gone{k})
+        AND v NOT IN (SELECT node FROM gone{k})
+    )"""
+        )
+        reads.append(
+            f"""SELECT CAST({k} AS BIGINT) AS iter,
+               (SELECT CAST(count(*) AS BIGINT) FROM matched{k}) AS n_matched,
+               (SELECT CAST(count(*) AS BIGINT) FROM live{k}) AS n_live_edges"""
+        )
+    return "WITH " + "".join(ctes) + "\n" + "\nUNION ALL\n".join(reads)
+
+
+@query("graph_greedy_matching", oracle=_matching_oracle(MATCH_ROUNDS))
+def q_graph_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal matching by mutual-minimum proposals (the
+    Israeli-Itai symmetry-breaking scheme, deterministic): every live
+    node proposes its minimum-priority incident edge (md5 edge hash,
+    ties broken by the (u,v) key inside the struct order), an edge
+    matches when BOTH endpoints proposed it, matched endpoints leave.
+    {MATCH_ROUNDS} rounds with a (matched, live-edge) readout — the
+    contraction surface, like the MIS and PageRank readouts.
+
+    Plan: per round one union-explode of live edges into endpoint
+    proposals, one min-struct aggregate per node (map-side partials),
+    a self-equi-join of the proposal table on the proposed edge key,
+    and one anti-join to retire matched endpoints. Matching is the
+    primitive under distributed assignment/auction algorithms; the
+    mutual-proposal wave is its standard scale-out form.
+
+    Reference parity: no counterpart; completes the symmetry-breaking
+    pair begun by `graph_mis_luby` on the same lineitem graph.
+    """
+    adj = _bipartite_adj(spark, sf_dir)
+    edges = adj.filter(F.col("u") < F.col("v")).select(
+        "u",
+        "v",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("me_"),
+                        F.col("u").cast("string"),
+                        F.lit("_"),
+                        F.col("v").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    live = edges.localCheckpoint()
+    readouts = []
+    for k in range(1, MATCH_ROUNDS + 1):
+        props = live.select(
+            F.col("u").alias("node"), "h", "u", "v"
+        ).unionAll(live.select(F.col("v").alias("node"), "h", "u", "v"))
+        pick = props.groupBy("node").agg(
+            F.min(F.struct("h", "u", "v")).alias("e")
+        )
+        a = pick.select(
+            F.col("node").alias("na"), F.col("e").alias("ea")
+        )
+        b = pick.select(
+            F.col("node").alias("nb"), F.col("e").alias("eb")
+        )
+        matched = (
+            a.join(
+                b,
+                (F.col("ea") == F.col("eb"))
+                & (F.col("na") == F.col("ea.u"))
+                & (F.col("nb") == F.col("ea.v")),
+            )
+            .select(F.col("ea.u").alias("u"), F.col("ea.v").alias("v"))
+            .localCheckpoint()
+        )
+        gone = matched.select(F.col("u").alias("node")).unionAll(
+            matched.select(F.col("v").alias("node"))
+        )
+        live = (
+            live.join(gone.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(gone.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v", "h")
+            .localCheckpoint()
+        )
+        readouts.append(
+            matched.agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+            .crossJoin(
+                live.agg(F.count(F.lit(1)).cast("long").alias("n_live_edges"))
+            )
+            .select(F.lit(k).cast("long").alias("iter"), "n_matched", "n_live_edges")
+        )
+    out = readouts[0]
+    for r in readouts[1:]:
+        out = out.unionAll(r)
+    return out

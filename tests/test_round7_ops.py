@@ -1873,3 +1873,49 @@ def test_isotonic_calibration_matches_pav(spark, sf_dir):
         if prev is not None:
             assert r.iso_rate_e9 >= prev
         prev = r.iso_rate_e9
+
+
+def test_greedy_matching_local_replay(spark, sf_dir):
+    """Local replay of the mutual-proposal waves must reproduce the
+    readout; the matching must be valid (node-disjoint) and the rounds
+    must shrink the live edge set monotonically."""
+    import hashlib
+
+    from distributed_mapreduce_spark.workload.iterative import MATCH_ROUNDS
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = sorted(
+        QUERIES["graph_greedy_matching"](spark, sf_dir).collect(),
+        key=lambda r: r.iter,
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").collect()
+    edges = sorted({(r.l_suppkey * 2, r.l_partkey * 2 + 1) for r in li})
+
+    def h(u, v):
+        return int(hashlib.md5(f"me_{u}_{v}".encode()).hexdigest()[:8], 16)
+
+    live = [(u, v, h(u, v)) for u, v in edges]
+    matched_all = set()
+    prev_live = None
+    for k in range(1, MATCH_ROUNDS + 1):
+        pick = {}
+        for u, v, hh in live:
+            for node in (u, v):
+                key = (hh, u, v)
+                if node not in pick or key < pick[node]:
+                    pick[node] = key
+        matched = {
+            (u, v)
+            for u, v, hh in live
+            if pick.get(u) == (hh, u, v) and pick.get(v) == (hh, u, v)
+        }
+        gone = {n for e in matched for n in e}
+        live = [(u, v, hh) for u, v, hh in live if u not in gone and v not in gone]
+        r = rows[k - 1]
+        assert (r.n_matched, r.n_live_edges) == (len(matched), len(live)), k
+        for u, v in matched:
+            assert u not in matched_all and v not in matched_all
+            matched_all |= {u, v}
+        if prev_live is not None:
+            assert r.n_live_edges <= prev_live
+        prev_live = r.n_live_edges
