@@ -1591,3 +1591,93 @@ def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acc_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot detection by inter-event gap regularity.
+
+#: A user whose inter-event gap coefficient-of-variation-squared falls
+#: below this many ppm (gaps nearly identical) is flagged as
+#: automation; humans are bursty (CV^2 ~ 1e6 ppm for Poisson arrivals,
+#: higher for heavy tails). Requires a minimum gap count so tiny
+#: histories can't fire the flag.
+BOT_CV2_PPM = 250_000
+BOT_MIN_GAPS = 5
+
+
+@query(
+    "user_gap_regularity",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    gaps AS (SELECT user_id, gap_us FROM seq WHERE gap_us IS NOT NULL),
+    st AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_us) AS BIGINT) AS s1,
+             CAST(sum(CAST(gap_us AS HUGEINT) * gap_us) AS HUGEINT) AS s2
+      FROM gaps GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           CAST(s1 // n_gaps AS BIGINT) AS mean_gap_us,
+           CAST(CASE WHEN s1 = 0 THEN 0
+                ELSE (n_gaps * s2 - CAST(s1 AS HUGEINT) * s1) * 1000000
+                     // (CAST(s1 AS HUGEINT) * s1) END AS BIGINT) AS cv2_ppm,
+           (n_gaps >= {BOT_MIN_GAPS} AND s1 > 0
+            AND (n_gaps * s2 - CAST(s1 AS HUGEINT) * s1) * 1000000
+                // (CAST(s1 AS HUGEINT) * s1) < {BOT_CV2_PPM}) AS bot_flag
+    FROM st
+    """,
+)
+def q_user_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation detection by inter-event timing regularity: per user
+    the coefficient of variation SQUARED of inter-event gaps in exact
+    ppm — cv^2 = var/mean^2 = (n*S2 - S1^2)/S1^2, all integer
+    microsecond moments, no float variance. Near-zero cv^2 means
+    metronome-regular requests (scripted clients); Poisson-bursty
+    humans sit near 1e6 ppm. Flag fires only with >= {BOT_MIN_GAPS}
+    gaps so short histories can't trip it.
+
+    Plan: one per-user lag window (the sequence-query shape shared by
+    the whole journey family), then a per-user moment aggregate —
+    map-side combinable, one shuffle keyed by user. Bounds: gaps are
+    microseconds < 2^42 per month; n*S2 stays inside int128 for any
+    realistic per-user history (documented, HUGEINT/DECIMAL(38)).
+
+    Reference parity: behavioral extension of the reference's
+    per-machine counting (SURVEY.md section 2.4
+    `agg_count_per_machine`).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    st = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_us").cast("long").alias("s1"),
+        F.expr(
+            "CAST(sum(CAST(gap_us AS DECIMAL(38,0)) * gap_us) AS DECIMAL(38,0))"
+        ).alias("s2"),
+    )
+    cv2 = F.expr(
+        "CAST(CASE WHEN s1 = 0 THEN 0"
+        "     ELSE (n_gaps * s2 - CAST(s1 AS DECIMAL(38,0)) * s1) * 1000000"
+        "          DIV (CAST(s1 AS DECIMAL(38,0)) * s1) END AS BIGINT)"
+    )
+    return st.select(
+        "user_id",
+        "n_gaps",
+        F.expr("CAST(s1 DIV n_gaps AS BIGINT)").alias("mean_gap_us"),
+        cv2.alias("cv2_ppm"),
+        (
+            (F.col("n_gaps") >= BOT_MIN_GAPS)
+            & (F.col("s1") > 0)
+            & (cv2 < BOT_CV2_PPM)
+        ).alias("bot_flag"),
+    )

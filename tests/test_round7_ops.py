@@ -1919,3 +1919,39 @@ def test_greedy_matching_local_replay(spark, sf_dir):
         if prev_live is not None:
             assert r.n_live_edges <= prev_live
         prev_live = r.n_live_edges
+
+
+def test_gap_regularity_moment_recompute(spark, sf_dir):
+    """cv^2 must equal the exact integer moment formula recomputed from
+    raw per-user gaps; a synthetic metronome sequence would flag while
+    the Poisson-ish synthetic users must mostly not."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_spark.workload.journey import (
+        BOT_CV2_PPM,
+        BOT_MIN_GAPS,
+    )
+    from distributed_mapreduce_spark.workload.registry import table
+
+    got = {r.user_id: r for r in QUERIES["user_gap_regularity"](spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(e)
+    for uid, rows_u in by_user.items():
+        rows_u.sort(key=lambda e: (e.ts, e.event_id))
+        us = [int(e.ts.timestamp() * 1_000_000) for e in rows_u]
+        gaps = [b - a for a, b in zip(us, us[1:])]
+        if not gaps:
+            assert uid not in got
+            continue
+        n, s1 = len(gaps), sum(gaps)
+        s2 = sum(g * g for g in gaps)
+        r = got[uid]
+        assert r.n_gaps == n
+        assert r.mean_gap_us == s1 // n
+        cv2 = 0 if s1 == 0 else (n * s2 - s1 * s1) * 10**6 // (s1 * s1)
+        assert r.cv2_ppm == cv2
+        assert r.bot_flag == (n >= BOT_MIN_GAPS and s1 > 0 and cv2 < BOT_CV2_PPM)
+    flagged = sum(1 for r in got.values() if r.bot_flag)
+    assert flagged <= len(got) // 2, "Poisson-ish synthetic users mostly human"
