@@ -1001,3 +1001,109 @@ def q_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("raw_score"),
         F.col("pooled_score").cast("long").alias("normalized_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal stratified-sample allocation.
+
+#: Total sample budget to allocate across sources.
+NEYMAN_BUDGET = 1_000
+
+
+@query(
+    "neyman_allocation_sources",
+    oracle=f"""
+    WITH st AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) AS HUGEINT)
+               * sum(CAST(n_chars AS HUGEINT) * n_chars)
+               - CAST(sum(n_chars) AS HUGEINT) * sum(n_chars) AS vnum
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(vnum AS DOUBLE))) AS BIGINT) AS w
+      FROM st
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
+    quota AS (
+      SELECT source, n_docs, w,
+             CAST({NEYMAN_BUDGET} * w // tw AS BIGINT) AS fl,
+             CAST({NEYMAN_BUDGET} * w % tw AS BIGINT) AS rem
+      FROM wts CROSS JOIN tot
+    ),
+    seats AS (
+      SELECT CAST({NEYMAN_BUDGET} - sum(fl) AS BIGINT) AS extra FROM quota
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM quota
+    )
+    SELECT source, n_docs, w AS neyman_weight,
+           CAST(fl + CASE WHEN rk <= (SELECT extra FROM seats)
+                          THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def q_neyman_allocation_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation: each source's share
+    of a {NEYMAN_BUDGET}-doc budget proportional to N_h * S_h — which
+    for the integer variance NUMERATOR V_h = N*sum(x^2) - (sum x)^2 is
+    exactly floor(sqrt(V_h)) (N_h*S_h = sqrt(V_h)/1), so the weight
+    needs ONE portable operation beyond integer moments: IEEE-754 sqrt
+    is correctly rounded, hence floor(sqrt(bigint)) is deterministic
+    and identical in both engines. Exact-total rounding by Hamilton's
+    largest remainder (ties by source name), reusing the apportionment
+    contract of `split_apportion_hamilton`: sum(alloc) == budget
+    EXACTLY — minimum-variance sampling under a fixed label budget,
+    the design that beats proportional allocation when strata have
+    unequal spread.
+
+    Plan: one moment hash-agg to |sources| rows; everything after runs
+    on that bounded relation (window over 20 rows).
+
+    Reference parity: sampling-design extension of the reference's
+    count-per-key aggregation (SURVEY.md section 2.4).
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(count(*) AS DECIMAL(38,0))"
+            " * sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars)"
+            " - CAST(sum(n_chars) AS DECIMAL(38,0)) * sum(n_chars)"
+        ).alias("vnum"),
+    )
+    wts = st.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("vnum").cast("double"))).cast("long").alias("w"),
+    )
+    tot = wts.agg(F.sum("w").cast("long").alias("tw"))
+    quota = wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr(f"CAST({NEYMAN_BUDGET} * w DIV tw AS BIGINT)").alias("fl"),
+        F.expr(f"CAST({NEYMAN_BUDGET} * w % tw AS BIGINT)").alias("rem"),
+    )
+    seats = quota.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("fl")).cast("long").alias("extra")
+    )
+    ranked = quota.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    )
+    return ranked.crossJoin(F.broadcast(seats)).select(
+        "source",
+        "n_docs",
+        F.col("w").alias("neyman_weight"),
+        (
+            F.col("fl")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -1955,3 +1955,32 @@ def test_gap_regularity_moment_recompute(spark, sf_dir):
         assert r.bot_flag == (n >= BOT_MIN_GAPS and s1 > 0 and cv2 < BOT_CV2_PPM)
     flagged = sum(1 for r in got.values() if r.bot_flag)
     assert flagged <= len(got) // 2, "Poisson-ish synthetic users mostly human"
+
+
+def test_neyman_allocation_exact_total_and_optimality(spark, sf_dir):
+    """sum(alloc) == budget exactly; weights recompute from integer
+    moments; allocation follows the N_h*S_h ordering."""
+    import math
+    from collections import defaultdict
+
+    from distributed_mapreduce_spark.workload.mlprep import NEYMAN_BUDGET
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = QUERIES["neyman_allocation_sources"](spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == NEYMAN_BUDGET
+    docs = table(spark, sf_dir, "documents").select("source", "n_chars").collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for d in docs:
+        a = agg[d.source]
+        a[0] += 1
+        a[1] += int(d.n_chars)
+        a[2] += int(d.n_chars) ** 2
+    for r in rows:
+        n, s1, s2 = agg[r.source]
+        assert r.n_docs == n
+        assert r.neyman_weight == math.floor(math.sqrt(n * s2 - s1 * s1))
+    # monotone: bigger weight never gets a smaller allocation (up to
+    # the single Hamilton seat)
+    by_w = sorted(rows, key=lambda r: r.neyman_weight)
+    for a, b in zip(by_w, by_w[1:]):
+        assert b.alloc >= a.alloc - 1
