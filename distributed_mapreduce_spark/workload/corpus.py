@@ -2520,7 +2520,9 @@ def q_quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFram
 
     Plan: the same shared bucketed-verdicts projection as the
     calibration/PR curves, one hash-agg to B bins, then bin-bounded
-    joins; nothing touches the corpus twice.
+    broadcast-nested-loop joins (the score-range-bounded bin relation
+    is the provably tiny side — never a cartesian); nothing touches
+    the corpus twice.
 
     Reference parity: no counterpart; completes the quality-curve
     triptych (reliability `quality_model_calibration`, ranking
@@ -2548,7 +2550,7 @@ def q_quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("bucket").alias("jb"), F.col("cn0"), F.col("cp0")
     )
     k = cum.select(F.col("bucket").alias("kb"), F.col("cn"), F.col("cp"))
-    spans = j.join(k, F.col("jb") <= F.col("kb")).select(
+    spans = j.join(F.broadcast(k), F.col("jb") <= F.col("kb")).select(
         "jb",
         "kb",
         F.expr("(cp - cp0) * 1000000000 DIV (cn - cn0)").alias("rate_e9"),
@@ -2556,7 +2558,7 @@ def q_quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     bins = per.select(F.col("bucket").alias("ib"))
     inner = (
         spans.join(
-            bins,
+            F.broadcast(bins),
             (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb")),
         )
         .groupBy("ib", "jb")
