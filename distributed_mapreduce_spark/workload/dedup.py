@@ -2217,3 +2217,74 @@ def q_dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= EDIT_MAX)
     )
+
+
+#: Minimum shared winnowing fingerprints for an overlap-pair report.
+WINNOW_PAIR_MIN = 3
+
+
+def _winnow_pairs_oracle() -> str:
+    return f"""
+    WITH fp AS MATERIALIZED (
+      SELECT doc_id, fp_hash FROM ({_winnow_oracle()})
+    ),
+    df AS (
+      SELECT fp_hash FROM fp GROUP BY fp_hash
+      HAVING count(DISTINCT doc_id) <= {NGRAM_MAX_DF}
+    ),
+    pairs AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             count(DISTINCT l.fp_hash) AS shared_fp
+      FROM fp l
+      JOIN df USING (fp_hash)
+      JOIN fp r ON l.fp_hash = r.fp_hash AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(shared_fp AS BIGINT) AS shared_fp
+    FROM pairs WHERE shared_fp >= {WINNOW_PAIR_MIN}
+    """
+
+
+@query("dedup_winnowing_pairs", oracle=_winnow_pairs_oracle())
+def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap pairs from the winnowing fingerprint
+    relation: documents sharing >= {WINNOW_PAIR_MIN} selected
+    fingerprints (distinct hashes, positions ignored — the same
+    passage at different offsets still matches). By the winnowing
+    guarantee, ANY shared run of >= K+W-1 tokens contributes at least
+    one shared fingerprint, so long shared passages cannot hide —
+    the partial-overlap detector document-level MinHash cannot be.
+
+    Plan: the fingerprint relation (zero-shuffle per-row selection)
+    feeds a df-capped fingerprint equi-join — identical scale shape to
+    the shingle inverted index (bounded fan-out per fingerprint), with
+    selection density ~2/(W+1) making the index ~3x smaller than the
+    full-shingle inverted index.
+
+    Reference parity: composes `dedup_winnowing_fingerprints` into the
+    pair surface of SURVEY.md section 2's dedup family.
+    """
+    fps = q_dedup_winnowing_fingerprints(spark, sf_dir).select(
+        "doc_id", "fp_hash"
+    ).distinct().persist()
+    df_ok = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .filter(F.col("dfc") <= NGRAM_MAX_DF)
+        .select("fp_hash")
+    )
+    capped = fps.join(df_ok, "fp_hash")
+    l = capped.alias("l")
+    r = fps.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.fp_hash") == F.col("r.fp_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= WINNOW_PAIR_MIN)
+    )

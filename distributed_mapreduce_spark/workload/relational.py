@@ -1307,3 +1307,117 @@ def q_mode_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("a").cast("long").alias("mode_cnt"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (source x lang contingency).
+
+
+@query(
+    "independence_chi2_source_lang",
+    oracle="""
+    WITH o AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY source, lang
+    ),
+    rm AS (SELECT source, CAST(sum(obs) AS BIGINT) AS r FROM o GROUP BY source),
+    cm AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS c FROM o GROUP BY lang),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+                   CAST(count(DISTINCT source) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS nc
+            FROM o),
+    cells AS (
+      SELECT rm.source, cm.lang, coalesce(o.obs, 0) AS obs, rm.r, cm.c, n, nr, nc
+      FROM rm CROSS JOIN cm
+      LEFT JOIN o ON o.source = rm.source AND o.lang = cm.lang
+      CROSS JOIN tot
+    )
+    SELECT CAST(min(n) AS BIGINT) AS n,
+           CAST(min((nr - 1) * (nc - 1)) AS BIGINT) AS dof,
+           CAST(sum((CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                    * (CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                    * 1000000
+                    // (CAST(r AS HUGEINT) * c * n)) AS BIGINT) AS chi2_e6
+    FROM cells
+    """,
+)
+def q_independence_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the source x lang
+    contingency table, exact to the per-cell floor: chi2 = sum over
+    ALL cells (including structural zeros, via the dimension cross
+    join) of (obs*N - R*C)^2 / (R*C*N) in millionths — the integer
+    cross-multiplied form of (O-E)^2/E that never materializes a float
+    expectation. Degrees of freedom (|rows|-1)(|cols|-1) reported so a
+    caller can look up the critical value.
+
+    Plan: one contingency hash-agg, two margin re-aggs, a broadcast
+    cross join of the two SMALL margin relations (20 x 4 cells) to
+    restore structural zeros, then a 1-row fold in DECIMAL(38)/
+    HUGEINT. At 100 TB the only data pass is the first aggregate.
+
+    Reference parity: the independence-test companion to the drift
+    chi-square (`events_drift_chi2`), on the corpus dimensions.
+    """
+    docs = table(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    rm = o.groupBy("source").agg(F.sum("obs").cast("long").alias("r"))
+    cm = o.groupBy("lang").agg(F.sum("obs").cast("long").alias("c"))
+    tot = o.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.count_distinct("source").cast("long").alias("nr"),
+        F.count_distinct("lang").cast("long").alias("nc"),
+    )
+    cells = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(o, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce("obs", F.lit(0)).alias("obs"), "r", "c", "n", "nr", "nc"
+        )
+    )
+    return cells.agg(
+        F.min("n").cast("long").alias("n"),
+        F.expr("CAST(min((nr - 1) * (nc - 1)) AS BIGINT)").alias("dof"),
+        F.expr(
+            "CAST(sum((CAST(obs AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+            " * (CAST(obs AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+            " * 1000000"
+            " DIV (CAST(r AS DECIMAL(38,0)) * c * n)) AS BIGINT)"
+        ).alias("chi2_e6"),
+    )
+
+
+#: Verbatim-SQL LATERAL top-N: the SAME text runs on Spark (lateral
+#: correlated subquery, SPARK-34382 surface) and DuckDB — engine
+#: parity for the dependent-join idiom, like the WITH RECURSIVE twin.
+_LATERAL_TOPN_SQL = """
+SELECT r.r_name, t.n_name, t.n_customers
+FROM region r, LATERAL (
+  SELECT n.n_name, count(*) AS n_customers
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n_name
+  LIMIT 2
+) t
+"""
+
+
+@query("sql_lateral_topn_per_region", oracle=_LATERAL_TOPN_SQL)
+def q_sql_lateral_topn_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-SQL LATERAL dependent join: per region, the top-2
+    nations by customer count from a correlated lateral subquery with
+    its own GROUP BY / ORDER BY / LIMIT — the SAME SQL text executes
+    on Spark and on the oracle engine (the dependent-join surface an
+    engine must expose for migrating SQL verbatim, the LATERAL sibling
+    of `sql_recursive_hierarchy_rollup`). Ties break on nation name.
+
+    Plan: Catalyst decorrelates the lateral into a join + per-region
+    ranked aggregate (DecorrelateInnerQuery); with 5 regions the
+    outer side is the tiny one — the dependent join never iterates.
+    """
+    for t in ("region", "nation", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPN_SQL)

@@ -1984,3 +1984,92 @@ def test_neyman_allocation_exact_total_and_optimality(spark, sf_dir):
     by_w = sorted(rows, key=lambda r: r.neyman_weight)
     for a, b in zip(by_w, by_w[1:]):
         assert b.alloc >= a.alloc - 1
+
+
+def test_winnowing_pairs_guarantee_on_near_dups(spark, sf_dir):
+    """Every exact-Jaccard near-dup pair must also surface as a
+    winnowing overlap pair (long shared runs imply shared
+    fingerprints), and shared_fp must match a local recount."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_spark.workload.dedup import (
+        NGRAM_MAX_DF,
+        WINNOW_PAIR_MIN,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_fp
+        for r in QUERIES["dedup_winnowing_pairs"](spark, sf_dir).collect()
+    }
+    near = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    for r in near:
+        assert (r.doc_a, r.doc_b) in pairs, "near-dup missing from winnowing pairs"
+    fps = QUERIES["dedup_winnowing_fingerprints"](spark, sf_dir).collect()
+    by_hash = defaultdict(set)
+    for f in fps:
+        by_hash[f.fp_hash].add(f.doc_id)
+    cnt = defaultdict(int)
+    for h, docs in by_hash.items():
+        if len(docs) > NGRAM_MAX_DF:
+            continue
+        ds = sorted(docs)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                cnt[(a, b)] += 1
+    expect = {k: v for k, v in cnt.items() if v >= WINNOW_PAIR_MIN}
+    assert pairs == expect
+
+
+def test_chi2_independence_fraction_recompute(spark, sf_dir):
+    from collections import Counter
+    from fractions import Fraction
+
+    from distributed_mapreduce_spark.workload.registry import table
+
+    row = QUERIES["independence_chi2_source_lang"](spark, sf_dir).collect()[0]
+    docs = table(spark, sf_dir, "documents").select("source", "lang").collect()
+    obs = Counter((d.source, d.lang) for d in docs)
+    rows_m = Counter(d.source for d in docs)
+    cols_m = Counter(d.lang for d in docs)
+    n = len(docs)
+    assert row.n == n
+    assert row.dof == (len(rows_m) - 1) * (len(cols_m) - 1)
+    total = 0
+    for s in rows_m:
+        for l in cols_m:
+            o = obs.get((s, l), 0)
+            num = (o * n - rows_m[s] * cols_m[l]) ** 2 * 10**6
+            total += num // (rows_m[s] * cols_m[l] * n)
+    assert row.chi2_e6 == total
+    # sanity vs true float chi2 within per-cell floor error
+    true = sum(
+        Fraction((obs.get((s, l), 0) * n - rows_m[s] * cols_m[l]) ** 2,
+                 rows_m[s] * cols_m[l] * n)
+        for s in rows_m for l in cols_m
+    )
+    assert abs(true * 10**6 - row.chi2_e6) < len(rows_m) * len(cols_m) + 1
+
+
+def test_lateral_topn_matches_window_formulation(spark, sf_dir):
+    """The LATERAL result must equal the classic window top-2 per
+    region computed independently."""
+    from distributed_mapreduce_spark.workload.registry import table
+    from pyspark.sql import Window
+
+    got = {
+        (r.r_name, r.n_name): r.n_customers
+        for r in QUERIES["sql_lateral_topn_per_region"](spark, sf_dir).collect()
+    }
+    reg = table(spark, sf_dir, "region")
+    nat = table(spark, sf_dir, "nation")
+    cus = table(spark, sf_dir, "customer")
+    counts = (
+        cus.join(nat, cus.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("n_customers"), "n_name")
+    top2 = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    expect = {(r.r_name, r.n_name): r.n_customers for r in top2.collect()}
+    assert got == expect
