@@ -1681,3 +1681,93 @@ def q_user_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (cv2 < BOT_CV2_PPM)
         ).alias("bot_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization gap-threshold tuning table.
+
+#: Candidate inactivity gaps (minutes) for the session cut.
+SESSION_GAP_SWEEP_MIN = (5, 15, 30, 60)
+
+
+@query(
+    "sessionize_gap_sweep",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events),
+    sweep AS (
+      SELECT g.gap_min,
+             CAST(sum(CASE WHEN s.gap_us > CAST(g.gap_min AS BIGINT) * 60000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+      FROM seq s
+      CROSS JOIN (VALUES {', '.join(f'({m})' for m in SESSION_GAP_SWEEP_MIN)})
+           g(gap_min)
+      WHERE s.gap_us IS NOT NULL
+      GROUP BY g.gap_min
+    )
+    SELECT CAST(gap_min AS BIGINT) AS gap_min,
+           CAST(n_cuts + n_users AS BIGINT) AS n_sessions,
+           CAST(n_events * 1000000 // (n_cuts + n_users) AS BIGINT)
+             AS events_per_session_e6
+    FROM sweep CROSS JOIN users
+    """,
+)
+def q_sessionize_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap tuning table: for each candidate inactivity
+    threshold, the session count (cuts + one per active user — a cut
+    is exactly one gap above the threshold, so NO re-sessionization
+    per candidate is needed) and mean events per session in exact
+    micro-units. The elbow of this table is how the sessionize
+    threshold gets picked from data instead of folklore; the engine's
+    actual sessionizers (`events_sessionize`, `sessionize_sql`,
+    streaming `sessionized_counts`) consume the winner.
+
+    Plan: ONE per-user lag window (shared sequence shape), then a
+    |thresholds|-way literal explode into a 4-group aggregate —
+    sweeping thresholds costs one pass total, not one pass each.
+
+    Reference parity: parameter-tuning extension of the engine's
+    sessionize family (SURVEY.md section 2.5 window surface).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    users = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    sweep = (
+        seq.select(
+            "gap_us",
+            F.explode(
+                F.array(*[F.lit(m) for m in SESSION_GAP_SWEEP_MIN])
+            ).alias("gap_min"),
+        )
+        .groupBy("gap_min")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap_us") > F.col("gap_min").cast("long") * 60_000_000, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_cuts")
+        )
+    )
+    return sweep.crossJoin(F.broadcast(users)).select(
+        F.col("gap_min").cast("long").alias("gap_min"),
+        (F.col("n_cuts") + F.col("n_users")).cast("long").alias("n_sessions"),
+        F.expr(
+            "CAST(n_events * 1000000 DIV (n_cuts + n_users) AS BIGINT)"
+        ).alias("events_per_session_e6"),
+    )

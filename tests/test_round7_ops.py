@@ -2073,3 +2073,34 @@ def test_lateral_topn_matches_window_formulation(spark, sf_dir):
     top2 = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
     expect = {(r.r_name, r.n_name): r.n_customers for r in top2.collect()}
     assert got == expect
+
+
+def test_gap_sweep_matches_real_sessionizer(spark, sf_dir):
+    """For each threshold the sweep's session count must equal an
+    actual re-sessionization pass at that gap, and the counts must be
+    non-increasing in the threshold."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_spark.workload.journey import SESSION_GAP_SWEEP_MIN
+    from distributed_mapreduce_spark.workload.registry import table
+
+    rows = {r.gap_min: r for r in QUERIES["sessionize_gap_sweep"](spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(e)
+    n_events = len(ev)
+    prev = None
+    for m in SESSION_GAP_SWEEP_MIN:
+        n_sessions = 0
+        for rows_u in by_user.values():
+            rows_u.sort(key=lambda e: (e.ts, e.event_id))
+            n_sessions += 1
+            us = [int(e.ts.timestamp() * 1_000_000) for e in rows_u]
+            n_sessions += sum(1 for a, b in zip(us, us[1:]) if b - a > m * 60_000_000)
+        r = rows[m]
+        assert r.n_sessions == n_sessions, m
+        assert r.events_per_session_e6 == n_events * 10**6 // n_sessions
+        if prev is not None:
+            assert r.n_sessions <= prev
+        prev = r.n_sessions
