@@ -346,13 +346,57 @@ PAIR_MAX_PARTITIONS = 4096
 _PAIR_ROWS_CACHE: dict[tuple, int] = {}
 
 
+def _dataset_fingerprint(path: str) -> tuple:
+    """Cheap driver-side fingerprint of the data under ``path``: sorted
+    (relpath, mtime_ns, size) of every data file. Regenerating the data
+    in place changes the fingerprint, so a memoized pair volume keyed on
+    it can never go stale within a session (ADVICE r07: the old
+    (sf_dir, max_df) key survived an in-place rewrite and mis-sized the
+    shuffle). Pure ``os.stat`` — no Spark job, no file reads."""
+    import os
+
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith((".parquet", ".csv", ".txt", ".orc", ".json")):
+                p = os.path.join(root, fn)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                entries.append(
+                    (os.path.relpath(p, path), st.st_mtime_ns, st.st_size)
+                )
+    return tuple(sorted(entries))
+
+
+def clear_pair_volume_cache() -> None:
+    """Explicit invalidation hook for the memoized pair-volume sizing
+    aggregate (the fingerprint key makes staleness impossible for
+    on-disk regeneration; this covers exotic cases like a remounted
+    store where mtimes are not trustworthy)."""
+    _PAIR_ROWS_CACHE.clear()
+
+
 def _pair_shuffle_parts(rare: DataFrame, cache_key: tuple | None) -> int | None:
     """Partition count for the shared-gram pair aggregate, or None to
     keep the session default (when no cache key is supplied — plan-only
     constructions stay job-free for uncached keys only on first use,
-    like the wedge twin)."""
+    like the wedge twin).
+
+    NOTE (plan tests): supplying a cache key makes the FIRST
+    construction of the ngram/edit-distance pipelines launch one tiny
+    sizing job (a 1-row sum over the rare-gram index) — plan-only
+    tests that must stay job-free pass ``sf_dir=None``.
+
+    The memo key is (dataset fingerprint, params), not (path, params):
+    if the files under ``sf_dir`` are regenerated mid-session the
+    fingerprint changes and the volume is re-measured instead of
+    reusing a stale size (ADVICE r07)."""
     if cache_key is None:
         return None
+    if cache_key and isinstance(cache_key[0], str):
+        cache_key = (_dataset_fingerprint(cache_key[0]),) + cache_key[1:]
     if cache_key not in _PAIR_ROWS_CACHE:
         row = rare.agg(
             F.coalesce(

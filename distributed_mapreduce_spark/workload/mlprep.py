@@ -837,10 +837,13 @@ _GG_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
            n_l AS n_with,
            CAST(n - n_l AS BIGINT) AS n_without,
            CAST(CASE WHEN n_l = 0 OR n_l = n THEN 0
-                ELSE (CASE WHEN s_l * n * (n - n_l) + (q_p - 2 * xc + s_l) * n * n_l
-                                >= q_p * n_l * (n - n_l) THEN 1 ELSE -1 END)
-                     * (CAST(abs(s_l * n * (n - n_l) + (q_p - 2 * xc + s_l) * n * n_l
-                                 - q_p * n_l * (n - n_l)) AS HUGEINT) * 1000000
+                ELSE (CASE WHEN CAST(s_l AS HUGEINT) * n * (n - n_l)
+                                + CAST(q_p - 2 * xc + s_l AS HUGEINT) * n * n_l
+                                >= CAST(q_p AS HUGEINT) * n_l * (n - n_l)
+                           THEN 1 ELSE -1 END)
+                     * (abs(CAST(s_l AS HUGEINT) * n * (n - n_l)
+                            + CAST(q_p - 2 * xc + s_l AS HUGEINT) * n * n_l
+                            - CAST(q_p AS HUGEINT) * n_l * (n - n_l)) * 1000000
                         // (CAST(n AS HUGEINT) * n * n_l * (n - n_l)))
                 END AS BIGINT) AS gini_gain_ppm
     FROM per_tok CROSS JOIN tot

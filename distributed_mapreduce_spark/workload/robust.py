@@ -1476,7 +1476,11 @@ def q_ks_statistic_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     single distributed prefix-sum (`global_cumsum`) by packing
     (c1 << 31) | c2 into one long — exact because each cumulative
     count stays under 2^31 (documented bound: samples < 2^31 rows;
-    rescale to a coarser value grid beyond). NO unpartitioned window
+    rescale to a coarser value grid beyond). dnum itself can reach
+    n1*n2 < 2^62 — within int64 — but dnum*1e6 cannot, so ks_e6 runs
+    the scaling in DECIMAL(38,0) (int128 headroom, matching the
+    oracle's HUGEINT) before the final BIGINT narrowing; the quotient
+    is <= 1e6 by construction. NO unpartitioned window
     anywhere: the prefix sum is the two-pass range-partitioned kind,
     and the final max is an ordinary aggregate.
 
@@ -1525,9 +1529,10 @@ def q_ks_statistic_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
         F.max("dnum").cast("long").alias("ks_num"),
-        F.expr("CAST(max(dnum) * 1000000 DIV (max(n1) * max(n2)) AS BIGINT)").alias(
-            "ks_e6"
-        ),
+        F.expr(
+            "CAST(CAST(max(dnum) AS DECIMAL(38,0)) * 1000000"
+            " DIV (CAST(max(n1) AS DECIMAL(38,0)) * max(n2)) AS BIGINT)"
+        ).alias("ks_e6"),
         (-F.max(F.struct(F.col("dnum").alias("a"), (-F.col("v")).alias("b"))).getField("b"))
         .cast("long")
         .alias("at_value"),
@@ -1582,16 +1587,22 @@ def q_trimmed_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag trimmed mean (drop the lowest and highest
     {TRIM_BP} bp of prices) and winsorized mean (clamp those tails to
     the cut values) — the robust location pair, in exact hundredths of
-    a cent: per-group ranks come from a window PARTITIONED by the
-    3-value flag key (per-partition state bounded by the group, the
-    sanctioned per-group ranking pattern), tail width k = floor(n *
-    {TRIM_BP}/10000) per side, and the winsorized sum re-adds k copies
-    of each boundary value instead of the dropped tails.
+    a cent: tail width k = floor(n * {TRIM_BP}/10000) per side, and
+    the winsorized sum re-adds k copies of each boundary value instead
+    of the dropped tails.
 
-    Plan: one ranked window over (flag), then a single grouped
+    Plan: per-group ranks ride the range-partitioned two-pass
+    `global_rank` primitive ordered by (flag, v) — per-flag rank =
+    global rank minus the flag's exclusive offset from the broadcast
+    3-row per-flag count relation — so NO task ever holds a whole
+    flag group's window state (the 3-value key would pin ~n/3 rows on
+    one task at the 100 TB design point); then a single grouped
     aggregate computes both statistics — the boundary values are
     picked out of the same pass with rank-equality indicators, so no
-    self-join and no second scan.
+    self-join and no second scan. Ties between equal prices get an
+    arbitrary rank order, which cannot change the result: rank-range
+    sums and boundary picks over equal values are permutation
+    invariant.
 
     Sibling: `winsorized_price_stats` clips to INTERPOLATED [p05,p95]
     percentile bounds (the metrics-pipeline form); this one trims and
@@ -1602,6 +1613,8 @@ def q_trimmed_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: robust-statistics extension of the reference's
     aggregation surface (SURVEY.md section 2.4).
     """
+    from distributed_mapreduce_spark.operators.partitioning import global_rank
+
     li = table(spark, sf_dir, "lineitem")
     pts = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -1609,13 +1622,29 @@ def q_trimmed_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
-    w = Window.partitionBy("flag").orderBy("v")
-    rk = pts.select(
-        "flag",
-        "v",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("flag")).alias("n"),
-    ).withColumn("k", F.expr(f"(n * {TRIM_BP}) DIV 10000"))
+    # Per-flag exclusive rank offsets from the tiny (3-row) per-flag
+    # count relation: off(flag) = sum of counts of lexically-smaller
+    # flags. Broadcast nested-loop over <=3 rows — constant build side.
+    fc = pts.groupBy("flag").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lower = F.broadcast(
+        fc.select(F.col("flag").alias("_lf"), F.col("n").alias("_ln"))
+    )
+    offs = (
+        fc.join(lower, F.col("_lf") < F.col("flag"), "left")
+        .groupBy("flag", "n")
+        .agg(F.coalesce(F.sum("_ln"), F.lit(0)).cast("long").alias("_off"))
+    )
+    gr = global_rank(pts, [F.col("flag"), F.col("v")], rank_col="_grn")
+    rk = (
+        gr.join(F.broadcast(offs), "flag")
+        .select(
+            "flag",
+            "v",
+            (F.col("_grn") - F.col("_off")).alias("rn"),
+            "n",
+        )
+        .withColumn("k", F.expr(f"(n * {TRIM_BP}) DIV 10000"))
+    )
     mid = F.when((F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")), F.col("v")).otherwise(F.lit(0))
     lo_b = F.min(F.when(F.col("rn") == F.col("k") + 1, F.col("v")))
     hi_b = F.min(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("v")))
