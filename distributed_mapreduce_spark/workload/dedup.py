@@ -278,6 +278,79 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs(sh_df, minhash_candidate_pairs(sh_df))
 
 
+@query(
+    "dedup_lsh_candidates",
+    oracle=_sql_minhash_pairs()
+    + f"""
+    , scored AS (
+      SELECT len(list_intersect(a.bh, b.bh)) * {JACCARD_DEN}
+             >= (len(a.bh) + len(b.bh) - len(list_intersect(a.bh, b.bh)))
+                * {JACCARD_NUM} AS ok
+      FROM cand
+      JOIN bh a ON a.doc_id = doc_a
+      JOIN bh b ON b.doc_id = doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(sum(CASE WHEN ok THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_verified,
+           CAST(CASE WHEN count(*) = 0 THEN 10000
+                     ELSE sum(CASE WHEN ok THEN 1 ELSE 0 END) * 10000
+                          // count(*)
+                END AS BIGINT) AS precision_bp
+    FROM scored
+    """,
+)
+def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION half of `dedup_lsh_recall_audit` in isolation:
+    band-bucket candidate generation plus the exact-Jaccard verify,
+    WITHOUT the exact inverted-index truth set — reported as the
+    candidate-stage statistics (candidate count, verified count,
+    candidate precision in basis points). Together with the audit's
+    recall_bp this completes the band geometry's precision/recall
+    characterization, and unlike the audit this path has no
+    quadratic-by-definition stage, so it carries the ×100 scaling
+    decade the audit cannot (VERDICT r07 #4): at 100 TB this is the
+    query you actually run per ingest batch; the truth-set audit runs
+    once per geometry change.
+
+    Plan: persisted shingle table → band explode → band-key self-join
+    (tiny uniform signature keys) → ONE verify join that keeps every
+    candidate with a pass flag → single 1-row fold. The candidate set
+    is never materialized twice and nothing is all-pairs.
+
+    Reference parity: scalable twin of the reference's value-grouping
+    juice phase (SURVEY.md section 2.4) applied to near-dup candidate
+    evaluation.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh_df = shingle_table(docs)
+    cand = minhash_candidate_pairs(sh_df)
+    sh = sh_df.select("doc_id", "bh")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.bh"), F.col("b.bh")))
+    union = F.size(F.col("a.bh")) + F.size(F.col("b.bh")) - inter
+    scored = joined.select(
+        (inter * JACCARD_DEN >= union * JACCARD_NUM).alias("ok")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum(F.when(F.col("ok"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_verified"),
+        F.expr(
+            "CAST(CASE WHEN count(*) = 0 THEN 10000"
+            "          ELSE sum(CASE WHEN ok THEN 1 ELSE 0 END) * 10000"
+            "               DIV count(*)"
+            "     END AS BIGINT)"
+        ).alias("precision_bp"),
+    )
+
+
 #: Inverted-index stop-gram cap: shingles appearing in more documents
 #: than this are too common to generate candidates (skew guard — at
 #: 100 TB a ubiquitous shingle would otherwise emit a quadratic pair

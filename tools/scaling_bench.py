@@ -25,15 +25,27 @@ row at 10x the data. 1.0 is perfectly linear; < 1 means fixed overhead
 indicate a super-linear stage that would not survive 100 TB.
 
 Usage: python tools/scaling_bench.py [src_sf_dir] [out_json] [--x100]
-       [--only=fam1,fam2] [--merge=prior.json]
+       [--x1000] [--only=fam1,fam2] [--merge=prior.json]
 Writes the JSON artifact (default SCALING_r06.json — keep in sync with
 the filename bench.py embeds) that bench.py
 embeds under its "scaling" key. With --x100, additionally builds a
 100x corpus and re-times the X100_FAMILIES subset (one warm-up + one
 timed run — at 6 GB+ input the run time dwarfs trial noise), recording
-the second decade's slope (x100 vs x10). --only restricts to a family
-subset (fast re-measure after a fix); --merge seeds the output with a
-prior artifact's rows so untouched families carry forward.
+the second decade's slope (x100 vs x10). With --x1000, builds a
+1000x corpus (10 replicas OF the x100 corpus, id stride 100) and
+times the cheap X1000_FAMILIES at the third decade — 600 M+ input
+rows, the strongest 100 TB-posture evidence one box can produce.
+--only restricts to a family subset (fast re-measure after a fix);
+--merge seeds the output with a prior artifact's rows so untouched
+families carry forward.
+
+Provenance (VERDICT r07 #5): every fresh measurement is stamped with
+``measured_in`` = the run id of THIS invocation (out-file stem +
+wall-clock stamp). Merged rows keep their ORIGINAL ``measured_in``
+(legacy rows without one get the merge-source stem) plus
+``carried: true``; a partial refresh (x100/x1000 added onto a carried
+row) stamps ``x100_measured_in``/``x1000_measured_in`` instead of
+rewriting the row's origin — the artifact never cites itself.
 """
 
 from __future__ import annotations
@@ -150,6 +162,12 @@ FAMILIES = [
     # round-7 closing: per-user moment agg + two 1-row closed-form
     # aggregates over the replicated user space.
     "cuped_adjusted_lift",
+    # round-8 (VERDICT r07 #4): the PRODUCTION half of the LSH recall
+    # audit — band candidates + exact-Jaccard verify, no truth set —
+    # so the certified dedup ingest path carries its own x100 decade
+    # (the audit itself stays x100-excluded for its quadratic-by-
+    # definition exact side).
+    "dedup_lsh_candidates",
 ]
 # NOT here by design: `contrastive_negatives` pairs anchors x pool, so
 # replication grows the candidate set quadratically (more anchors AND a
@@ -181,6 +199,20 @@ X100_EXCLUDE = {"dedup_lsh_recall_audit", "dedup_edit_distance_pairs"}
 #: disk-excluded carries both decades.
 X100_FAMILIES = [q for q in FAMILIES if q not in X100_EXCLUDE]
 
+#: Third-decade (x1000) families (VERDICT r07 #2): the cheap-per-row
+#: aggregation/window pipelines with measured x100 headroom
+#: (<= ~0.05 s/Mrow), runnable at 600 M - 6 B input rows inside the
+#: single-box sandbox. Pair/near-dup families are NOT here: at x1000
+#: the 26-rotation text geometry is 38+ identical replicas per
+#: rotation (see X100_EXCLUDE), and their x100 rows already certify
+#: the second decade.
+X1000_FAMILIES = [
+    "ks_statistic_returnflag",
+    "cuped_adjusted_lift",
+    "events_markov_stationary",
+    "vocab_build",
+]
+
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
 DIGITS = "0123456789"
@@ -191,9 +223,18 @@ def _rot(s: str, k: int) -> str:
     return s[k:] + s[:k]
 
 
-def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> dict:
+def build_scaled(
+    spark, src_dir: str, out_dir: str, factor: int, id_stride: int = 1
+) -> dict:
     """Write documents.parquet and lineitem.parquet at `factor`x volume
-    (disjoint id ranges + per-replica Caesar text)."""
+    (disjoint id ranges + per-replica Caesar text).
+
+    ``id_stride`` composes scale layers: building x1000 as 10 replicas
+    OF the x100 corpus needs each second-layer replica to shift ids by
+    ``r * 100 * ID_OFFSET`` so the layers' id ranges stay disjoint
+    (ID_OFFSET's residue-gate divisibility is preserved under any
+    integer multiple). Caesar rotations compose additively, so the
+    second layer's extra rotation keeps replica text deterministic."""
     from pyspark.sql import functions as F
 
     from distributed_mapreduce_spark.workload.registry import table
@@ -203,6 +244,7 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> dict:
         shutil.rmtree(out)
     out.mkdir(parents=True)
 
+    step = id_stride * ID_OFFSET
     docs = table(spark, src_dir, "documents")
     li = table(spark, src_dir, "lineitem")
 
@@ -212,7 +254,7 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> dict:
         dst = _rot(LOWER, r) + _rot(UPPER, r) + _rot(DIGITS, r)
         doc_parts.append(
             docs.select(
-                (F.col("doc_id") + r * ID_OFFSET).alias("doc_id"),
+                (F.col("doc_id") + r * step).alias("doc_id"),
                 F.translate(F.col("text"), src, dst).alias("text"),
                 "lang",
                 "source",
@@ -230,9 +272,9 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> dict:
     for r in range(factor):
         li_parts.append(
             li.select(
-                (F.col("l_orderkey") + r * ID_OFFSET).alias("l_orderkey"),
-                (F.col("l_partkey") + r * ID_OFFSET).alias("l_partkey"),
-                (F.col("l_suppkey") + r * ID_OFFSET).alias("l_suppkey"),
+                (F.col("l_orderkey") + r * step).alias("l_orderkey"),
+                (F.col("l_partkey") + r * step).alias("l_partkey"),
+                (F.col("l_suppkey") + r * step).alias("l_suppkey"),
                 "l_linenumber",
                 "l_quantity",
                 "l_extendedprice",
@@ -259,9 +301,9 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> dict:
         # "10 independent copies of the x1 workload".
         ev_parts.append(
             ev.select(
-                (F.col("event_id") + r * ID_OFFSET).alias("event_id"),
+                (F.col("event_id") + r * step).alias("event_id"),
                 "ts",
-                (F.col("user_id") + r * ID_OFFSET).alias("user_id"),
+                (F.col("user_id") + r * step).alias("user_id"),
                 "event_type",
                 "value",
                 "props",
@@ -306,9 +348,12 @@ def main() -> int:
     merge_from: str | None = None
     args = []
     do_x100 = False
+    do_x1000 = False
     for a in sys.argv[1:]:
         if a == "--x100":
             do_x100 = True
+        elif a == "--x1000":
+            do_x1000 = True
         elif a.startswith("--only="):
             only = [f for f in a.split("=", 1)[1].split(",") if f]
         elif a.startswith("--merge="):
@@ -317,8 +362,10 @@ def main() -> int:
             args.append(a)
     src_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     out_json = args[1] if len(args) > 1 else "/root/repo/SCALING_r06.json"
+    run_id = f"{Path(out_json).stem}-{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}"
     families = [q for q in FAMILIES if only is None or q in only]
     x100_families = [q for q in X100_FAMILIES if only is None or q in only]
+    x1000_families = [q for q in X1000_FAMILIES if only is None or q in only]
 
     from distributed_mapreduce_spark.session import get_spark
 
@@ -346,13 +393,19 @@ def main() -> int:
 
     results = {}
     if merge_from:
-        # Carried-forward rows are tagged with their provenance so the
-        # artifact distinguishes fresh measurements from prior-run
-        # timings; a fresh x1/x10 run below replaces the whole row
-        # (tag included), and an x100-only re-measure rewrites the tag
-        # to record the partial refresh.
+        # Carried-forward rows KEEP their originating run id (legacy
+        # rows that predate `measured_in` get the merge-source stem,
+        # the closest honest origin on record) and gain `carried: true`;
+        # a fresh x1/x10 run below replaces the whole row, and a
+        # partial x100/x1000 refresh stamps its own *_measured_in
+        # field. The merge target's own name is never written into a
+        # row (the round-7 self-citation bug).
         for name, row in json.loads(Path(merge_from).read_text())["queries"].items():
-            results[name] = {**row, "carried_from": Path(merge_from).name}
+            row = dict(row)
+            row.pop("carried_from", None)  # legacy self-referential tag
+            row.setdefault("measured_in", Path(merge_from).stem)
+            row["carried"] = True
+            results[name] = row
     for q in families:
         t1 = run_query(spark, q, f"{base}/x1")
         t10 = run_query(spark, q, f"{base}/x10")
@@ -367,12 +420,14 @@ def main() -> int:
             "sec_per_mrow_x1": round(t1 / n1 * 1e6, 3),
             "sec_per_mrow_x10": round(t10 / n10 * 1e6, 3),
             "slope_vs_linear": round(slope, 3),
+            "measured_in": run_id,
         }
         print(f"{q:28s} x1={t1:6.2f}s x10={t10:6.2f}s slope={slope:5.2f}", flush=True)
 
-    if do_x100:
+    if do_x100 or do_x1000:
         print("building x100 corpus ...", flush=True)
         rows_x100 = build_scaled(spark, src_dir, f"{base}/x100", 100)
+    if do_x100:
         for q in x100_families:
             # one warm-up + one timed run: at this volume run time
             # dwarfs trial noise, and 4 full runs would double the
@@ -390,10 +445,8 @@ def main() -> int:
             t100 = time.perf_counter() - t0
             n100 = rows_x100[input_table[q]]
             r = results[q]
-            if "carried_from" in r:
-                r["carried_from"] = (
-                    f"{r['carried_from']} (x1/x10 only; x100 re-measured)"
-                )
+            if r.get("carried"):
+                r["x100_measured_in"] = run_id
             r["x100_sec"] = round(t100, 3)
             r["rows_x100"] = n100
             r["sec_per_mrow_x100"] = round(t100 / n100 * 1e6, 3)
@@ -405,15 +458,58 @@ def main() -> int:
                 flush=True,
             )
 
+    if do_x1000:
+        # Third decade: 10 replicas OF the x100 corpus (id stride 100
+        # keeps every layer's id ranges disjoint while preserving the
+        # residue-gate divisibility of ID_OFFSET).
+        print("building x1000 corpus (10 x the x100 corpus) ...", flush=True)
+        rows_x1000 = build_scaled(
+            spark, f"{base}/x100", f"{base}/x1000", 10, id_stride=100
+        )
+        print(f"rows x1000={rows_x1000}", flush=True)
+        from distributed_mapreduce_spark.workload import QUERIES
+
+        for q in x1000_families:
+            QUERIES[q](spark, f"{base}/x1000").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t0 = time.perf_counter()
+            QUERIES[q](spark, f"{base}/x1000").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t1000 = time.perf_counter() - t0
+            n1000 = rows_x1000[input_table[q]]
+            r = results[q]
+            if r.get("carried"):
+                r["x1000_measured_in"] = run_id
+            r["x1000_sec"] = round(t1000, 3)
+            r["rows_x1000"] = n1000
+            r["sec_per_mrow_x1000"] = round(t1000 / n1000 * 1e6, 3)
+            if "x100_sec" in r and "rows_x100" in r:
+                r["slope_x1000_vs_x100"] = round(
+                    (t1000 / n1000) / (r["x100_sec"] / r["rows_x100"]), 3
+                )
+            print(
+                f"{q:28s} x1000={t1000:8.2f}s "
+                f"slope(x1000/x100)={r.get('slope_x1000_vs_x100', float('nan')):5.2f}",
+                flush=True,
+            )
+
+    decades = "10x"
+    if do_x100:
+        decades += " + 100x"
+    if do_x1000:
+        decades += " + 1000x (10 replicas of the x100 corpus, id stride 100)"
     artifact = {
         "method": (
-            f"{FACTOR}x{' and 100x' if do_x100 else ''} deterministic "
+            f"{decades} deterministic "
             f"replication of {src_dir} (disjoint id ranges preserving "
             "residue gates, per-replica Caesar-rotated text so token "
             "spaces are disjoint); 1 untimed warm-up + min of "
-            f"{TRIALS} trials per point (x100: warm-up + 1 run), "
+            f"{TRIALS} trials per point (x100/x1000: warm-up + 1 run), "
             "noop sink, local[32]"
         ),
+        "run_id": run_id,
         "src": src_dir,
         "factor": FACTOR,
         "trials": TRIALS,
