@@ -119,6 +119,10 @@ HEADLINE = [
     "text_rake_keywords",
     "partition_consistent_ring",
     "events_markov_stationary",
+    # round-8: the recall audit's production half (band candidates +
+    # verify, no truth set) — the per-ingest-batch dedup path, now a
+    # first-class scaling family (VERDICT r07 #4)
+    "dedup_lsh_candidates",
 ]
 
 
@@ -126,15 +130,21 @@ HEADLINE = [
 #: background burst inflates at most the trial it lands on, not the
 #: artifact (round-2's recorded bench was ~1.35x ambient-load noise).
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
-#: 1-minute loadavg above this (machine already busy before we start)
-#: triggers a bounded settle wait.
-LOAD_GUARD = float(os.environ.get("SPARK_GRAFT_BENCH_MAXLOAD", "8.0"))
+#: Idle gate (VERDICT r07 #8): timing only starts once the 1-minute
+#: loadavg is below this. The round-7 worktree drift (42.5 s committed
+#: at loadavg 0.5 vs 47.7 s re-run at 5.57) is exactly the noise this
+#: formalizes away; the gate threshold and the observed loadavg are both
+#: recorded in the artifact so a loaded-machine run is self-evidently
+#: non-comparable.
+LOAD_GUARD = float(os.environ.get("SPARK_GRAFT_BENCH_MAXLOAD", "1.0"))
 
 
-def wait_for_quiet(max_wait_s: float = 120.0) -> float:
-    """Best-effort ambient-load guard: wait (bounded) for the 1-minute
-    loadavg to drop below LOAD_GUARD before timing starts. Returns the
-    loadavg observed when timing begins."""
+def wait_for_quiet(max_wait_s: float = 600.0) -> float:
+    """Idle gate: wait (bounded) for the 1-minute loadavg to drop below
+    LOAD_GUARD before timing starts. Returns the loadavg observed when
+    timing begins — if it is still above the gate after the bounded
+    wait, timing proceeds but the artifact records idle_gate_met=false
+    rather than silently publishing a non-comparable number."""
     deadline = time.monotonic() + max_wait_s
     load = os.getloadavg()[0]
     while load > LOAD_GUARD and time.monotonic() < deadline:
@@ -179,14 +189,21 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "trials": TRIALS,
+        "load_gate": LOAD_GUARD,
         "loadavg_at_start": load_at_start,
+        "idle_gate_met": load_at_start <= LOAD_GUARD,
     }
     # Committed round artifacts folded into the bench line so the
     # driver's BENCH_r{N}.json carries them: the x1-vs-x10 scaling
-    # slope (tools/scaling_bench.py) and the full-registry sf0.01 cost
-    # accounting (tools/check_correctness.py --timing).
+    # slope (tools/scaling_bench.py), the full-registry sf0.01 cost
+    # accounting (tools/check_correctness.py), and the external
+    # DuckDB-oracle timing anchor (tools/duckdb_anchor.py).
     here = os.path.dirname(os.path.abspath(__file__))
-    for key, fname in (("scaling", "SCALING_r07.json"), ("registry_cost", "REGISTRY_COST.json")):
+    for key, fname in (
+        ("scaling", "SCALING_r08.json"),
+        ("registry_cost", "REGISTRY_COST.json"),
+        ("duckdb_anchor", "DUCKDB_ANCHOR.json"),
+    ):
         p = os.path.join(here, fname)
         if os.path.exists(p):
             try:
@@ -194,12 +211,41 @@ def main() -> None:
                     out[key] = json.load(f)
             except (OSError, json.JSONDecodeError):
                 pass
+    # Engine-vs-engine ratio table (VERDICT r07 #1): Spark wall time /
+    # DuckDB-oracle wall time per headline query, at matching sf. >2x
+    # marks a tuning target; <1 means the distributed plan already beats
+    # the single-node engine on one box.
+    anchor = out.get("duckdb_anchor")
+    if anchor and anchor.get("sf_dir", "").rstrip("/") == sf_dir.rstrip("/"):
+        per_q = {}
+        ratios = []
+        for name, spark_sec in times.items():
+            d = anchor["queries"].get(name)
+            if d:
+                ratio = round(spark_sec / d, 3)
+                per_q[name] = {
+                    "spark_sec": spark_sec,
+                    "duckdb_sec": d,
+                    "ratio": ratio,
+                }
+                ratios.append(ratio)
+        if ratios:
+            ratios.sort()
+            out["vs_duckdb"] = {
+                "per_query": per_q,
+                "n_compared": len(ratios),
+                "median_ratio": ratios[len(ratios) // 2],
+                "n_spark_faster": sum(1 for r in ratios if r < 1.0),
+                "flagged_over_2x": sorted(
+                    n for n, v in per_q.items() if v["ratio"] > 2.0
+                ),
+            }
     # The driver's BENCH_r{N}.json keeps only a 2000-char tail of stdout,
     # which truncates the per-query dict (round 4/5 lost their per-query
     # baselines). Persist the full line as a committed artifact so
     # round-over-round per-query comparison never needs a judge re-run.
     self_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF_r07.json")
+        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF_r08.json")
     )
     try:
         with open(self_path, "w") as f:

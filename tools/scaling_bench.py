@@ -26,7 +26,7 @@ indicate a super-linear stage that would not survive 100 TB.
 
 Usage: python tools/scaling_bench.py [src_sf_dir] [out_json] [--x100]
        [--x1000] [--only=fam1,fam2] [--merge=prior.json]
-Writes the JSON artifact (default SCALING_r06.json — keep in sync with
+Writes the JSON artifact (default SCALING_r08.json — keep in sync with
 the filename bench.py embeds) that bench.py
 embeds under its "scaling" key. With --x100, additionally builds a
 100x corpus and re-times the X100_FAMILIES subset (one warm-up + one
@@ -361,7 +361,7 @@ def main() -> int:
         else:
             args.append(a)
     src_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
-    out_json = args[1] if len(args) > 1 else "/root/repo/SCALING_r06.json"
+    out_json = args[1] if len(args) > 1 else "/root/repo/SCALING_r08.json"
     run_id = f"{Path(out_json).stem}-{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}"
     families = [q for q in FAMILIES if only is None or q in only]
     x100_families = [q for q in X100_FAMILIES if only is None or q in only]
