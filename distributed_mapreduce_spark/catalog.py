@@ -66,8 +66,36 @@ class Catalog:
 
     def get_to_local(self, name: str, local_path: str) -> None:
         """Export to one local CSV file (the reference's get writes one
-        local file; single-file merge only at this terminal step)."""
-        self.get(name).toPandas().to_csv(local_path, index=False)
+        local file; single-file merge only at this terminal step).
+
+        Executor-side write: `sink_merged_csv` coalesces to ONE task
+        (no shuffle, upstream stages at full parallelism) which streams
+        rows straight to a part file; the driver then renames that file
+        into place. Driver memory never holds the dataset — the old
+        `toPandas().to_csv` path materialized the whole export in the
+        driver, the one full-dataset driver materialization left in the
+        API layer (VERDICT r07 #7)."""
+        import glob
+        import tempfile
+
+        from distributed_mapreduce_spark.sources.sinks import sink_merged_csv
+
+        staging = tempfile.mkdtemp(
+            prefix=f".get_{name}_", dir=os.path.dirname(os.path.abspath(local_path)) or "."
+        )
+        try:
+            out_dir = os.path.join(staging, "csv")
+            sink_merged_csv(self.get(name), out_dir)
+            parts = glob.glob(os.path.join(out_dir, "part-*.csv"))
+            if not parts:  # empty dataset: header-only file via the same sink
+                parts = glob.glob(os.path.join(out_dir, "part-*"))
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"expected exactly one part file in {out_dir}, got {parts}"
+                )
+            os.replace(parts[0], local_path)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     # -- delete (REPL `delete`, fileserver.py:1248-1250)
 
