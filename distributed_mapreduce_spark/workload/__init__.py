@@ -92,6 +92,15 @@ from distributed_mapreduce_spark.workload import importance  # noqa: F401,E402
 # semantic near-dup stays covered by `semdedup_keep_verdicts` + the
 # sf0.1 certification of the rotated-out row). Rotated-out queries
 # stay registered + sf0.1-certified.
+#
+# Round-8 swap (VERDICT r07 #3): the two families with no driver row
+# get one each — `events_sessionize` (gap sessionization, THE
+# canonical event-time operator) and `retention_cohorts` (the journey/
+# behavioral family's cohort-retention matrix). Rotated out:
+# `ann_bruteforce` (ANN keeps `ann_ivf`, the scale path; bruteforce is
+# the brute baseline) and `retrieval_rrf_fusion` (retrieval keeps
+# `bm25_top_docs` + the stronger `retrieval_hard_negatives` compose).
+# Rotated-out queries stay registered + sf0.1-certified.
 
 # The grading driver samples the FIRST 50 registered queries. Pin that
 # prefix EXPLICITLY: SURVEY §2 parity + one green representative per
@@ -111,9 +120,9 @@ _PREFIX = [
     "union_distinct", "partition_hash_assign", "maplejuice_exe_pipeline",
     "partition_rows_scalable", "partition_range_assign", "dedup_exact",
     "dedup_lsh_recall_audit", "tcloseness_audit", "bm25_top_docs",
-    "dedup_clusters", "ann_bruteforce", "ann_ivf",
+    "dedup_clusters", "events_sessionize", "ann_ivf",
     "dedup_winnowing_fingerprints",
-    "retrieval_rrf_fusion", "multimodal_decode_errors",
+    "retention_cohorts", "multimodal_decode_errors",
     "sql_recursive_hierarchy_rollup",
     "quality_gates_cohen_kappa", "text_lang_id", "target_encode_loo",
     "tokenizer_bpe_merges", "retrieval_hard_negatives", "text_scrub_pii",
