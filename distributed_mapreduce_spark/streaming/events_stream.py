@@ -257,6 +257,144 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     q.awaitTermination()
 
 
+#: Interval strings accepted by the late-audit pair below (a deliberate
+#: subset of Spark's interval syntax — enough for watermark delays).
+_INTERVAL_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    n, unit = interval.strip().split()
+    return int(n) * _INTERVAL_UNITS[unit.lower()]
+
+
+def run_windowed_with_late_audit(
+    spark: SparkSession,
+    directory: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = 1,
+) -> tuple[dict, int]:
+    """Run `windowed_counts` over a landing directory (availableNow,
+    UPDATE mode) and account for late data: returns ``(final_rows,
+    dropped_total)`` where ``final_rows`` maps (ws, event_type) ->
+    (n_events, sum_value) from the LAST emission per window key and
+    ``dropped_total`` sums the state store's
+    ``numRowsDroppedByWatermark`` across micro-batches — the engine's
+    own count of input rows discarded behind the watermark, now a
+    certified output rather than a log curiosity (VERDICT r07 #6).
+
+    Update mode (not append) so every window's final accumulated count
+    is observable on a closed input — append holds back windows the
+    watermark has not passed. foreachBatch runs batches strictly in
+    order, so plain dict overwrite IS last-emission-wins. The upsert
+    collect is O(emitted window keys per batch), never O(events).
+    """
+    emitted: dict[tuple, tuple] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():
+            emitted[(r["ws"], r["event_type"])] = (r["n_events"], r["sum_value"])
+
+    q = (
+        windowed_counts(
+            read_events_stream(spark, directory, max_files_per_trigger),
+            window,
+            watermark,
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
+    return emitted, dropped
+
+
+def windowed_counts_batch_twin(
+    spark: SparkSession,
+    files_in_order: list[str],
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> tuple[DataFrame, int]:
+    """BATCH twin of :func:`run_windowed_with_late_audit`'s
+    admissibility predicate: replay the file sequence the stream source
+    takes (oldest first) and apply Spark's watermark semantics in plain
+    batch SQL. Returns ``(admitted_counts_df, n_dropped)``.
+
+    The predicate, stated exactly:
+
+    - the watermark in force while file i is processed is
+      ``max(event ts over files 0..i-1) - delay`` (watermarks update at
+      micro-batch END and are monotone non-decreasing; before the first
+      batch there is no watermark and everything is admitted);
+    - a row is DROPPED iff the END of its tumbling window is strictly
+      BEFORE that watermark. ``window.end == watermark`` is ADMITTED:
+      the window is evicted only once the watermark moves PAST its end
+      (end timestamps are exclusive), so the boundary row still finds
+      live state. Pinned empirically at the exact boundary by
+      tests/test_streaming.py::test_watermark_late_audit_matches_batch_twin
+      (two injected rows with window end == watermark must be counted,
+      not dropped).
+
+    The per-file max relation is |files| rows (bounded collect — the
+    file sequence is the unit of certification, not the data), and the
+    watermark table broadcast-joins back; everything row-scale stays
+    distributed.
+    """
+    delay_s = _interval_seconds(watermark)
+
+    parts = [
+        spark.read.parquet(f).withColumn("_seq", F.lit(i))
+        for i, f in enumerate(files_in_order)
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionAll(p)
+
+    maxes = {
+        r["_seq"]: r["m"]
+        for r in allr.groupBy("_seq").agg(F.max("ts").alias("m")).collect()
+    }
+    import datetime as _dt
+
+    wm_rows = []
+    running: _dt.datetime | None = None
+    for i in range(len(files_in_order)):
+        wm_rows.append((i, running - _dt.timedelta(seconds=delay_s) if running else None))
+        m = maxes.get(i)
+        if m is not None and (running is None or m > running):
+            running = m
+    wm_df = spark.createDataFrame(wm_rows, schema="_seq int, _wm timestamp")
+
+    annotated = allr.join(F.broadcast(wm_df), "_seq").withColumn(
+        "_wend", F.window("ts", window).getField("end")
+    )
+    is_dropped = F.col("_wm").isNotNull() & (F.col("_wend") < F.col("_wm"))
+    n_dropped = annotated.filter(is_dropped).count()
+    admitted = annotated.filter(~is_dropped)
+    counts = (
+        admitted.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(30,6)")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "sum_value")
+    )
+    return counts, n_dropped
+
+
 def multi_grain_counts(events: DataFrame, watermark: str = "2 hours"):
     """Streaming twin of `events_multi_rollup`'s grains, as parallel
     streaming aggregations from one source (streaming cannot chain two

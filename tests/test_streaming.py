@@ -152,6 +152,83 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     assert dropped == 1
 
 
+def test_watermark_late_audit_matches_batch_twin(spark, tmp_path):
+    """Event-time watermark + late-data ACCOUNTING certification
+    (VERDICT r07 #6): run the windowed aggregation over four
+    micro-batches with late rows injected — including two rows whose
+    window end falls EXACTLY on the watermark, pinning the boundary
+    (they are ADMITTED: eviction requires the watermark to pass the
+    exclusive window end) — and certify BOTH outputs against the batch
+    twin computing the same admissibility predicate: the final
+    per-window counts must be bit-equal over admitted rows, and the
+    stream's own numRowsDroppedByWatermark total must equal the twin's
+    predicate count. admitted + dropped = total closes the
+    accounting."""
+    import datetime as dt
+    import glob
+    import shutil
+    import time
+
+    from distributed_mapreduce_spark.streaming.events_stream import (
+        run_windowed_with_late_audit,
+        windowed_counts_batch_twin,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def land(rows, name):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], str(landing / f"{name}.parquet")
+        )
+
+    T = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(i, minutes, etype="click"):
+        return (i, T + dt.timedelta(minutes=minutes), 1, etype, float(i), "{}")
+
+    # Window 1h, watermark delay 1h. Batch-end watermarks: none, 11:00,
+    # 12:00, 12:40.
+    land([ev(1, 0), ev(2, 10), ev(3, 20, "view"), ev(4, 120)], "a")
+    time.sleep(1.1)
+    # 10:30 -> [10,11) end 11:00 == wm 11:00: EXACT boundary (ADMITTED
+    # — eviction needs wm PAST the exclusive end); 11:40 -> end 12:00 >
+    # 11:00: admitted; 13:00 advances wm to 12:00.
+    land([ev(5, 30), ev(6, 100, "view"), ev(7, 180)], "b")
+    time.sleep(1.1)
+    # 11:30 -> end 12:00 == wm 12:00: boundary (ADMITTED); 10:40 -> end
+    # 11:00 < 12:00: late (DROPPED); 13:40 advances wm to 12:40.
+    land([ev(8, 90), ev(9, 40, "view"), ev(10, 220)], "c")
+    time.sleep(1.1)
+    # 12:10 -> end 13:00 > 12:40: late-but-within-watermark (admitted);
+    # 10:50 -> end 11:00 < 12:40: late (DROPPED); 14:00 on time.
+    land([ev(11, 130, "view"), ev(12, 240), ev(13, 50, "view")], "d")
+
+    got, dropped = run_windowed_with_late_audit(
+        spark, str(landing), "1 hour", "1 hour"
+    )
+    files = [str(landing / f"{n}.parquet") for n in "abcd"]
+    twin_df, twin_dropped = windowed_counts_batch_twin(
+        spark, files, "1 hour", "1 hour"
+    )
+    expected = {
+        (r["ws"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in twin_df.collect()
+    }
+    assert got == expected and len(got) > 0
+    assert dropped == twin_dropped
+    # Late rows really were injected and dropped (ids 9 and 13); the
+    # two boundary rows (5 and 8) were admitted, not dropped.
+    assert dropped == 2
+    # Accounting closes: every input row is either counted or dropped.
+    assert sum(n for n, _ in got.values()) + dropped == 13
+
+
 def test_stream_dedup_within_watermark_removes_redelivery(spark, tmp_path):
     """The same event_id delivered in two micro-batches survives once."""
     import datetime as dt
