@@ -167,3 +167,40 @@ def test_pointer_jump_cc_converges_logarithmically_on_chain(spark):
         for r in connected_components(pairs, max_iter=50).collect()
     }
     assert plain == jump
+
+
+def test_pair_volume_cache_invalidates_on_data_regeneration(tmp_path):
+    """The memoized pair-volume sizing must key on dataset CONTENT, not
+    path (ADVICE r07): regenerating files in place under the same
+    sf_dir changes the fingerprint, so a stale volume can never mis-size
+    the shuffle. Driver-side only — no Spark session involved."""
+    import os
+    import time as _time
+
+    from distributed_mapreduce_spark.workload.dedup import (
+        _dataset_fingerprint,
+        clear_pair_volume_cache,
+    )
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    f = d / "documents.parquet"
+    f.write_bytes(b"v1")
+    fp1 = _dataset_fingerprint(str(d))
+    assert fp1 == _dataset_fingerprint(str(d))  # stable when untouched
+
+    # same path, regenerated content -> different fingerprint (size or
+    # mtime_ns moves; bump mtime explicitly so same-size rewrites on
+    # coarse-mtime filesystems still register)
+    f.write_bytes(b"v2-longer")
+    fp2 = _dataset_fingerprint(str(d))
+    assert fp2 != fp1
+    st = os.stat(f)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    assert _dataset_fingerprint(str(d)) != fp2
+
+    # non-data files are ignored; the explicit hook exists and is a
+    # no-op-safe clear
+    (d / "_SUCCESS").write_bytes(b"")
+    assert len(_dataset_fingerprint(str(d))) == 1
+    clear_pair_volume_cache()
