@@ -25,7 +25,11 @@ row at 10x the data. 1.0 is perfectly linear; < 1 means fixed overhead
 indicate a super-linear stage that would not survive 100 TB.
 
 Usage: python tools/scaling_bench.py [src_sf_dir] [out_json] [--x100]
-       [--x1000] [--only=fam1,fam2] [--merge=prior.json]
+       [--x1000] [--only=fam1,fam2] [--merge=prior.json] [--reuse]
+--reuse skips rebuilding a scaled corpus whose directory already exists
+(the build is deterministic, so an existing dir from an earlier run of
+the SAME harness version is byte-equivalent; row counts are re-read
+from the parquet metadata).
 Writes the JSON artifact (default SCALING_r08.json — keep in sync with
 the filename bench.py embeds) that bench.py
 embeds under its "scaling" key. With --x100, additionally builds a
@@ -337,6 +341,17 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     best = float("inf")
     for _ in range(TRIALS):
+        # Round-8 methodology fix: several queries persist() an
+        # intermediate INSIDE one invocation (legitimate intra-query
+        # reuse: shingle table, Markov matrix, global_rank's ranged
+        # relation). Spark's CacheManager matches re-built identical
+        # plans, so WITHOUT this clear the timed run silently rides the
+        # warm-up run's cache and measures only the post-cache stages
+        # (events_markov_stationary timed flat ~1.2 s from 1 M to
+        # 100 M input rows before this fix). Clearing between runs
+        # kills cross-invocation riding; each timed run still
+        # re-populates and reuses its OWN persist within the run.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
@@ -349,11 +364,14 @@ def main() -> int:
     args = []
     do_x100 = False
     do_x1000 = False
+    reuse = False
     for a in sys.argv[1:]:
         if a == "--x100":
             do_x100 = True
         elif a == "--x1000":
             do_x1000 = True
+        elif a == "--reuse":
+            reuse = True
         elif a.startswith("--only="):
             only = [f for f in a.split("=", 1)[1].split(",") if f]
         elif a.startswith("--merge="):
@@ -372,9 +390,18 @@ def main() -> int:
     spark = get_spark("scaling_bench", cpus=32, shuffle_partitions=32)
 
     base = "/tmp/spark_graft_scaling"
+
+    def maybe_build(src, out, factor, id_stride=1):
+        if reuse and Path(out).exists():
+            return {
+                t: spark.read.parquet(f"{out}/{t}.parquet").count()
+                for t in ("documents", "lineitem", "events")
+            }
+        return build_scaled(spark, src, out, factor, id_stride)
+
     print("building x1 / x10 corpora ...", flush=True)
-    rows_x1 = build_scaled(spark, src_dir, f"{base}/x1", 1)
-    rows_x10 = build_scaled(spark, src_dir, f"{base}/x10", FACTOR)
+    rows_x1 = maybe_build(src_dir, f"{base}/x1", 1)
+    rows_x10 = maybe_build(src_dir, f"{base}/x10", FACTOR)
     print(f"rows x1={rows_x1} x10={rows_x10}", flush=True)
 
     input_table = {
@@ -426,7 +453,7 @@ def main() -> int:
 
     if do_x100 or do_x1000:
         print("building x100 corpus ...", flush=True)
-        rows_x100 = build_scaled(spark, src_dir, f"{base}/x100", 100)
+        rows_x100 = maybe_build(src_dir, f"{base}/x100", 100)
     if do_x100:
         for q in x100_families:
             # one warm-up + one timed run: at this volume run time
@@ -438,6 +465,7 @@ def main() -> int:
             QUERIES[q](spark, QUERIES_RUN).write.format("noop").mode(
                 "overwrite"
             ).save()
+            spark.catalog.clearCache()  # no cross-run cache riding
             t0 = time.perf_counter()
             QUERIES[q](spark, QUERIES_RUN).write.format("noop").mode(
                 "overwrite"
@@ -463,9 +491,7 @@ def main() -> int:
         # keeps every layer's id ranges disjoint while preserving the
         # residue-gate divisibility of ID_OFFSET).
         print("building x1000 corpus (10 x the x100 corpus) ...", flush=True)
-        rows_x1000 = build_scaled(
-            spark, f"{base}/x100", f"{base}/x1000", 10, id_stride=100
-        )
+        rows_x1000 = maybe_build(f"{base}/x100", f"{base}/x1000", 10, id_stride=100)
         print(f"rows x1000={rows_x1000}", flush=True)
         from distributed_mapreduce_spark.workload import QUERIES
 
@@ -473,6 +499,7 @@ def main() -> int:
             QUERIES[q](spark, f"{base}/x1000").write.format("noop").mode(
                 "overwrite"
             ).save()
+            spark.catalog.clearCache()  # no cross-run cache riding
             t0 = time.perf_counter()
             QUERIES[q](spark, f"{base}/x1000").write.format("noop").mode(
                 "overwrite"
@@ -507,7 +534,9 @@ def main() -> int:
             "residue gates, per-replica Caesar-rotated text so token "
             "spaces are disjoint); 1 untimed warm-up + min of "
             f"{TRIALS} trials per point (x100/x1000: warm-up + 1 run), "
-            "noop sink, local[32]"
+            "noop sink, local[32]; spark.catalog.clearCache() before "
+            "every timed run (intra-query persist unaffected; no "
+            "cross-invocation cache riding — round-8 methodology fix)"
         ),
         "run_id": run_id,
         "src": src_dir,

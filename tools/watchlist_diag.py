@@ -99,6 +99,7 @@ def _time_query(spark, name: str, sf_dir: str, trials: int = 2) -> float:
     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     best = float("inf")
     for _ in range(trials):
+        spark.catalog.clearCache()  # no cross-run cache riding
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
