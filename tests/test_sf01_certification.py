@@ -26,7 +26,7 @@ sys.path.insert(0, "/root/repo/tools")
 def test_full_registry_sf01_certification():
     from check_correctness import run
 
-    round_no = os.environ.get("SPARK_GRAFT_ROUND", "7")
+    round_no = os.environ.get("SPARK_GRAFT_ROUND", "8")
     log = f"/root/repo/CORRECTNESS_SF01_r{round_no}.log"
     failures = run("/root/testdata/sf0.1", log_path=log)
     assert failures == 0, f"sf0.1 certification failed — see {log}"
