@@ -1593,25 +1593,44 @@ def q_semdedup_keep_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy rule is a pure pair aggregate, one round, no iteration).
 
     Plan: the capped cell self-join from `embedding_near_dup`
-    generates candidate pairs (never corpus x corpus); verdicts are
-    one hash-aggregate keyed by the higher pair member plus an outer
-    join to tag kept members. ≤2·|pairs| intermediate rows."""
+    generates candidate pairs (never corpus x corpus); each pair then
+    explodes into its two member rows (the hi side carrying the
+    duplicate evidence, the lo side carrying none) and ONE
+    hash-aggregate keyed by vec_id produces every verdict. The pair
+    relation — the expensive part, it carries the cosine fold — is
+    computed exactly once and shuffled exactly once; the previous
+    members-distinct + left-join formulation recomputed it twice and
+    paid three shuffles (the round-8 DuckDB anchor flagged this row as
+    the only heavy query over 2x the oracle engine; this rewrite is
+    the fix). ≤2·|pairs| intermediate rows, same as before."""
     pairs = near_dup_pairs_cell_capped(table(spark, sf_dir, "embeddings")).select(
         F.col("vec_a").alias("lo"), F.col("vec_b").alias("hi"), "cos_u"
     )
-    members = (
-        pairs.select(F.col("lo").alias("vec_id"))
-        .union(pairs.select(F.col("hi").alias("vec_id")))
-        .distinct()
+    sides = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lo").alias("vec_id"),
+                    F.lit(0).alias("is_hi"),
+                    F.lit(0).cast("long").alias("cos_u"),
+                ),
+                F.struct(
+                    F.col("hi").alias("vec_id"),
+                    F.lit(1).alias("is_hi"),
+                    F.col("cos_u").alias("cos_u"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return sides.groupBy("vec_id").agg(
+        F.sum("is_hi").cast("long").alias("n_dup_lower"),
+        F.coalesce(
+            F.max(F.when(F.col("is_hi") == 1, F.col("cos_u"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("max_cos_u_lower"),
+        (F.sum("is_hi") == 0).alias("keep"),
     )
-    verdicts = members.join(
-        pairs, pairs["hi"] == members["vec_id"], "left"
-    ).groupBy("vec_id").agg(
-        F.count("lo").cast("long").alias("n_dup_lower"),
-        F.coalesce(F.max("cos_u"), F.lit(0)).cast("long").alias("max_cos_u_lower"),
-        (F.count("lo") == 0).alias("keep"),
-    )
-    return verdicts
 
 
 #: QA-sample stratification: cosine-decile bucket width (µ-units) and
