@@ -215,6 +215,14 @@ X1000_FAMILIES = [
     "cuped_adjusted_lift",
     "events_markov_stationary",
     "vocab_build",
+    # round-8 widening: three more third-decade shapes, all
+    # replication-invariant per row (unlike er_blocking_audit, whose
+    # fingerprint truth pairs go quadratic in replicas-per-rotation at
+    # x1000 — 38+ identical replicas per Caesar rotation — and would
+    # measure corpus self-similarity, not the engine).
+    "text_simpson_diversity",   # two-level hash-agg @ 5 M docs
+    "corpus_domain_cap",        # coarse-key (20 sources) window @ 5 M docs
+    "event_type_trigrams",      # per-user double-lag window @ 100 M events
 ]
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
