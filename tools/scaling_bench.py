@@ -427,6 +427,7 @@ def main() -> int:
     input_table["cuped_adjusted_lift"] = "events"
 
     results = {}
+    carried_notes: dict = {}
     if merge_from:
         # Carried-forward rows KEEP their originating run id (legacy
         # rows that predate `measured_in` get the merge-source stem,
@@ -435,7 +436,11 @@ def main() -> int:
         # partial x100/x1000 refresh stamps its own *_measured_in
         # field. The merge target's own name is never written into a
         # row (the round-7 self-citation bug).
-        for name, row in json.loads(Path(merge_from).read_text())["queries"].items():
+        prior = json.loads(Path(merge_from).read_text())
+        # narrative notes survive partial refreshes — a merge run must
+        # never silently drop the artifact's documented diagnoses
+        carried_notes = prior.get("notes", {})
+        for name, row in prior["queries"].items():
             row = dict(row)
             row.pop("carried_from", None)  # legacy self-referential tag
             row.setdefault("measured_in", Path(merge_from).stem)
@@ -552,6 +557,8 @@ def main() -> int:
         "trials": TRIALS,
         "queries": results,
     }
+    if carried_notes:
+        artifact["notes"] = carried_notes
     Path(out_json).write_text(json.dumps(artifact, indent=2) + "\n")
     print(f"wrote {out_json}")
     return 0
