@@ -223,6 +223,7 @@ X1000_FAMILIES = [
     "text_simpson_diversity",   # two-level hash-agg @ 5 M docs
     "corpus_domain_cap",        # coarse-key (20 sources) window @ 5 M docs
     "event_type_trigrams",      # per-user double-lag window @ 100 M events
+    "events_gap_fill_interpolate",  # per-user grid explode + interpolation window @ 100 M events
 ]
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
