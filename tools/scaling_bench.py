@@ -367,6 +367,25 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return best
 
 
+def merge_carried(prior: dict, merge_source_stem: str) -> tuple[dict, dict]:
+    """Seed a results dict from a prior artifact with honest provenance
+    (VERDICT r07 #5, unit-tested): every carried row keeps its ORIGINAL
+    ``measured_in`` (legacy rows that predate the field get the
+    merge-source stem — the closest honest origin on record), gains
+    ``carried: true``, and sheds the legacy self-referential
+    ``carried_from`` tag. The merge TARGET's name is never written into
+    a row. Returns (rows, carried_notes) — narrative notes survive the
+    merge too (a partial refresh must not drop documented diagnoses)."""
+    rows = {}
+    for name, row in prior["queries"].items():
+        row = dict(row)
+        row.pop("carried_from", None)
+        row.setdefault("measured_in", merge_source_stem)
+        row["carried"] = True
+        rows[name] = row
+    return rows, prior.get("notes", {})
+
+
 def main() -> int:
     only: list[str] | None = None
     merge_from: str | None = None
@@ -430,23 +449,12 @@ def main() -> int:
     results = {}
     carried_notes: dict = {}
     if merge_from:
-        # Carried-forward rows KEEP their originating run id (legacy
-        # rows that predate `measured_in` get the merge-source stem,
-        # the closest honest origin on record) and gain `carried: true`;
-        # a fresh x1/x10 run below replaces the whole row, and a
-        # partial x100/x1000 refresh stamps its own *_measured_in
-        # field. The merge target's own name is never written into a
-        # row (the round-7 self-citation bug).
-        prior = json.loads(Path(merge_from).read_text())
-        # narrative notes survive partial refreshes — a merge run must
-        # never silently drop the artifact's documented diagnoses
-        carried_notes = prior.get("notes", {})
-        for name, row in prior["queries"].items():
-            row = dict(row)
-            row.pop("carried_from", None)  # legacy self-referential tag
-            row.setdefault("measured_in", Path(merge_from).stem)
-            row["carried"] = True
-            results[name] = row
+        # See merge_carried: originating run ids preserved, carried flag
+        # added, no self-citation, notes survive (the round-7 bug and
+        # its round-8 regression are both unit-pinned).
+        results, carried_notes = merge_carried(
+            json.loads(Path(merge_from).read_text()), Path(merge_from).stem
+        )
     for q in families:
         t1 = run_query(spark, q, f"{base}/x1")
         t10 = run_query(spark, q, f"{base}/x10")
