@@ -213,13 +213,20 @@ def main() -> None:
     # accounting (tools/check_correctness.py), and the external
     # DuckDB-oracle timing anchor (tools/duckdb_anchor.py).
     here = os.path.dirname(os.path.abspath(__file__))
-    for key, fname in (
-        ("scaling", "SCALING_r08.json"),
-        ("registry_cost", "REGISTRY_COST.json"),
-        ("duckdb_anchor", "DUCKDB_ANCHOR.json"),
+    for key, fnames in (
+        ("scaling", ("SCALING_r09.json", "SCALING_r08.json")),
+        ("registry_cost", ("REGISTRY_COST.json",)),
+        ("duckdb_anchor", ("DUCKDB_ANCHOR.json",)),
     ):
-        p = os.path.join(here, fname)
-        if os.path.exists(p):
+        p = next(
+            (
+                q
+                for q in (os.path.join(here, f) for f in fnames)
+                if os.path.exists(q)
+            ),
+            None,
+        )
+        if p:
             try:
                 with open(p) as f:
                     out[key] = json.load(f)
@@ -277,12 +284,14 @@ def main() -> None:
                     n for n, v in per_q.items() if v["ratio"] > 2.0
                 ),
             }
-    # The driver's BENCH_r{N}.json keeps only a 2000-char tail of stdout,
-    # which truncates the per-query dict (round 4/5 lost their per-query
-    # baselines). Persist the full line as a committed artifact so
-    # round-over-round per-query comparison never needs a judge re-run.
+    # The driver's BENCH_r{N}.json keeps only a 2000-char tail of stdout
+    # and parses a JSON line out of it: rounds 1-3 (line <= ~1 kB) have
+    # `parsed` populated, rounds 4-8 (per-query table pushed the line
+    # past 2 kB) have `parsed: null`. Persist the FULL result as a
+    # committed artifact, then print a compact line guaranteed to fit
+    # the driver's tail window as the only stdout output.
     self_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF_r08.json")
+        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF_r09.json")
     )
     try:
         with open(self_path, "w") as f:
@@ -290,7 +299,45 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass
-    print(json.dumps(out))
+    print(json.dumps(compact_line(out, os.path.basename(self_path))))
+
+
+def compact_line(out: dict, self_name: str, budget: int = 1800) -> dict:
+    """Contract-shaped summary that serializes under `budget` bytes.
+
+    Keeps `metric`/`value`/`unit`/`sf` and as many per-query timings as
+    fit (heaviest first — those are the ones a reader compares across
+    rounds); the dropped light queries are counted in
+    `queries_omitted` and live in full in the committed self artifact.
+    """
+    vs = out.get("vs_duckdb") or {}
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "trials": out.get("trials"),
+        "idle_gate_met": out.get("idle_gate_met"),
+        "n_queries": len(out["queries"]),
+        "full_artifact": self_name,
+        "queries": {},
+    }
+    for k in (
+        "aggregate_ratio",
+        "median_ratio_heavy",
+        "n_heavy",
+        "n_spark_faster_heavy",
+    ):
+        if k in vs:
+            compact[f"vs_duckdb_{k}"] = vs[k]
+    by_cost = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    for name, sec in by_cost:
+        compact["queries"][name] = sec
+        if len(json.dumps(compact)) > budget - 40:
+            del compact["queries"][name]
+            break
+    compact["queries_omitted"] = len(out["queries"]) - len(compact["queries"])
+    return compact
 
 
 if __name__ == "__main__":
