@@ -74,9 +74,20 @@ class Catalog:
         into place. Driver memory never holds the dataset — the old
         `toPandas().to_csv` path materialized the whole export in the
         driver, the one full-dataset driver materialization left in the
-        API layer (VERDICT r07 #7)."""
+        API layer (VERDICT r07 #7).
+
+        Output format is pinned to the pandas `to_csv` dialect the API
+        shipped with (ADVICE r08: the executor-side switch silently
+        changed it): embedded quotes are doubled per RFC 4180
+        (`escape='"'` — Spark's default is backslash-escaping),
+        timestamps render as `yyyy-MM-dd HH:mm:ss` (not ISO-8601 with
+        a `T`), and boolean columns are rendered `True`/`False` (not
+        Spark's `true`/`false`) via an explicit cast below."""
         import glob
         import tempfile
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         from distributed_mapreduce_spark.sources.sinks import sink_merged_csv
 
@@ -85,7 +96,22 @@ class Catalog:
         )
         try:
             out_dir = os.path.join(staging, "csv")
-            sink_merged_csv(self.get(name), out_dir)
+            df = self.get(name)
+            for f_ in df.schema.fields:
+                if isinstance(f_.dataType, T.BooleanType):
+                    df = df.withColumn(
+                        f_.name,
+                        F.when(F.col(f_.name), "True")
+                        .when(~F.col(f_.name), "False"),
+                    )
+            sink_merged_csv(
+                df,
+                out_dir,
+                options={
+                    "escape": '"',
+                    "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+                },
+            )
             parts = glob.glob(os.path.join(out_dir, "part-*.csv"))
             if not parts:  # empty dataset: header-only file via the same sink
                 parts = glob.glob(os.path.join(out_dir, "part-*"))

@@ -19,7 +19,13 @@ def sink_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by
     writer.parquet(path)
 
 
-def sink_merged_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+def sink_merged_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    mode: str = "overwrite",
+    options: dict | None = None,
+) -> None:
     """Merge the result into a single CSV file (parity with
     `conglomerate` + `put`, fileserver.py:598-635).
 
@@ -27,7 +33,10 @@ def sink_merged_csv(df: DataFrame, path: str, header: bool = True, mode: str = "
     stages still run at full parallelism. Only the final write is
     single-threaded — acceptable for small results, never for raw data.
     """
-    df.coalesce(1).write.mode(mode).option("header", header).csv(path)
+    w = df.coalesce(1).write.mode(mode).option("header", header)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.csv(path)
 
 
 def sink_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:

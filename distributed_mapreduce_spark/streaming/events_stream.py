@@ -295,29 +295,70 @@ def run_windowed_with_late_audit(
     collect is O(emitted window keys per batch), never O(events).
     """
     emitted: dict[tuple, tuple] = {}
+    n_batches = 0
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
         for r in batch_df.collect():
             emitted[(r["ws"], r["event_type"])] = (r["n_events"], r["sum_value"])
 
-    q = (
-        windowed_counts(
-            read_events_stream(spark, directory, max_files_per_trigger),
-            window,
-            watermark,
+    # recentProgress retains only the last
+    # spark.sql.streaming.numRecentProgressUpdates entries (default
+    # 100). With max_files_per_trigger=1 a landing directory with more
+    # files than that yields more micro-batches than the buffer holds,
+    # and summing over it would SILENTLY undercount the certified
+    # dropped_total. Raise the retention for this query's lifetime and
+    # hard-fail if the buffer still could not hold every batch —
+    # foreachBatch runs once per micro-batch, so its call count is the
+    # ground-truth batch count to check the progress log against.
+    prior = spark.conf.get(_PROGRESS_RETENTION_CONF, None)
+    spark.conf.set(_PROGRESS_RETENTION_CONF, str(_PROGRESS_RETENTION))
+    try:
+        q = (
+            windowed_counts(
+                read_events_stream(spark, directory, max_files_per_trigger),
+                window,
+                watermark,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("update")
-        .foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    dropped = sum(
-        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
-        for p in q.recentProgress
-        if p.get("stateOperators")
-    )
+        q.awaitTermination()
+        dropped = _certified_dropped_total(q.recentProgress, n_batches)
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROGRESS_RETENTION_CONF)
+        else:
+            spark.conf.set(_PROGRESS_RETENTION_CONF, prior)
     return emitted, dropped
+
+
+_PROGRESS_RETENTION_CONF = "spark.sql.streaming.numRecentProgressUpdates"
+#: Generous per-query retention: one entry per micro-batch; at
+#: max_files_per_trigger=1 this certifies directories up to 10k files.
+_PROGRESS_RETENTION = 10_000
+
+
+def _certified_dropped_total(progress: list, n_batches: int) -> int:
+    """Sum numRowsDroppedByWatermark over the progress log, REFUSING to
+    answer when the log provably does not cover every micro-batch (the
+    retention buffer evicted entries). A certified total must never
+    silently undercount."""
+    stateful = [p for p in progress if p.get("stateOperators")]
+    if n_batches > len(stateful):
+        raise RuntimeError(
+            "watermark drop audit: progress log holds "
+            f"{len(stateful)} stateful entries but {n_batches} "
+            "micro-batches ran — retention buffer overflowed; raise "
+            f"{_PROGRESS_RETENTION_CONF} above {n_batches}"
+        )
+    return sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in stateful
+    )
 
 
 def windowed_counts_batch_twin(

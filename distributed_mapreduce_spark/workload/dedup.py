@@ -440,6 +440,15 @@ def _dataset_fingerprint(path: str) -> tuple:
                 entries.append(
                     (os.path.relpath(p, path), st.st_mtime_ns, st.st_size)
                 )
+    if not entries:
+        # Non-local URIs (s3://, hdfs://) and missing dirs walk to
+        # nothing; without the path in the key every such dataset would
+        # collapse onto ONE memo entry and one dataset's measured pair
+        # volume would mis-size another's shuffle (ADVICE r08). Keying
+        # on the raw path keeps them distinct (at the cost of staleness
+        # protection, which os.stat cannot provide for remote stores —
+        # clear_pair_volume_cache() is the escape hatch there).
+        return ("__no_local_listing__", path)
     return tuple(sorted(entries))
 
 

@@ -95,3 +95,36 @@ def test_cli_put_select_maple_juice_get_roundtrip(
     # delete: removing a dataset succeeds once, then reports not-found.
     assert main(base + ["delete", "lines"]) == 0
     assert main(base + ["delete", "lines"]) == 1
+
+
+def test_get_to_local_keeps_pandas_csv_dialect(spark, tmp_path):
+    """The executor-side single-file export must keep the dialect the
+    API shipped with (ADVICE r08): embedded quotes doubled per RFC 4180
+    (not backslash-escaped), booleans True/False (not true/false), and
+    timestamps without the ISO 'T' separator."""
+    import datetime
+
+    from distributed_mapreduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [
+            (1, 'say "hi", ok', True, datetime.datetime(2024, 3, 1, 12, 30, 5)),
+            (2, "plain", False, datetime.datetime(2024, 3, 2, 0, 0, 0)),
+        ],
+        schema="id int, txt string, flag boolean, ts timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "store" / "t1"))
+    out = tmp_path / "t1.csv"
+    cat.get_to_local("t1", str(out))
+    text = out.read_text()
+    assert '"say ""hi"", ok"' in text  # RFC 4180 quote doubling
+    assert "\\" not in text  # no backslash escaping anywhere
+    assert "True" in text and "False" in text
+    assert "2024-03-01 12:30:05" in text and "T12:30" not in text
+    # pandas parses it back identically
+    import pandas as pd
+
+    rt = pd.read_csv(out).sort_values("id")
+    assert list(rt["txt"]) == ['say "hi", ok', "plain"]
+    assert list(rt["flag"]) == [True, False]

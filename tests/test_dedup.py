@@ -204,3 +204,23 @@ def test_pair_volume_cache_invalidates_on_data_regeneration(tmp_path):
     (d / "_SUCCESS").write_bytes(b"")
     assert len(_dataset_fingerprint(str(d))) == 1
     clear_pair_volume_cache()
+
+
+def test_dataset_fingerprint_nonlocal_paths_stay_distinct(tmp_path):
+    """Paths that walk to zero data files (remote URIs, missing dirs)
+    must NOT collapse to one memo key — the raw path is folded in so two
+    different unwalkable datasets never share a cached pair volume
+    (ADVICE r08)."""
+    from distributed_mapreduce_spark.workload.dedup import _dataset_fingerprint
+
+    fp_s3a = _dataset_fingerprint("s3a://bucket-a/corpus")
+    fp_s3b = _dataset_fingerprint("s3a://bucket-b/corpus")
+    fp_missing = _dataset_fingerprint(str(tmp_path / "does_not_exist"))
+    assert fp_s3a != fp_s3b
+    assert fp_s3a != fp_missing
+    assert fp_s3a == _dataset_fingerprint("s3a://bucket-a/corpus")  # stable
+    # a local dir WITH data files keeps the stat-based key (no path leak)
+    d = tmp_path / "sfY"
+    d.mkdir()
+    (d / "x.parquet").write_bytes(b"v1")
+    assert "__no_local_listing__" not in str(_dataset_fingerprint(str(d))[0])

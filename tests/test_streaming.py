@@ -1198,3 +1198,24 @@ def test_streaming_cms_sketch_matches_batch(spark, docs_dir):
             expected[(j, r.b)] = r.c
     assert final == expected
     assert len(emitted) > len(final), "state must carry across micro-batches"
+
+
+def test_certified_dropped_total_refuses_evicted_progress_log():
+    """The certified dropped_total must hard-fail, never silently
+    undercount, when recentProgress provably evicted entries: its
+    retention (numRecentProgressUpdates) caps the log, and with
+    max_files_per_trigger=1 a >cap landing dir runs more micro-batches
+    than the buffer holds (ADVICE r08)."""
+    import pytest as _pytest
+
+    from distributed_mapreduce_spark.streaming.events_stream import (
+        _certified_dropped_total,
+    )
+
+    entry = lambda n: {"stateOperators": [{"numRowsDroppedByWatermark": n}]}
+    # full coverage: plain sum (idle entries without stateOperators ignored)
+    log = [entry(2), {"stateOperators": []}, entry(3), {}]
+    assert _certified_dropped_total(log, n_batches=2) == 5
+    # eviction: 3 batches ran but only 2 stateful entries retained
+    with _pytest.raises(RuntimeError, match="retention buffer overflowed"):
+        _certified_dropped_total([entry(1), entry(1)], n_batches=3)

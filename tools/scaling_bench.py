@@ -230,24 +230,55 @@ LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
 DIGITS = "0123456789"
 
+#: Bump when the builder's output for the same (src, factor, id_stride)
+#: changes; _manifest.json records it so --reuse never times a corpus
+#: built by an older builder (ADVICE r08).
+BUILDER_VERSION = 2
 
-def _rot(s: str, k: int) -> str:
-    k %= len(s)
-    return s[k:] + s[:k]
+
+def _replica_perm(r: int, id_stride: int) -> str:
+    """Deterministic substitution alphabet for replica ``r``: an
+    independent seeded shuffle WITHIN each character class (lower /
+    upper / digit), so case and digit-ness are preserved and the
+    mapping is a bijection on characters.
+
+    v2 replaces the Caesar rotation of v1: rotations have only 26
+    distinct values, so replica 26 was byte-identical to replica 0 and
+    x100+ corpora measured their own self-similarity (duplicate density
+    grew with factor), forcing pair-family exclusions (VERDICT r08 #2).
+    Seeded permutations are unique per replica at any realistic factor
+    (26! per class), while staying a single JVM-side ``translate`` —
+    within one replica the cipher is a character bijection, so shingle
+    equality, duplicate structure, and edit distances are preserved
+    EXACTLY; across replicas text is unique. Replica 0 is the identity,
+    keeping the first slice byte-equal to the source at every layer."""
+    import random
+
+    if r == 0:
+        return LOWER + UPPER + DIGITS
+    rng = random.Random(f"spark-graft-replica:{id_stride}:{r}")
+    out = []
+    for cls in (LOWER, UPPER, DIGITS):
+        chars = list(cls)
+        rng.shuffle(chars)
+        out.append("".join(chars))
+    return "".join(out)
 
 
 def build_scaled(
     spark, src_dir: str, out_dir: str, factor: int, id_stride: int = 1
 ) -> dict:
     """Write documents.parquet and lineitem.parquet at `factor`x volume
-    (disjoint id ranges + per-replica Caesar text).
+    (disjoint id ranges + per-replica substitution-cipher text).
 
     ``id_stride`` composes scale layers: building x1000 as 10 replicas
     OF the x100 corpus needs each second-layer replica to shift ids by
     ``r * 100 * ID_OFFSET`` so the layers' id ranges stay disjoint
     (ID_OFFSET's residue-gate divisibility is preserved under any
-    integer multiple). Caesar rotations compose additively, so the
-    second layer's extra rotation keeps replica text deterministic."""
+    integer multiple). Permutations compose to permutations, so a
+    second translate layer stays a per-replica character bijection with
+    deterministic, replica-unique text (the layer is part of the perm
+    seed so layers never reuse an alphabet)."""
     from pyspark.sql import functions as F
 
     from distributed_mapreduce_spark.workload.registry import table
@@ -262,9 +293,9 @@ def build_scaled(
     li = table(spark, src_dir, "lineitem")
 
     doc_parts = []
+    src = LOWER + UPPER + DIGITS
     for r in range(factor):
-        src = LOWER + UPPER + DIGITS
-        dst = _rot(LOWER, r) + _rot(UPPER, r) + _rot(DIGITS, r)
+        dst = _replica_perm(r, id_stride)
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + r * step).alias("doc_id"),
@@ -331,11 +362,41 @@ def build_scaled(
 
     # count the WRITTEN parquet (metadata-only) rather than re-running
     # the replication pipeline a second time
-    return {
+    rows = {
         "documents": spark.read.parquet(str(out / "documents.parquet")).count(),
         "lineitem": spark.read.parquet(str(out / "lineitem.parquet")).count(),
         "events": spark.read.parquet(str(out / "events.parquet")).count(),
     }
+    with open(out / "_manifest.json", "w") as f:
+        json.dump(
+            corpus_manifest(src_dir, factor, id_stride) | {"rows": rows}, f
+        )
+    return rows
+
+
+def corpus_manifest(src_dir: str, factor: int, id_stride: int) -> dict:
+    """The identity of a scaled corpus: reusing a directory built from
+    different parameters (or an older builder) would publish timings
+    against the wrong input with no trace (ADVICE r08)."""
+    return {
+        "src": str(Path(src_dir).resolve()),
+        "factor": factor,
+        "id_stride": id_stride,
+        "builder_version": BUILDER_VERSION,
+    }
+
+
+def manifest_matches(out_dir: str, src_dir: str, factor: int, id_stride: int) -> bool:
+    """True iff ``out_dir`` holds a corpus built by THIS builder from
+    exactly these parameters (--reuse gate)."""
+    p = Path(out_dir) / "_manifest.json"
+    try:
+        with open(p) as f:
+            have = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    want = corpus_manifest(src_dir, factor, id_stride)
+    return all(have.get(k) == v for k, v in want.items())
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -420,7 +481,10 @@ def main() -> int:
     base = "/tmp/spark_graft_scaling"
 
     def maybe_build(src, out, factor, id_stride=1):
-        if reuse and Path(out).exists():
+        # --reuse is manifest-gated: a directory left by a different
+        # (src, factor, id_stride) or an older builder version is
+        # rebuilt, not silently timed (ADVICE r08).
+        if reuse and manifest_matches(out, src, factor, id_stride):
             return {
                 t: spark.read.parquet(f"{out}/{t}.parquet").count()
                 for t in ("documents", "lineitem", "events")
