@@ -17,39 +17,49 @@ from distributed_mapreduce_spark.session import get_spark  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 
+#: Opt-in slow suites: CLI flag -> (marker, help). Passing a flag runs
+#: ONLY that suite; without it the suite is skipped.
+_OPT_IN = {
+    "--sf01-cert": (
+        "sf01cert",
+        "full-registry sf0.1 differential certification "
+        "(opt-in via --sf01-cert; writes CORRECTNESS_SF01_r{N}.log)",
+    ),
+    "--reg-cost": (
+        "regcost",
+        "full-registry sf0.01 wall-time regression gate vs the pinned "
+        "REGISTRY_COST_BASELINE.json (opt-in via --reg-cost, ~6 min)",
+    ),
+}
+
+
 def pytest_addoption(parser):
-    parser.addoption(
-        "--sf01-cert",
-        action="store_true",
-        default=False,
-        help="run the full-registry sf0.1 certification (slow, ~25 min)",
-    )
+    for flag, (_m, help_) in _OPT_IN.items():
+        parser.addoption(flag, action="store_true", default=False, help=help_)
 
 
 def pytest_configure(config):
-    config.addinivalue_line(
-        "markers",
-        "sf01cert: full-registry sf0.1 differential certification "
-        "(opt-in via --sf01-cert; writes CORRECTNESS_SF01_r{N}.log)",
-    )
+    for _flag, (marker, help_) in _OPT_IN.items():
+        config.addinivalue_line("markers", f"{marker}: {help_}")
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--sf01-cert"):
-        # Certification mode runs ONLY the certification items: the
-        # documented ~25-min command would otherwise also drag the
-        # whole ~10-min fast suite along whenever it is invoked
-        # without a file filter.
-        keep = [i for i in items if "sf01cert" in i.keywords]
-        deselected = [i for i in items if "sf01cert" not in i.keywords]
+    active = {m for f, (m, _h) in _OPT_IN.items() if config.getoption(f)}
+    if active:
+        # Opt-in mode runs ONLY the selected suites: the documented
+        # slow command would otherwise also drag the whole ~10-min
+        # fast suite along whenever invoked without a file filter.
+        keep = [i for i in items if active & set(i.keywords)]
+        deselected = [i for i in items if not (active & set(i.keywords))]
         if deselected:
             config.hook.pytest_deselected(items=deselected)
             items[:] = keep
         return
-    skip = pytest.mark.skip(reason="opt-in: pass --sf01-cert")
-    for item in items:
-        if "sf01cert" in item.keywords:
-            item.add_marker(skip)
+    for flag, (marker, _h) in _OPT_IN.items():
+        skip = pytest.mark.skip(reason=f"opt-in: pass {flag}")
+        for item in items:
+            if marker in item.keywords:
+                item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

@@ -39,6 +39,27 @@ def canonical(rows, colnames):
     return out
 
 
+def registry_cost_within(
+    measured: dict, baseline: dict, factor: float = 1.25
+) -> tuple[bool, str]:
+    """Regression gate (VERDICT r08 #7): is the measured full-registry
+    sf0.01 wall time within ``factor`` of the pinned baseline?
+
+    Normalized PER QUERY so legitimately adding queries to the registry
+    never trips the gate — only the average cost of a query rotting
+    does. Returns (ok, human-readable verdict)."""
+    mt, mn = measured["total_spark_sec"], measured["n_queries"]
+    bt, bn = baseline["total_spark_sec"], baseline["n_queries"]
+    if mn <= 0 or bn <= 0 or bt <= 0:
+        return False, f"degenerate inputs: measured={mt}/{mn} baseline={bt}/{bn}"
+    per_m, per_b = mt / mn, bt / bn
+    ok = per_m <= factor * per_b
+    return ok, (
+        f"per-query {per_m:.3f}s vs baseline {per_b:.3f}s "
+        f"(x{per_m / per_b:.2f}, gate x{factor}) over {mn} queries"
+    )
+
+
 def run(
     sf_dir: str,
     only: set[str] | None = None,
