@@ -101,6 +101,15 @@ from distributed_mapreduce_spark.workload import importance  # noqa: F401,E402
 # the brute baseline) and `retrieval_rrf_fusion` (retrieval keeps
 # `bm25_top_docs` + the stronger `retrieval_hard_negatives` compose).
 # Rotated-out queries stay registered + sf0.1-certified.
+#
+# Round-9 swap (VERDICT r08 #8): the last two families with no
+# driver-graded representative get one each — `cdc_time_travel`
+# (versioning: change-capture log replayed to an as-of snapshot) and
+# `dq_checks` (validation: the multi-constraint data-quality suite;
+# tcloseness_audit covers governance, not constraints). Rotated out:
+# `join_semi` and `join_anti` — §2.3 JOIN stays driver-graded by
+# `join_inner` + `join_multiway`, and both rotated-out rows stay
+# registered + sf0.1-certified.
 
 # The grading driver samples the FIRST 50 registered queries. Pin that
 # prefix EXPLICITLY: SURVEY §2 parity + one green representative per
@@ -115,7 +124,7 @@ _PREFIX = [
     "grep_count", "grep_per_machine", "filter_min_arity", "project_column",
     "normalize_empty", "sanitize_key", "group_count", "wordcount",
     "pct_by_group", "agg_q1", "distinct_values", "approx_distinct_counts",
-    "auc_rank_audit", "join_inner", "join_semi", "join_anti",
+    "auc_rank_audit", "join_inner", "cdc_time_travel", "dq_checks",
     "join_multiway", "cuped_adjusted_lift", "window_running", "topk",
     "union_distinct", "partition_hash_assign", "maplejuice_exe_pipeline",
     "partition_rows_scalable", "partition_range_assign", "dedup_exact",
