@@ -213,10 +213,13 @@ def main() -> None:
     # accounting (tools/check_correctness.py), and the external
     # DuckDB-oracle timing anchor (tools/duckdb_anchor.py).
     here = os.path.dirname(os.path.abspath(__file__))
+    anchor_file = os.environ.get(
+        "SPARK_GRAFT_ANCHOR_PATH", "DUCKDB_ANCHOR.json"
+    )
     for key, fnames in (
         ("scaling", ("SCALING_r09.json", "SCALING_r08.json")),
         ("registry_cost", ("REGISTRY_COST.json",)),
-        ("duckdb_anchor", ("DUCKDB_ANCHOR.json",)),
+        ("duckdb_anchor", (anchor_file,)),
     ):
         p = next(
             (

@@ -48,24 +48,34 @@ PR_BASE = PR_M0 * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
 #: contraction so a caller can pick its own stopping rule).
 PR_ITERS = 4
 
+# MATERIALIZED throughout: DuckDB 1.0 INLINES non-materialized CTEs at
+# every reference, so the unrolled per-iteration chain (m{k} references
+# m{k-1} twice) re-computed exponentially — first observed at sf1.0,
+# where the oracle filled the disk with spilled hash tables before
+# failing. Forced materialization evaluates each CTE once, which is
+# also the cost model the Spark side runs under (localCheckpoint per
+# iteration). Semantics are unchanged.
 _ADJ_SQL = """
-    edges0 AS (
+    edges0 AS MATERIALIZED (
       SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
-    ), adj AS (
+    ), adj AS MATERIALIZED (
       SELECT s * 2 AS u, p * 2 + 1 AS v FROM edges0
       UNION ALL
       SELECT p * 2 + 1 AS u, s * 2 AS v FROM edges0
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT u, count(*) AS d FROM adj GROUP BY u
     )
 """
 
 
 def _pagerank_oracle(iters: int) -> str:
-    ctes = [_ADJ_SQL, f", m0 AS (SELECT u, CAST({PR_M0} AS BIGINT) AS m FROM deg)"]
+    ctes = [
+        _ADJ_SQL,
+        f", m0 AS MATERIALIZED (SELECT u, CAST({PR_M0} AS BIGINT) AS m FROM deg)",
+    ]
     for k in range(1, iters + 1):
         ctes.append(
-            f""", m{k} AS (
+            f""", m{k} AS MATERIALIZED (
               SELECT a.v AS u,
                      CAST({PR_BASE} + ({PR_DAMP_NUM} * sum(m{k - 1}.m // deg.d))
                           // {PR_DAMP_DEN} AS BIGINT) AS m

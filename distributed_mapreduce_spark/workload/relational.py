@@ -1217,7 +1217,18 @@ def q_sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     exactly depth(k) ≤ ⌈log₁₀ max_key⌉ rows per part — the recursion
     is linear in input, no walk explosion; each round is one
     hash-join-free projection and the final rollup is a single
-    hash-agg over ~7n rows."""
+    hash-agg over ~depth·n rows.
+
+    Spark guards runaway recursion with
+    spark.sql.cteRecursionRowLimit (default 1M TOTAL emitted rows) —
+    a data-size limit, not a depth limit, so a perfectly terminating
+    linear recursion trips it once depth·|part| crosses 1M (first hit
+    at sf1.0: 200k parts x ~9 digit levels ≈ 1.8M rows). Raise it to
+    the 100M scale envelope; the real runaway guard, the depth limit
+    (cteRecursionLevelLimit = 100), stays at its default — this
+    forest's depth is ≤ ⌈log₁₀ max_key⌉ ≈ 10."""
+    if int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")) < 100_000_000:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_ROLLUP_SQL)
 
