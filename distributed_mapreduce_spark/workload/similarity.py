@@ -36,50 +36,34 @@ TOP_K = 5
 #: genuinely duplicated content would raise this toward 0.9.
 NEAR_DUP_COS_U = 350_000
 
-#: Harness embedding dimensionality (all SFs ship 64-d vectors) — the
-#: schema contract that lets the dot product unroll (see :func:`dot`).
+#: Harness embedding dimensionality (all SFs ship 64-d vectors).
 EMB_DIM = 64
 
 
-def dot(a: Column, b: Column, dim: int | None = EMB_DIM) -> Column:
-    """Deterministic double dot-product: widen to double, left fold
-    from 0.0.
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic double dot-product: widen to double, left fold.
 
-    When the array width is statically known (``dim``, default the
-    embedding schema width) the fold is UNROLLED into a flat
-    multiply-add expression chain — ``((0.0 + a0*b0) + a1*b1) + ...``
-    — which is the IDENTICAL IEEE operation sequence as the
-    ``zip_with``+``aggregate`` fold (bit-identical results, certified
-    by the differential suite whose oracles keep the fold form), but
-    participates in whole-stage codegen instead of interpreting two
-    higher-order lambdas per row with an intermediate products array.
-    On pair-heavy plans (the capped cell self-join feeding semdedup /
-    near-dup) this is the hot expression; unrolling removed the round-8
-    anchor's worst heavy-query ratio (semdedup 1.73x DuckDB).
-
-    Pass ``dim=None`` for arrays whose width isn't statically known
-    (generic fold), or the true width for fixed-size slices (e.g. the
-    Matryoshka {TRUNC_D}-prefix). A too-large ``dim`` nulls the result
-    (out-of-range getItem), which the differential check catches
-    loudly — never silently."""
-    if dim is None:
-        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
-    return acc
+    Measured negative result (round 9, don't retry): unrolling this
+    fold into a flat 64-term multiply-add chain of getItem()s — the
+    identical IEEE sequence, bit-identical values, certified by the
+    differential suite — made the pair-heavy queries 3.5x SLOWER end
+    to end (semdedup 2.2s -> 7.3s, near-dup 2.0s -> 6.9s at sf0.1)
+    even though an isolated pair-join micro-benchmark showed parity
+    (0.04s both ways). The fold is not the bottleneck at harness
+    scales; the giant expression trees blow up Catalyst
+    analysis/codegen instead (1 MB+ task binaries, per-trial plan
+    rebuild cost). Keep the fold."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm(a: Column, dim: int | None = EMB_DIM) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine_u(a: Column, b: Column, dim: int | None = EMB_DIM) -> Column:
+def cosine_u(a: Column, b: Column) -> Column:
     """floor(cosine * 1e6) as BIGINT — engine-portable score."""
-    return F.floor(
-        dot(a, b, dim) / (norm(a, dim) * norm(b, dim)) * 1_000_000.0
-    ).cast("long")
+    return F.floor(dot(a, b) / (norm(a) * norm(b)) * 1_000_000.0).cast("long")
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -201,8 +185,17 @@ def near_dup_pairs_cell_capped(emb: DataFrame, cap: int = EMBED_CELL_CAP) -> Dat
     (md5-derived uint32 mod ceil(cell/cap)) — oracle-exact on both
     sides. Sub-banding trades recall for boundedness exactly like
     NGRAM_MAX_DF: cross-band pairs inside a hot cell are not produced."""
-    w = Window.partitionBy("label")
-    nsub = ((F.count(F.lit(1)).over(w) + F.lit(cap - 1)) / F.lit(cap)).cast("long")
+    # Per-cell sizes via a broadcast-joined aggregate, NOT a window:
+    # Window.partitionBy(label) exchanges the whole (vec_id, label,
+    # embedding) payload by label before counting, and the self-join
+    # below then re-exchanges by (label, sub) — two full shuffles of
+    # the vector column. The count relation is |cells| rows (tiny by
+    # construction — cells are the blocking unit), so broadcasting it
+    # back removes the first payload shuffle entirely; at 100 TB the
+    # embedding column never moves until the (label, sub) join keys
+    # exist. Same ceil(count/cap) values, oracle unchanged.
+    cell_sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_cn"))
+    nsub = ((F.col("_cn") + F.lit(cap - 1)) / F.lit(cap)).cast("long")
     h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
     # Per-VECTOR norm, computed once on the n-row relation instead of
     # inside every pair's cosine (3x fewer folds on the O(m²/cells)
@@ -210,7 +203,7 @@ def near_dup_pairs_cell_capped(emb: DataFrame, cap: int = EMBED_CELL_CAP) -> Dat
     # inline cosine would run, so cos_u is bit-identical to
     # `cosine_u(a, b)` — the oracle keeps the inline form and the
     # differential check certifies the equivalence.
-    sub = emb.select(
+    sub = emb.join(F.broadcast(cell_sizes), "label").select(
         "vec_id",
         "label",
         "embedding",
@@ -1408,9 +1401,7 @@ def q_embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("vec_id").alias("neighbor_id"),
         cosine_u(F.col("qv"), F.col("embedding")).alias("full_u"),
         cosine_u(
-            F.slice(F.col("qv"), 1, TRUNC_D),
-            F.slice(F.col("embedding"), 1, TRUNC_D),
-            dim=TRUNC_D,
+            F.slice(F.col("qv"), 1, TRUNC_D), F.slice(F.col("embedding"), 1, TRUNC_D)
         ).alias("trunc_u"),
     )
     wf = Window.partitionBy("query_id").orderBy(
