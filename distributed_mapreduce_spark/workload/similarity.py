@@ -210,6 +210,18 @@ def near_dup_pairs_cell_capped(emb: DataFrame, cap: int = EMBED_CELL_CAP) -> Dat
         (h % nsub).cast("int").alias("sub"),
         norm(F.col("embedding")).alias("nrm"),
     )
+    # EXPLICIT repartition on the join key: AQE's byte-based partition
+    # coalescing sees a few hundred KB of shuffled vectors and folds
+    # the exchange to ONE partition — but this stage's cost is not its
+    # input bytes, it is the O(cell²) pair fan-out computed FROM them
+    # (measured: the whole pair+cosine stage ran as a single 2.7 s
+    # task at sf0.1). A user repartition is exempt from AQE
+    # coalescing, keys the exchange exactly like the join wants it
+    # (one exchange, reused by both aliases), and restores per-cell
+    # parallelism; at corpus scale the byte heuristic is right again,
+    # but keying by (label, sub) is what we want there too.
+    parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    sub = sub.repartition(parts, "label", "sub")
     a = sub.alias("a")
     b = sub.alias("b")
     pairs = a.join(

@@ -9,13 +9,17 @@ Corpus construction (deterministic, no RNG):
   modulus <= 16 used anywhere in the registry, so id-residue gates
   (l_orderkey % 7, doc_id % 97, ...) keep identical selectivity in
   every replica.
-- Document text is Caesar-rotated per replica (JVM-side `translate`,
-  letters by r, digits by r mod 10). Replica token/shingle spaces are
-  therefore DISJOINT: dedup/decontam never pair rows across replicas,
-  so the x10 corpus is 10 independent copies of the x1 workload — the
-  correct shape for measuring ENGINE scaling (replicating identical
-  text would instead create a quadratic cross-replica near-dup
-  workload and measure a different problem).
+- Document text goes through a per-replica seeded substitution cipher
+  (builder v2: one shuffled alphabet per character class per replica,
+  still a single JVM-side `translate`). Within a replica the cipher is
+  a character bijection — dup structure, shingle equality, and edit
+  distances are preserved EXACTLY; across replicas text is unique at
+  ANY factor (v1's Caesar rotation had only 26 values, so x100+
+  replicas collided and pair families measured corpus
+  self-similarity). Replica token/shingle spaces are therefore
+  DISJOINT: dedup/decontam never pair rows across replicas, so the
+  x10 corpus is 10 independent copies of the x1 workload — the correct
+  shape for measuring ENGINE scaling.
 - Replica 0 is the identity, so the x1 directory is byte-equivalent in
   content to the source scale factor.
 
@@ -30,7 +34,7 @@ Usage: python tools/scaling_bench.py [src_sf_dir] [out_json] [--x100]
 (the build is deterministic, so an existing dir from an earlier run of
 the SAME harness version is byte-equivalent; row counts are re-read
 from the parquet metadata).
-Writes the JSON artifact (default SCALING_r08.json — keep in sync with
+Writes the JSON artifact (default SCALING_r09.json — keep in sync with
 the filename bench.py embeds) that bench.py
 embeds under its "scaling" key. With --x100, additionally builds a
 100x corpus and re-times the X100_FAMILIES subset (one warm-up + one
@@ -189,41 +193,49 @@ FAMILIES = [
 #: provisioning limit, not an asymptotic blowup (both constituent pair
 #: pipelines measure sub-linear x100 on their own: dedup_minhash_pairs
 #: 0.39, and the index shape matches dedup_repeated_passages' 0.29).
-#: dedup_edit_distance_pairs is x1/x10-only for a MEASURED geometry
-#: reason: the corpus builder has just 26 Caesar rotations, so at x100
-#: four replicas share each rotation with IDENTICAL text — the shared-
-#: gram pair stream jumps 12.7M -> 339M rows (26.8x for 10x data,
-#: measured) and the true near-dup OUTPUT grows quadratically in the
-#: per-rotation replica count. The second decade there measures corpus
-#: self-similarity, not engine scaling (its x1->x10, where replicas ARE
-#: disjoint, is the engine signal: slope ~0.3).
-X100_EXCLUDE = {"dedup_lsh_recall_audit", "dedup_edit_distance_pairs"}
+#: dedup_edit_distance_pairs REJOINED the x100 decade in round 9:
+#: its old exclusion was the v1 builder's 26-Caesar-rotation ceiling
+#: (4 replicas per rotation at x100 shared IDENTICAL text, so the
+#: shared-gram pair stream measured corpus self-similarity — 12.7M ->
+#: 339M rows, 26.8x for 10x data). Builder v2's seeded per-replica
+#: substitution alphabets are unique at any factor, so replicas are
+#: pairwise text-disjoint and the decade measures the engine again.
+X100_EXCLUDE = {"dedup_lsh_recall_audit"}
 
 #: Second-decade (x100) families — every family except the
 #: disk-excluded carries both decades.
 X100_FAMILIES = [q for q in FAMILIES if q not in X100_EXCLUDE]
 
-#: Third-decade (x1000) families (VERDICT r07 #2): the cheap-per-row
-#: aggregation/window pipelines with measured x100 headroom
-#: (<= ~0.05 s/Mrow), runnable at 600 M - 6 B input rows inside the
-#: single-box sandbox. Pair/near-dup families are NOT here: at x1000
-#: the 26-rotation text geometry is 38+ identical replicas per
-#: rotation (see X100_EXCLUDE), and their x100 rows already certify
-#: the second decade.
+#: Third-decade (x1000) families (VERDICT r07 #2, widened to 18 in
+#: round 9 per VERDICT r08 #5): runnable at 600 M - 6 B input rows /
+#: 5 M docs inside the single-box sandbox. Builder v2's replica-unique
+#: text (no rotation ceiling) makes the pair/near-dup production paths
+#: x1000-eligible — replicas are pairwise text-disjoint, so pair
+#: streams grow linearly in replicas, which IS the engine signal.
 X1000_FAMILIES = [
     "ks_statistic_returnflag",
     "cuped_adjusted_lift",
     "events_markov_stationary",
     "vocab_build",
     # round-8 widening: three more third-decade shapes, all
-    # replication-invariant per row (unlike er_blocking_audit, whose
-    # fingerprint truth pairs go quadratic in replicas-per-rotation at
-    # x1000 — 38+ identical replicas per Caesar rotation — and would
-    # measure corpus self-similarity, not the engine).
+    # replication-invariant per row.
     "text_simpson_diversity",   # two-level hash-agg @ 5 M docs
     "corpus_domain_cap",        # coarse-key (20 sources) window @ 5 M docs
     "event_type_trigrams",      # per-user double-lag window @ 100 M events
     "events_gap_fill_interpolate",  # per-user grid explode + interpolation window @ 100 M events
+    # round-9 widening (builder v2 unlocks the text-pair families; the
+    # rest are the cheapest remaining x100 rows, keeping the decade's
+    # wall cost bounded):
+    "dedup_lsh_candidates",     # banded self-join + Jaccard verify @ 5 M docs (VERDICT r08 #5's named priority)
+    "dedup_minhash_pairs",      # MinHash band candidates @ 5 M docs
+    "dedup_repeated_passages",  # cross-doc passage inverted index @ 5 M docs
+    "er_blocking_audit",        # fingerprint blocking audit @ 5 M docs (v2: fingerprints replica-disjoint)
+    "decontam_ngram_overlap",   # hashed-gram eval-overlap join @ 5 M docs
+    "quality_repetition",       # per-doc repetition signals @ 5 M docs
+    "retrieval_phrase_match",   # positional phrase retrieval @ 5 M docs
+    "text_ngram_novelty",       # first-occurrence novelty index @ 5 M docs
+    "tokenizer_bpe_merges",     # BPE word-table loop @ 5 M docs
+    "dedup_cdc_chunks",         # content-defined chunking @ 5 M docs
 ]
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
@@ -468,7 +480,7 @@ def main() -> int:
         else:
             args.append(a)
     src_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
-    out_json = args[1] if len(args) > 1 else "/root/repo/SCALING_r08.json"
+    out_json = args[1] if len(args) > 1 else "/root/repo/SCALING_r09.json"
     run_id = f"{Path(out_json).stem}-{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}"
     families = [q for q in FAMILIES if only is None or q in only]
     x100_families = [q for q in X100_FAMILIES if only is None or q in only]
