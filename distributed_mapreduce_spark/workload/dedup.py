@@ -2234,15 +2234,30 @@ def q_dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
             + i.cast("long"),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    g = toked.select("doc_id", grams.alias("pk")).where(F.size("pk") > 0)
+    # Guard docs shorter than K tokens AFTER the explode (u IS NULL —
+    # array_min over an empty slice), NOT with where(size(pk) > 0) on
+    # the gram column: predicate pushdown INLINES a deterministic
+    # alias, so that filter re-computed the entire gram-hash transform
+    # below the repartition exchange — i.e. the whole heavy expression
+    # ran twice, once of those on the single scan task the exchange
+    # exists to escape (measured: a 2.6 s one-task stage at sf0.1).
+    # A predicate on the generator's output cannot be pushed below the
+    # Generate, so the gram transform is computed exactly once, at
+    # full post-exchange parallelism. Result set is identical: short
+    # docs contributed no rows before, and only they produce null u.
+    g = toked.select("doc_id", grams.alias("pk"))
     starts = F.sequence(F.lit(1), F.greatest(F.size("pk") - (w - 1), F.lit(1)))
     fps = F.array_distinct(
         F.transform(starts, lambda s: F.array_min(F.slice(F.col("pk"), s, w)))
     )
-    return g.select("doc_id", F.explode(fps).alias("u")).select(
-        "doc_id",
-        F.shiftrightunsigned("u", 31).alias("fp_hash"),
-        F.col("u").bitwiseAND(F.lit(2147483647)).alias("fp_pos"),
+    return (
+        g.select("doc_id", F.explode(fps).alias("u"))
+        .where(F.col("u").isNotNull())
+        .select(
+            "doc_id",
+            F.shiftrightunsigned("u", 31).alias("fp_hash"),
+            F.col("u").bitwiseAND(F.lit(2147483647)).alias("fp_pos"),
+        )
     )
 
 

@@ -117,4 +117,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(ev.dtypes).get("ts") == "bigint":
             ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return ev
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        df = _spread_scan(df, spark)
+    return df
+
+
+def _spread_scan(df, spark: SparkSession):
+    """Source-parallelism guard for the text-compute table: the harness
+    parquet ships ONE row group per file, and Spark cannot split a row
+    group across tasks, so a `documents` scan is a SINGLE task no
+    matter spark.sql.files.maxPartitionBytes — which serializes every
+    per-row token pipeline built on it (winnowing's whole
+    gram-hash/window-min stage ran as one 2.6 s task at sf0.1).
+
+    When the scan under-parallelizes the session (fewer source tasks
+    than half the configured shuffle parallelism), one round-robin
+    exchange of the raw rows — megabytes here, and linear always —
+    buys back full parallelism for the ~100x-the-bytes compute stages
+    above it. At real scale the source has many splits and this is a
+    NO-OP plan-wise; the gate reads only partition metadata (no job).
+    Safe by construction: the engine has no input-order- or
+    partition-dependent operator (grep-verified: no
+    monotonically_increasing_id / input_file_name / spark_partition_id
+    anywhere in the workload) and every oracle comparison is
+    order-insensitive."""
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target)
