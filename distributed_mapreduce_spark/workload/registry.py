@@ -118,18 +118,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return ev
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
+    if name in ("documents", "embeddings"):
         df = _spread_scan(df, spark)
     return df
 
 
 def _spread_scan(df, spark: SparkSession):
-    """Source-parallelism guard for the text-compute table: the harness
-    parquet ships ONE row group per file, and Spark cannot split a row
-    group across tasks, so a `documents` scan is a SINGLE task no
-    matter spark.sql.files.maxPartitionBytes — which serializes every
-    per-row token pipeline built on it (winnowing's whole
-    gram-hash/window-min stage ran as one 2.6 s task at sf0.1).
+    """Source-parallelism guard for the compute-heavy tables: the
+    harness parquet ships ONE row group per file, and Spark cannot
+    split a row group across tasks, so a `documents` or `embeddings`
+    scan is a SINGLE task no matter spark.sql.files.maxPartitionBytes —
+    which serializes every per-row token/vector pipeline built on it
+    (winnowing's whole gram-hash/window-min stage ran as one 2.6 s
+    task at sf0.1; ann_range_search's cosine scan ran as one 3 s task
+    at sf1.0).
 
     When the scan under-parallelizes the session (fewer source tasks
     than half the configured shuffle parallelism), one round-robin

@@ -59,9 +59,24 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # Rows the anchor should not execute at this scale, e.g. the LSH
+    # recall audit's exact truth set at sf1.0 (quadratic BY DEFINITION
+    # of "truth set"; its DuckDB run is multi-hour there, while the
+    # sf0.1 anchor row already prices it at 31 s vs Spark's 1.9 s).
+    # Skipped rows are recorded explicitly, never silently dropped.
+    skip = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_ANCHOR_SKIP", "").split(",")
+        if s
+    }
+
     times: dict[str, float | None] = {}
     for name in HEADLINE:
         sql = ORACLES.get(name)
+        if name in skip:
+            times[name] = None
+            print(f"{name:32s} (skipped via SPARK_GRAFT_ANCHOR_SKIP)", flush=True)
+            continue
         if sql is None:
             times[name] = None  # rows-only query: no oracle to anchor on
             print(f"{name:32s} (no oracle)", flush=True)
@@ -86,6 +101,7 @@ def main() -> int:
         "sf_dir": sf_dir,
         "trials": TRIALS,
         "duckdb_version": duckdb.__version__,
+        "skipped": sorted(skip),
         "queries": times,
     }
     with open(out_json, "w") as f:
