@@ -44,6 +44,16 @@ def get_spark(
         # strategy switch — the scale posture for 100 TB inputs.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Exchanges START wide and AQE coalesces them by measured bytes:
+        # with a fixed spark.sql.shuffle.partitions=cores, a billion-row
+        # gram/pair shuffle lands ~50 M rows per task and goes
+        # super-linear on spill (text_ngram_novelty measured x1000
+        # slope 2.07 at 32 partitions); with a wide initial count the
+        # same stage keeps enough tasks while small stages still
+        # coalesce down to a handful. This is the data-dependent
+        # partition sizing the engine wants everywhere, done by the
+        # runtime instead of per-query sizing jobs.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for every pandas_udf / applyInPandas boundary.

@@ -537,7 +537,26 @@ def main() -> int:
         n1 = rows_x1[input_table[q]]
         n10 = rows_x10[input_table[q]]
         slope = (t10 / n10) / (t1 / n1)
-        results[q] = {
+        # A fresh x1/x10 measurement UPDATES the row; it must not drop
+        # a carried row's higher-decade fields (x100/x1000 + their
+        # provenance stamps) — replacing the dict wholesale did, which
+        # silently erased merged x100 data and NaN'd the x1000 slope
+        # whenever --x1000 ran with --only + --merge (round-9 bug).
+        prev = results.get(q, {})
+        kept = {
+            k: v
+            for k, v in prev.items()
+            if k.startswith(("x100", "x1000", "rows_x100", "rows_x1000"))
+            or k.startswith("sec_per_mrow_x100")
+            or k.startswith("sec_per_mrow_x1000")
+            or k.startswith("slope_x100")
+            or k.startswith("slope_x1000")
+        }
+        if kept and prev.get("carried") and "x100_measured_in" not in kept:
+            # higher-decade numbers came from the merge source; keep
+            # their origin visible now that the row itself is fresh
+            kept["x100_measured_in"] = prev.get("measured_in")
+        results[q] = kept | {
             "x1_sec": round(t1, 3),
             "x10_sec": round(t10, 3),
             "rows_x1": n1,
