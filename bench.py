@@ -165,6 +165,13 @@ def main() -> None:
     from distributed_mapreduce_spark.workload import QUERIES
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    # The driver records only a 2 kB tail of stdout and parses the JSON
+    # line out of it; WindowExec emits a WARN per whitelisted bounded
+    # window (≤|types|-row normalizers) which nearly crowds the line
+    # out (VERDICT r09 #5). The warnings are audited elsewhere: the
+    # pytest window audit enforces that no UNBOUNDED relation flows
+    # into a global window, with negative controls.
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM/IO path once (not timed): tiny scan + shuffle.
     QUERIES["flagship_pct"](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -217,7 +224,7 @@ def main() -> None:
         "SPARK_GRAFT_ANCHOR_PATH", "DUCKDB_ANCHOR.json"
     )
     for key, fnames in (
-        ("scaling", ("SCALING_r09.json", "SCALING_r08.json")),
+        ("scaling", ("SCALING_r10.json", "SCALING_r09.json")),
         ("registry_cost", ("REGISTRY_COST.json",)),
         ("duckdb_anchor", (anchor_file,)),
     ):
@@ -243,6 +250,14 @@ def main() -> None:
     if anchor and anchor.get("sf_dir", "").rstrip("/") == sf_dir.rstrip("/"):
         per_q = {}
         ratios = []
+        # Headline queries the anchor did NOT time (rows-only oracles,
+        # or quadratic-by-definition oracles excluded via
+        # SPARK_GRAFT_ANCHOR_SKIP at big SF). They are absent from both
+        # sides of every ratio below; carry the count so the headline
+        # aggregate is visibly partial instead of silently complete
+        # (ADVICE r09: a skipped slowest-DuckDB query would otherwise
+        # inflate the sf1.0 ratio with no marker in the parsed line).
+        n_skipped = sum(1 for n in times if not anchor["queries"].get(n))
         for name, spark_sec in times.items():
             d = anchor["queries"].get(name)
             if d:
@@ -272,6 +287,8 @@ def main() -> None:
             out["vs_duckdb"] = {
                 "per_query": per_q,
                 "n_compared": len(ratios),
+                "n_skipped": n_skipped,
+                "skipped": sorted(n for n in times if not anchor["queries"].get(n)),
                 "median_ratio": ratios[len(ratios) // 2],
                 "n_spark_faster": sum(1 for r in ratios if r < 1.0),
                 "total_spark_sec": tot_s,
@@ -294,7 +311,7 @@ def main() -> None:
     # committed artifact, then print a compact line guaranteed to fit
     # the driver's tail window as the only stdout output.
     self_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF_r09.json")
+        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF_r10.json")
     )
     try:
         with open(self_path, "w") as f:
@@ -330,6 +347,7 @@ def compact_line(out: dict, self_name: str, budget: int = 1800) -> dict:
         "median_ratio_heavy",
         "n_heavy",
         "n_spark_faster_heavy",
+        "n_skipped",
     ):
         if k in vs:
             compact[f"vs_duckdb_{k}"] = vs[k]

@@ -42,19 +42,34 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalescing, skew-join splitting, dynamic join
         # strategy switch — the scale posture for 100 TB inputs.
+        #
+        # Deliberately NOT set: coalescePartitions.initialPartitionNum.
+        # Round 9 shipped it globally at 1024 to fix one super-linear
+        # gram shuffle (text_ngram_novelty x1000 slope 2.07 at 32
+        # partitions) and it taxed every small exchange in the
+        # iterative/many-stage queries 3-4.4x (markov / triangles /
+        # pca, bisected in VERDICT r09): each tiny per-round exchange
+        # paid 1024 map-side buckets plus AQE re-planning, multiplied
+        # by stage count. The engine sizes its compute-expanding
+        # exchanges explicitly instead — input-scaled repartition at
+        # the exchange that needs width (workload/registry.py
+        # wide_shuffle_parts, dedup._pair_shuffle_parts,
+        # graph._wedge_shuffle_parts); small exchanges keep the
+        # cores-sized default and AQE coalescing.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Exchanges START wide and AQE coalesces them by measured bytes:
-        # with a fixed spark.sql.shuffle.partitions=cores, a billion-row
-        # gram/pair shuffle lands ~50 M rows per task and goes
-        # super-linear on spill (text_ngram_novelty measured x1000
-        # slope 2.07 at 32 partitions); with a wide initial count the
-        # same stage keeps enough tasks while small stages still
-        # coalesce down to a handful. This is the data-dependent
-        # partition sizing the engine wants everywhere, done by the
-        # runtime instead of per-query sizing jobs.
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Recursive-CTE scale envelope (session posture, ADVICE r09):
+        # cteRecursionRowLimit guards TOTAL emitted rows (default 1M),
+        # which a terminating linear recursion outgrows with data size
+        # (sql_recursive_hierarchy_rollup first trips it at sf1.0:
+        # 200k parts x ~9 digit levels). 100M is the data-size
+        # envelope; the actual runaway guard — the depth limit,
+        # cteRecursionLevelLimit=100 — stays at its default. Set here
+        # rather than inside a query builder so no builder mutates
+        # shared-session conf as a side effect (the limit is read at
+        # execution time, so restore-after-build is impossible).
+        .config("spark.sql.cteRecursionRowLimit", "100000000")
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for every pandas_udf / applyInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

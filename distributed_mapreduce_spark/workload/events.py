@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from distributed_mapreduce_spark.workload.registry import query, table
+from distributed_mapreduce_spark.workload.registry import (
+    query,
+    table,
+    wide_shuffle_parts,
+)
 
 SESSION_GAP_MIN = 30
 
@@ -965,6 +969,14 @@ def q_events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
     spine join, no shuffle beyond the user window. Output is bounded
     by users × span-hours, independent of event density."""
     ev = table(spark, sf_dir, "events")
+    # Input-scaled width for the per-user window exchange (x1000 slope
+    # was 1.04 at the 32-part default, SCALING_r08 — 100M events sort
+    # per 32 tasks spills): hash by user_id, which satisfies the
+    # window's clustering requirement, so this wide exchange REPLACES
+    # the window's default-width one. No-op below the default width.
+    n_wide = wide_shuffle_parts(spark, sf_dir, table_name="events")
+    if n_wide:
+        ev = ev.repartition(n_wide, "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     v_e6 = F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
     pts = (

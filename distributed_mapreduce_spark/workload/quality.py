@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from distributed_mapreduce_spark.workload.registry import query, table
+from distributed_mapreduce_spark.workload.registry import (
+    query,
+    table,
+    wide_shuffle_parts,
+)
 from distributed_mapreduce_spark.workload.text import (
     STOPWORDS,
     _bp,
@@ -194,6 +198,14 @@ _VOCAB_SQL = f"""
 def _vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    # Input-scaled width for the token exchange (x1000 slope was 1.04
+    # at the 32-part default, SCALING_r08): hash by `token` — a subset
+    # of both aggregation keys the distinct-count plan shuffles on
+    # ((token, doc_id) then (token)) — so this one wide exchange
+    # replaces both default-width ones. No-op below the default width.
+    n_wide = wide_shuffle_parts(spark, sf_dir)
+    if n_wide:
+        toks = toks.repartition(n_wide, "token")
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("tf_corpus"),
         F.countDistinct("doc_id").alias("df"),
@@ -619,11 +631,28 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(_ngrams(F.col("__toks"), 3)).alias("gram"),
         )
-        .distinct()
     )
+    # Input-scaled width for the gram exchanges (x1000 slope 2.07 at
+    # the 32-part default — the measurement behind round 9's global
+    # initialPartitionNum, now scoped here): hash by `gram` once, and
+    # the distinct ((doc_id, gram) ⊇ gram), the first-seen aggregate
+    # (gram), and the equi-join back on gram ALL reuse the
+    # partitioning — one wide exchange where the plan had three
+    # default-width ones. No-op below the default width.
+    n_wide = wide_shuffle_parts(spark, sf_dir)
+    if n_wide:
+        g = g.repartition(n_wide, "gram")
+    g = g.distinct()
     first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = g.join(first_seen, "gram")
+    if n_wide:
+        # The per-doc rollup re-keys the full distinct-pair stream from
+        # gram to doc_id — the same volume crosses the wire again, so
+        # the same width applies (partial aggregation barely collapses
+        # here: a doc's grams are spread across every gram partition).
+        per_doc = per_doc.repartition(n_wide, "doc_id")
     return (
-        g.join(first_seen, "gram")
+        per_doc
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_distinct_tri"),

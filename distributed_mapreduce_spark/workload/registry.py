@@ -113,38 +113,107 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        ev = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ev = _read_spread(spark, f"{sf_dir}/{name}.parquet")
         if dict(ev.dtypes).get("ts") == "bigint":
             ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return ev
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
-        df = _spread_scan(df, spark)
-    return df
+    return _read_spread(spark, f"{sf_dir}/{name}.parquet")
 
 
-def _spread_scan(df, spark: SparkSession):
-    """Source-parallelism guard for the compute-heavy tables: the
-    harness parquet ships ONE row group per file, and Spark cannot
-    split a row group across tasks, so a `documents` or `embeddings`
-    scan is a SINGLE task no matter spark.sql.files.maxPartitionBytes —
-    which serializes every per-row token/vector pipeline built on it
-    (winnowing's whole gram-hash/window-min stage ran as one 2.6 s
-    task at sf0.1; ann_range_search's cosine scan ran as one 3 s task
-    at sf1.0).
+def _read_spread(spark: SparkSession, path: str):
+    """Read a parquet table, guarding source parallelism: the harness
+    parquet ships ONE row group per file, and Spark cannot split a row
+    group across tasks, so every base scan here is a SINGLE task no
+    matter spark.sql.files.maxPartitionBytes — which serializes the
+    first compute stage of every pipeline built on it (winnowing's
+    whole gram-hash/window-min stage ran as one 2.6 s task at sf0.1;
+    ann_range_search's cosine scan ran as one 3 s task at sf1.0).
 
     When the scan under-parallelizes the session (fewer source tasks
     than half the configured shuffle parallelism), one round-robin
     exchange of the raw rows — megabytes here, and linear always —
-    buys back full parallelism for the ~100x-the-bytes compute stages
-    above it. At real scale the source has many splits and this is a
-    NO-OP plan-wise; the gate reads only partition metadata (no job).
+    buys back full parallelism for the compute stages above it. At
+    real scale the source has many splits and this is a NO-OP
+    plan-wise. Applied uniformly to every table (VERDICT r09 #8), not
+    just the token/vector-heavy ones — special-casing table names is
+    the byte-heuristic thinking the round-9 lesson argues against.
+
+    This helper OWNS the read rather than wrapping arbitrary plans
+    (ADVICE r09): the parallelism probe `df.rdd.getNumPartitions()` is
+    job-free only on a bare file-source scan — under AQE, `.rdd` on a
+    plan with pending exchanges would silently execute them. Filters
+    and projections callers add later still reach the scan: Catalyst
+    pushes predicates/pruning through RepartitionOperation, so the
+    exchange carries only post-filter rows.
+
     Safe by construction: the engine has no input-order- or
     partition-dependent operator (grep-verified: no
     monotonically_increasing_id / input_file_name / spark_partition_id
     anywhere in the workload) and every oracle comparison is
     order-insensitive."""
+    df = spark.read.parquet(path)
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if df.rdd.getNumPartitions() * 2 >= target:
         return df
     return df.repartition(target)
+
+
+#: wide_shuffle_parts sizing: one shuffle task per this many SOURCE
+#: parquet bytes. A token/gram explode inflates text ~10-30x in flight,
+#: so 2 MiB of source parquet ≈ 20-60 MiB of shuffle per task — inside
+#: executor memory with headroom. Derived from the measured x1000
+#: point: documents at x1000 is ~850 MB → ~420 tasks, the width class
+#: AQE picked (and that fixed the 2.07 slope) under round 9's global
+#: initialPartitionNum=1024 before it was scoped away.
+WIDE_BYTES_PER_TASK = 2 << 20
+
+#: Hard cap on an input-scaled exchange width (same role as
+#: PAIR_MAX_PARTITIONS / RA_MAX_PARTITIONS in the pair families).
+WIDE_MAX_PARTITIONS = 2048
+
+
+def wide_shuffle_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "documents",
+    bytes_per_task: int = WIDE_BYTES_PER_TASK,
+) -> int | None:
+    """Input-scaled width for a compute-EXPANDING exchange (token/gram
+    explode streams, per-key window sorts over the full fact table), or
+    None when the session default already suffices — callers skip the
+    repartition entirely, so small-SF plans are byte-identical to the
+    ungated ones.
+
+    This is the scoped replacement for round 9's global
+    `initialPartitionNum=1024` (VERDICT r09 #1): that conf fixed the
+    gram shuffles (text_ngram_novelty x1000 slope 2.07→1.01) but taxed
+    every tiny exchange in the iterative queries 3-4.4x. Width belongs
+    to the exchange that needs it, sized from the exchange's own input
+    volume, not to the session.
+
+    Sizing reads ONLY filesystem metadata for the source table (file
+    size on disk; no Spark job — plan-only constructions stay
+    job-free, unlike the sizing-job helpers `_pair_shuffle_parts` /
+    `_wedge_shuffle_parts` whose volumes are super-linear in input and
+    must be measured). A gram/token/window stream is linear in source
+    bytes, so compressed parquet bytes are an honest proxy. Callers
+    hash-partition by (a subset of) the downstream aggregation or
+    window keys, so the explicit exchange REPLACES the default-width
+    one Catalyst would insert rather than adding a shuffle."""
+    path = os.path.join(sf_dir, f"{table_name}.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return None
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n = -(-nbytes // bytes_per_task)
+    if n <= default_parts:
+        return None
+    return int(min(WIDE_MAX_PARTITIONS, n))

@@ -1223,12 +1223,16 @@ def q_sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     spark.sql.cteRecursionRowLimit (default 1M TOTAL emitted rows) —
     a data-size limit, not a depth limit, so a perfectly terminating
     linear recursion trips it once depth·|part| crosses 1M (first hit
-    at sf1.0: 200k parts x ~9 digit levels ≈ 1.8M rows). Raise it to
-    the 100M scale envelope; the real runaway guard, the depth limit
-    (cteRecursionLevelLimit = 100), stays at its default — this
-    forest's depth is ≤ ⌈log₁₀ max_key⌉ ≈ 10."""
-    if int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")) < 100_000_000:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+    at sf1.0: 200k parts x ~9 digit levels ≈ 1.8M rows). The 100M
+    scale envelope is session posture in session.get_spark() (ADVICE
+    r09: a builder must not mutate shared-session conf — the limit is
+    read at execution time, so it cannot be restored after build); a
+    bare driver-supplied session keeps Spark's 1M default and this
+    query simply errors loudly past it rather than silently weakening
+    the guard for every later recursive query. The real runaway
+    guard, the depth limit (cteRecursionLevelLimit = 100), stays at
+    its default everywhere — this forest's depth is
+    ≤ ⌈log₁₀ max_key⌉ ≈ 10."""
     table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_ROLLUP_SQL)
 

@@ -15,7 +15,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.operators.partitioning import global_cumsum
-from distributed_mapreduce_spark.workload.registry import query, table
+from distributed_mapreduce_spark.workload.registry import (
+    query,
+    table,
+    wide_shuffle_parts,
+)
 
 #: Stopword list for quality scoring (tiny, deterministic).
 STOPWORDS = ("the", "a", "of", "and", "in", "to")
@@ -894,11 +898,17 @@ def q_text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity statistic used as a quality gate.
     """
     docs = table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ex = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    # Input-scaled width for the token exchange (x1000 slope was 1.03
+    # at the 32-part default, SCALING_r08): hash by doc_id — a subset
+    # of the (doc_id, tok) aggregation keys AND the (doc_id) re-agg
+    # keys — so this one wide exchange replaces both default-width
+    # ones and the re-agg becomes shuffle-free. No-op below the
+    # default width.
+    n_wide = wide_shuffle_parts(spark, sf_dir)
+    if n_wide:
+        ex = ex.repartition(n_wide, "doc_id")
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     st = tf.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types"),

@@ -556,6 +556,25 @@ def main() -> int:
             # higher-decade numbers came from the merge source; keep
             # their origin visible now that the row itself is fresh
             kept["x100_measured_in"] = prev.get("measured_in")
+        # Carried SLOPES were computed against the merge source's
+        # x1/x10 baseline; placing them beside a freshly measured
+        # x1_sec would mix decade metrics derived from different
+        # baselines in one row (ADVICE r09). Recompute every carried
+        # slope from the retained RAW seconds+rows and the fresh
+        # baseline; a slope whose raw inputs were not retained is
+        # dropped rather than kept stale.
+        kept.pop("slope_x100_vs_x10", None)
+        kept.pop("slope_x1000_vs_x100", None)
+        if "x100_sec" in kept and "rows_x100" in kept:
+            kept["slope_x100_vs_x10"] = round(
+                (kept["x100_sec"] / kept["rows_x100"]) / (t10 / n10), 3
+            )
+            if "x1000_sec" in kept and "rows_x1000" in kept:
+                kept["slope_x1000_vs_x100"] = round(
+                    (kept["x1000_sec"] / kept["rows_x1000"])
+                    / (kept["x100_sec"] / kept["rows_x100"]),
+                    3,
+                )
         results[q] = kept | {
             "x1_sec": round(t1, 3),
             "x10_sec": round(t10, 3),

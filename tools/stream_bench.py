@@ -19,7 +19,7 @@ batch count — straight from StreamingQueryProgress, retention raised so
 nothing is evicted (same discipline as the watermark drop audit).
 
 Usage: python tools/stream_bench.py [out_json]
-  (default /root/repo/STREAM_BENCH_r09.json)
+  (default /root/repo/STREAM_BENCH_r10.json)
   SPARK_GRAFT_STREAM_SECONDS (default 45) per run;
   SPARK_GRAFT_STREAM_RATES   (default "50000,400000") rows/sec.
 """
@@ -104,7 +104,7 @@ def run_one(spark: SparkSession, name: str, df: DataFrame, mode: str) -> dict:
 
 def main() -> int:
     out_json = (
-        sys.argv[1] if len(sys.argv) > 1 else "/root/repo/STREAM_BENCH_r09.json"
+        sys.argv[1] if len(sys.argv) > 1 else "/root/repo/STREAM_BENCH_r10.json"
     )
     from distributed_mapreduce_spark.session import get_spark
     from distributed_mapreduce_spark.streaming.events_stream import (
