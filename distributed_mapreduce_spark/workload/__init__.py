@@ -38,6 +38,7 @@ from distributed_mapreduce_spark.workload import bpe  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import retrieval  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import mlprep  # noqa: F401,E402
 from distributed_mapreduce_spark.workload import importance  # noqa: F401,E402
+from distributed_mapreduce_spark.workload import streaming_q  # noqa: F401,E402
 
 # Round-5 prefix swap: retrieval is a new first-class family and gets a
 # driver-graded row (`bm25_top_docs`, repeatedly green at sf0.001/0.01/
@@ -110,6 +111,14 @@ from distributed_mapreduce_spark.workload import importance  # noqa: F401,E402
 # `join_semi` and `join_anti` — §2.3 JOIN stays driver-graded by
 # `join_inner` + `join_multiway`, and both rotated-out rows stay
 # registered + sf0.1-certified.
+#
+# Round-10 swap (VERDICT r09 #9): `stream_events_tumbling` gives the
+# STREAMING execution path its first driver-graded row (watermarked
+# window aggregate drained via availableNow; the batch twin's oracle
+# grades the final state bit-for-bit). Rotated out: `dedup_clusters` —
+# dedup stays the best-covered family in the prefix with three rows
+# (exact, LSH recall audit, winnowing), and the clusters row stays
+# registered + sf0.1-certified.
 
 # The grading driver samples the FIRST 50 registered queries. Pin that
 # prefix EXPLICITLY: SURVEY §2 parity + one green representative per
@@ -129,7 +138,7 @@ _PREFIX = [
     "union_distinct", "partition_hash_assign", "maplejuice_exe_pipeline",
     "partition_rows_scalable", "partition_range_assign", "dedup_exact",
     "dedup_lsh_recall_audit", "tcloseness_audit", "bm25_top_docs",
-    "dedup_clusters", "events_sessionize", "ann_ivf",
+    "stream_events_tumbling", "events_sessionize", "ann_ivf",
     "dedup_winnowing_fingerprints",
     "retention_cohorts", "multimodal_decode_errors",
     "sql_recursive_hierarchy_rollup",
