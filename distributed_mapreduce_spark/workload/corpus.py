@@ -43,7 +43,11 @@ from distributed_mapreduce_spark.workload.quality import (
     VOCAB_MIN_DF as _VOCAB_MIN_DF,
 )
 from distributed_mapreduce_spark.workload.quality import _ngrams, _sql_ngrams
-from distributed_mapreduce_spark.workload.registry import query, table
+from distributed_mapreduce_spark.workload.registry import (
+    query,
+    table,
+    wide_shuffle_parts,
+)
 from distributed_mapreduce_spark.workload.text import (
     BPE_REGEX,
     STOPWORDS,
@@ -500,8 +504,19 @@ def q_dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", _hash_u32(F.col("gram"), "pp_").alias("gh"))
     )
+    # Input-scaled width for the passage-hash exchanges (same shape and
+    # fix as text_ngram_novelty): at x1000 the 32-wide default buffers
+    # ~20x more per task and the run died on shuffle spill + GC thrash
+    # (round-10 re-measure crash, SCALING r10). Hash by gh once — the
+    # index aggregate and the equi-join reuse it; re-key the same
+    # volume by doc_id for the final rollup. No-op below the default.
+    n_wide = wide_shuffle_parts(spark, sf_dir)
+    if n_wide:
+        g = g.repartition(n_wide, "gh")
     idx = g.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
     joined = g.join(idx, "gh")
+    if n_wide:
+        joined = joined.repartition(n_wide, "doc_id")
     shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_passages"),

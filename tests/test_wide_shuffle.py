@@ -43,6 +43,9 @@ WIDE_FAMILIES = [
         "distributed_mapreduce_spark.workload.events",
         "user_id",
     ),
+    # Added after the round-10 x1000 re-measure crash: same explode →
+    # index-aggregate → join-back shape as ngram_novelty, same fix.
+    ("dedup_repeated_passages", "distributed_mapreduce_spark.workload.corpus", "gh"),
 ]
 
 
