@@ -609,7 +609,16 @@ def main() -> int:
             t100 = time.perf_counter() - t0
             n100 = rows_x100[input_table[q]]
             r = results[q]
-            if r.get("carried"):
+            # Stamp semantics: x100_measured_in is present only when
+            # the x100 numbers came from a DIFFERENT run than the
+            # row's base measured_in. A fresh x100 in this run either
+            # matches a fresh base (drop the stamp) or refreshes a
+            # carried base (stamp this run). The old carried-flag
+            # check left a STALE prior-run stamp on rows whose x1/x10
+            # had just been re-measured in the same run (round-10 bug).
+            if r.get("measured_in") == run_id:
+                r.pop("x100_measured_in", None)
+            else:
                 r["x100_measured_in"] = run_id
             r["x100_sec"] = round(t100, 3)
             r["rows_x100"] = n100
@@ -643,7 +652,10 @@ def main() -> int:
             t1000 = time.perf_counter() - t0
             n1000 = rows_x1000[input_table[q]]
             r = results[q]
-            if r.get("carried"):
+            # Same stamp semantics as x100 above.
+            if r.get("measured_in") == run_id:
+                r.pop("x1000_measured_in", None)
+            else:
                 r["x1000_measured_in"] = run_id
             r["x1000_sec"] = round(t1000, 3)
             r["rows_x1000"] = n1000
