@@ -734,7 +734,9 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonical representative per cluster (what a pipeline actually keeps).
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, require_convergence: bool = True
+) -> DataFrame:
     """Min-label propagation over an undirected pair graph:
     (doc_id, cluster_id) where cluster_id = smallest doc_id reachable.
 
@@ -748,6 +750,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     (hundreds of phantom exchanges) and the analyzer, not the data,
     becomes the bottleneck. On a cluster where executor loss must be
     survivable, swap for reliable `checkpoint()`.
+
+    ``require_convergence``: plain min-label needs O(diameter) rounds,
+    and a graph whose diameter exceeds ``max_iter`` would previously
+    return silently WRONG labels — exactly what happened to
+    `embedding_dedup_clusters` at the round-10 sf1.0 certification
+    (the replicated embedding graph chains across replicas; the sf0.1
+    graph converges in <10 rounds). Exhausting the budget while still
+    changing now raises loudly; callers that deliberately bound
+    propagation to match a bounded oracle (`bfs_hops_to_root`) pass
+    False. Deep-diameter graphs should use
+    :func:`connected_components_pointer_jump` (O(log diameter), same
+    fixed point) instead of raising this limit.
     """
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
@@ -758,6 +772,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         msgs = edges.join(labels, edges.s == labels.doc_id).select(
             F.col("t").alias("doc_id"), F.col("cluster_id")
@@ -777,6 +792,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0 and require_convergence:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds the budget); use "
+            "connected_components_pointer_jump for deep-diameter graphs"
+        )
     return labels
 
 
@@ -836,7 +857,11 @@ def bfs_hops_to_root(pairs: DataFrame, max_hops: int = MAX_HOPS) -> DataFrame:
     # max_iter == max_hops so label propagation explores exactly as many
     # hops as the oracle's bounded recursive CTE (ADVICE r01: +1 here
     # could diverge from the oracle on chains deeper than the bound).
-    labels = connected_components(pairs, max_iter=max_hops)
+    # require_convergence=False: the bound IS the semantics here — both
+    # engines truncate identically, so non-convergence is not an error.
+    labels = connected_components(
+        pairs, max_iter=max_hops, require_convergence=False
+    )
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
     edges = fwd.unionAll(rev).persist()
@@ -1239,6 +1264,7 @@ def connected_components_pointer_jump(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         msgs = edges.join(labels, edges.s == labels.doc_id).select(
             F.col("t").alias("doc_id"), F.col("cluster_id")
@@ -1272,6 +1298,13 @@ def connected_components_pointer_jump(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # 2^max_iter-diameter budget: exhausting it means something is
+        # structurally wrong with the graph, never a tuning knob.
+        raise RuntimeError(
+            "connected_components_pointer_jump did not converge in "
+            f"{max_iter} doubling rounds"
+        )
     return labels
 
 

@@ -830,14 +830,25 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs AFTER fingerprint dedup.
 
     Plan: pair generation is the capped cell self-join (never corpus
-    x corpus); clustering is iterative join+min-agg with
-    `localCheckpoint` lineage truncation; the recursive-CTE oracle is
-    the exact transitive closure of the identical edge set.
+    x corpus); clustering is pointer-jumping min-label (O(log
+    diameter) rounds) with `localCheckpoint` lineage truncation; the
+    recursive-CTE oracle is the exact transitive closure of the
+    identical edge set.
+
+    Pointer jumping rather than plain propagation since round 10: the
+    sf1.0 certification caught plain min-label exhausting its 25-round
+    budget on this graph and returning silently wrong labels — the
+    replicated embedding corpus chains near-dups ACROSS replicas into
+    a >25-diameter component, the exact adversarial shape the doubling
+    variant exists for (and plain propagation now raises instead of
+    returning unconverged labels).
     """
-    from distributed_mapreduce_spark.workload.dedup import connected_components
+    from distributed_mapreduce_spark.workload.dedup import (
+        connected_components_pointer_jump,
+    )
 
     pairs = near_dup_pairs_cell_capped(table(spark, sf_dir, "embeddings"))
-    return connected_components(
+    return connected_components_pointer_jump(
         pairs.select(
             F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
         )
