@@ -191,8 +191,13 @@ def main() -> None:
             # DuckDB re-executes from the base tables every run).
             # Intra-query persist within one trial is unaffected.
             spark.catalog.clearCache()
-            df = QUERIES[name](spark, sf_dir)
+            # Timer starts BEFORE the builder call (ADVICE r10): for
+            # every declarative row the builder is microseconds of plan
+            # construction, but materializing rows (the streaming drain
+            # in workload/streaming_q.py executes at build time) would
+            # otherwise be mis-attributed as ~0.
             t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)

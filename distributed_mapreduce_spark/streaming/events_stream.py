@@ -70,14 +70,22 @@ def read_events_stream(
 def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Tumbling event-time window per event_type with a late-data
     watermark: count + sum(value). Streaming twin of the
-    `events_tumbling` batch query."""
+    `events_tumbling` batch query.
+
+    `watermark=None` skips `withWatermark` entirely: complete-mode
+    sinks need no watermark for correctness, and a watermark-free plan
+    is micro-batch-split-invariant (a watermarked availableNow drain
+    that the source splits into several batches can drop late rows in
+    later batches relative to the advancing watermark — exactly the
+    environment sensitivity VERDICT r10 #1 diagnosed). Update/append
+    consumers keep the default so state stays bounded."""
+    src = events if watermark is None else events.withWatermark("ts", watermark)
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(30,6)").alias("sum_value"),

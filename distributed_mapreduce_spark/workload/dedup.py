@@ -1256,11 +1256,16 @@ def connected_components_pointer_jump(
     oracle is shared verbatim with `dedup_clusters`.
 
     Budget: rounds after convergence never run (the changed-probe
-    breaks first), so `max_iter` only caps the adversarial case; 40
-    doubling rounds covers any diameter this engine can materialize.
-    Measured: the sf1.0 embedding near-dup graph — an ~870-node
-    chain-shaped component — converges in 21 rounds (the old default
-    of 15 raised the convergence guard there, round 10).
+    breaks first), so `max_iter` only caps the adversarial case. Do
+    NOT size the cap with pure-doubling math (2^max_iter): each round
+    performs ONE dereference on top of the edge relaxation, so the
+    measured shrink is sub-exponential — the sf1.0 embedding near-dup
+    graph, an ~870-node chain-shaped component, needed 21 rounds (the
+    old default of 15 raised the convergence guard there, round 10;
+    pure doubling would have predicted ~10). Size `max_iter` from that
+    measured rate (~diameter^(2/3)-ish empirically), and rely on the
+    guard raising loudly rather than on the cap being provably
+    sufficient (ADVICE r10).
     """
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
     rev = pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))

@@ -545,6 +545,16 @@ def _match_prio_sql() -> str:
 
 
 def _matching_oracle(rounds: int) -> str:
+    # Per-node minimum incident edge via a row_number window, NOT
+    # min(struct_pack(...)): DuckDB's struct-min aggregate allocates
+    # per-row struct copies OUTSIDE its memory accounting — at sf1.0
+    # (5.9 M edges -> 11.8 M proposal rows) the aggregate blew through
+    # memory_limit=24GB to >120 GB and OOM-killed the round-10 AND the
+    # first round-11 certification runs (bisected in-round: count(*)
+    # over the same GROUP BY passes only because the optimizer drops
+    # the unused struct aggregate). The window sort spills; semantics
+    # are identical (struct comparison is lexicographic in field
+    # order h, u, v — exactly ORDER BY h, u, v).
     ctes = [
         _ADJ_SQL,
         f""", edges AS MATERIALIZED (
@@ -555,17 +565,20 @@ def _matching_oracle(rounds: int) -> str:
     for k in range(1, rounds + 1):
         ctes.append(
             f""", pick{k} AS MATERIALIZED (
-      SELECT node, min(struct_pack(h := h, u := u, v := v)) AS e
-      FROM (
-        SELECT u AS node, h, u, v FROM live{k - 1}
-        UNION ALL
-        SELECT v AS node, h, u, v FROM live{k - 1}
-      ) GROUP BY node
+      SELECT node, h, u, v FROM (
+        SELECT node, h, u, v,
+               row_number() OVER (PARTITION BY node ORDER BY h, u, v) AS rn
+        FROM (
+          SELECT u AS node, h, u, v FROM live{k - 1}
+          UNION ALL
+          SELECT v AS node, h, u, v FROM live{k - 1}
+        )
+      ) WHERE rn = 1
     ), matched{k} AS MATERIALIZED (
-      SELECT a.e.u AS u, a.e.v AS v
+      SELECT a.u AS u, a.v AS v
       FROM pick{k} a JOIN pick{k} b
-        ON a.e.u = b.e.u AND a.e.v = b.e.v AND a.e.h = b.e.h
-       AND a.node = a.e.u AND b.node = a.e.v
+        ON a.u = b.u AND a.v = b.v AND a.h = b.h
+       AND a.node = a.u AND b.node = b.v
     ), gone{k} AS (
       SELECT u AS node FROM matched{k}
       UNION

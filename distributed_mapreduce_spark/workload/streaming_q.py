@@ -1,15 +1,36 @@
-"""Driver-graded Structured Streaming row (VERDICT r09 #9).
+"""Driver-graded Structured Streaming row (VERDICT r09 #9, hermetic r11).
 
 The nine streaming twins are bit-certified against their batch twins in
 tests/test_streaming.py, but until round 10 none was graded by the
 DRIVER's DuckDB differential. This module wraps the flagship streaming
-operator — the watermarked tumbling-window aggregate — as a registry
-query: land the events table as a streaming source directory, drain it
-with an availableNow trigger into a memory sink, and return the final
-table. On a closed input the result is bit-equal to the batch twin
+operator — the tumbling-window aggregate — as a registry query: land
+the events table as a streaming source directory, drain it with an
+availableNow trigger into a memory sink, and return the final table.
+On a closed input the result is bit-equal to the batch twin
 (`events_tumbling`, Spark's batch/stream unification guarantee), so the
 batch twin's DuckDB oracle grades the STREAMING execution path —
-watermark bookkeeping, state store, micro-batch planner included.
+state store and micro-batch planner included.
+
+Round-11 hermeticity (VERDICT r10 "What's wrong" #1 — the row's hash
+mismatched in the driver sandbox but nowhere reproducible locally; the
+design had exactly two non-hermetic dependencies, both removed):
+
+1. The landing directory was a cross-round shared mutable cache in
+   /tmp keyed by (path, size, mtime) — stale keys from other sessions
+   and a TOCTOU between concurrent sessions (ADVICE r10) could feed
+   the graded query different bytes than the oracle reads. Now each
+   PROCESS lands into its own `mkdtemp` directory (unique per run by
+   construction, no locks needed) and caches by source fingerprint
+   only within that process.
+2. The graded drain applied a 2-hour watermark before a complete-mode
+   availableNow drain. If the grading environment splits the drain
+   into multiple micro-batches, late rows in later batches can be
+   dropped against the advancing watermark — same groups, lower
+   counts, exactly the observed signature. Complete mode needs no
+   watermark, so the graded stream is now built watermark-free and is
+   batch-split-invariant by construction. The watermark path stays
+   certified by the pytest late-audit twin, which pins batch
+   boundaries explicitly with maxFilesPerTrigger.
 
 Reference parity: the reference has no streaming surface; this is part
 of the training-data-pipeline extension (SURVEY.md §6), where ingestion
@@ -20,14 +41,19 @@ from __future__ import annotations
 
 import hashlib
 import os
+import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_mapreduce_spark.workload.registry import query, table
 
-#: Memory-sink names must be unique per drain within a session (a
-#: second drain under the same name would race the first's table).
-_SINK_SEQ = [0]
+#: Per-process landing cache: source fingerprint -> landed directory.
+#: Lives only as long as this interpreter, so no cross-session reuse,
+#: no stale keys, no concurrent-writer races (each process owns its
+#: own mkdtemp root); repeat invocations in one session (bench
+#: min-of-3) still pay the landing write once.
+_LANDED: dict[str, str] = {}
 
 
 def _landing_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -36,22 +62,23 @@ def _landing_dir(spark: SparkSession, sf_dir: str) -> str:
     TIMESTAMP(NANOS), which the stream source's schema reader cannot
     take directly; `table()` already normalizes it).
 
-    Keyed by the source file's identity (path, size, mtime) so a
-    regenerated harness file re-lands instead of reusing stale data
-    (same discipline as dedup's dataset fingerprint, ADVICE r07); the
-    relanding is one linear write, cached across invocations within
-    and across sessions. A `_SUCCESS` marker gates reuse so a crashed
-    partial write is never streamed."""
+    Hermetic per process: the landing root is a fresh `mkdtemp` under
+    the system temp dir, so two sessions can never observe each
+    other's partial or stale landings (VERDICT r10 #1, ADVICE r10
+    TOCTOU). Within the process, re-invocations reuse the landing via
+    a fingerprint keyed on (abspath, size, mtime)."""
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     key = hashlib.sha256(
         f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
-    out = os.path.join("/tmp/spark_graft_stream_landing", key)
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    out = _LANDED.get(key)
+    if out is None or not os.path.exists(os.path.join(out, "_SUCCESS")):
+        out = tempfile.mkdtemp(prefix="spark_graft_stream_landing_")
         table(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
         ).parquet(out)
+        _LANDED[key] = out
     return out
 
 
@@ -67,21 +94,21 @@ def _landing_dir(spark: SparkSession, sf_dir: str) -> str:
 def q_stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window per event_type, computed BY THE STREAMING
     ENGINE: file-source stream over the landed events directory →
-    watermarked window aggregate (`streaming.events_stream.
-    windowed_counts`) → availableNow drain into a memory sink; the
-    returned DataFrame reads the sink's final (complete-mode) table.
+    tumbling window aggregate (`streaming.events_stream.
+    windowed_counts`, watermark-free — see module docstring) →
+    availableNow drain into a memory sink; the returned DataFrame reads
+    the sink's final (complete-mode) table.
 
     Unlike every other registry row this executes at build time (the
     drain must finish before the result table exists) — the plan-sweep
-    tests account for materializing entries. The oracle is the batch
-    twin's SQL verbatim: on a closed input the streaming aggregate's
-    final state must equal the batch aggregate bit-for-bit (certified
-    in tests/test_streaming.py; graded by the driver here).
+    tests account for materializing entries, and bench.py must start
+    its timer before the builder call for this row (see HEADLINE note
+    in bench.py).
 
-    Scale shape: state is O(active windows x event types) under the
-    watermark, not O(stream length); the memory sink is test/driver
-    plumbing — production uses the kafka/parquet sink writers in
-    streaming/events_stream.py."""
+    Scale shape: complete mode holds O(windows x event types) state,
+    fine for a bounded drain; continuous production ingest uses the
+    watermarked update-mode path in streaming/events_stream.py where
+    state is bounded by the watermark."""
     from distributed_mapreduce_spark.streaming.events_stream import (
         read_events_stream,
         run_to_memory,
@@ -89,10 +116,9 @@ def q_stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     landing = _landing_dir(spark, sf_dir)
-    _SINK_SEQ[0] += 1
-    name = f"stream_events_tumbling_sink_{_SINK_SEQ[0]}"
+    name = f"stream_events_tumbling_sink_{uuid.uuid4().hex[:12]}"
     stream = windowed_counts(
-        read_events_stream(spark, landing), window="1 hour", watermark="2 hours"
+        read_events_stream(spark, landing), window="1 hour", watermark=None
     )
     run_to_memory(stream, name, output_mode="complete")
     return spark.table(name)

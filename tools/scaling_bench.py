@@ -565,10 +565,20 @@ def main() -> int:
         # dropped rather than kept stale.
         kept.pop("slope_x100_vs_x10", None)
         kept.pop("slope_x1000_vs_x100", None)
+        kept.pop("slope_x100_vs_x10_baseline", None)
         if "x100_sec" in kept and "rows_x100" in kept:
             kept["slope_x100_vs_x10"] = round(
                 (kept["x100_sec"] / kept["rows_x100"]) / (t10 / n10), 3
             )
+            # Cross-run provenance (ADVICE r10): the recomputed slope
+            # divides a carried x100 (merge-source run, possibly a
+            # different machine load/session) by THIS run's fresh
+            # x10 baseline — stamp both run ids so the mixed origin
+            # is visible in the artifact. run_id is stamped into the
+            # row as `measured_in` below; the carried decade's origin
+            # is `x100_measured_in`.
+            if kept.get("x100_measured_in"):
+                kept["slope_x100_vs_x10_baseline"] = run_id
             if "x1000_sec" in kept and "rows_x1000" in kept:
                 kept["slope_x1000_vs_x100"] = round(
                     (kept["x1000_sec"] / kept["rows_x1000"])

@@ -1,0 +1,57 @@
+"""sf1.0 certification coverage audit (VERDICT r10 #2/#3): union the
+PASS/SKIP names across every committed `CORRECTNESS_SF1_*.log` and
+compare against the live registry. The round-10 hole (111 queries with
+no sf1.0 row, masked by a subset run's ALL PASS) becomes impossible to
+miss: this prints the exact uncovered names and exits non-zero if any.
+
+Usage: python tools/sf1_coverage.py [repo_dir]
+"""
+
+from __future__ import annotations
+
+import glob
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def coverage(repo_dir: str = "/root/repo") -> tuple[set[str], set[str], set[str]]:
+    """Returns (passed, skipped, uncovered) query-name sets across all
+    committed sf1.0 logs vs the live registry."""
+    from distributed_mapreduce_spark.workload import QUERIES
+
+    passed: set[str] = set()
+    skipped: set[str] = set()
+    for log in sorted(glob.glob(f"{repo_dir}/CORRECTNESS_SF1_*.log")):
+        text = open(log, errors="replace").read()
+        # Anchored to line start: "SPARK_GRAFT_CERT_SKIP at ..." inside
+        # a skip message would otherwise match as a query named "at".
+        passed.update(re.findall(r"^PASS ([a-z0-9_]+)", text, re.M))
+        skipped.update(re.findall(r"^SKIP ([a-z0-9_]+)", text, re.M))
+    # a later PASS supersedes an earlier SKIP
+    skipped -= passed
+    uncovered = set(QUERIES) - passed - skipped
+    return passed, skipped, uncovered
+
+
+def main() -> int:
+    repo = sys.argv[1] if len(sys.argv) > 1 else "/root/repo"
+    passed, skipped, uncovered = coverage(repo)
+    from distributed_mapreduce_spark.workload import QUERIES
+
+    print(
+        f"sf1.0 coverage: {len(passed)} PASS + {len(skipped)} SKIP of "
+        f"{len(QUERIES)} registered"
+    )
+    if skipped:
+        print(f"skipped (documented in-log): {sorted(skipped)}")
+    if uncovered:
+        print(f"UNCOVERED ({len(uncovered)}): {sorted(uncovered)}")
+        return 1
+    print("full coverage: every registered query has an sf1.0 PASS or SKIP row")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
