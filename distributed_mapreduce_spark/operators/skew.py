@@ -40,6 +40,7 @@ def salted_join(
     small: DataFrame,
     on: str,
     salt: int = 16,
+    parts: int | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the big side, replicate the small
     side `salt`×, join on (key, salt), drop the salt.
@@ -49,10 +50,27 @@ def salted_join(
     across `salt` tasks instead of serializing through one. Replication
     multiplies the small side's shuffle volume by `salt` — pick the
     smallest salt that flattens the skew.
+
+    The salted exchange is PINNED via an explicit user repartition on
+    (key, salt): the operator's whole contract is task-level
+    parallelism, and AQE's byte-based partition coalescing would
+    otherwise merge the salt buckets right back into one task whenever
+    the hot key is CPU-heavy but byte-light (measured in round 11:
+    `AQEShuffleRead coalesced` collapsed the 16-way spread to ~2 tasks
+    at sf0.1 and cost 1.67x wall-clock, PERF_PROBE_r11.json; AQE sizes
+    partitions by BYTES, not downstream CPU — the same blind spot that
+    keeps its skew-join split from firing here). A user-specified
+    repartition width is exempt from coalescing. `parts` defaults to
+    the session's shuffle width; pass an input-scaled width for
+    compute-expanding joins at large SF.
     """
+    if parts is None:
+        parts = int(
+            big.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     big_salted = big.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
-    )
+    ).repartition(parts, on, SALT_COL)
     small_rep = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn(SALT_COL, F.col(SALT_COL).cast("long"))

@@ -854,45 +854,46 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per word (identical phrase text ⇒ identical score, so min() per
     phrase is a no-op aggregator). Top-{RAKE_TOP_K} by (score, phrase).
 
-    Plan: one posexplode, the gaps-and-islands run id from a window
-    PARTITIONED BY doc_id (per-doc rows), a phrase aggregate with
-    position-ordered reassembly, one |vocab|-row word-stats aggregate
-    joined back to occurrences (equi-join on the token), and
-    TakeOrdered for the cap — no global sort, no raw-row global
+    Plan (restructured round 11, PERF_PROBE_r11.json): one posexplode,
+    the gaps-and-islands run id from a window PARTITIONED BY doc_id,
+    then the run length `plen` from a COUNT window over (doc_id, grp)
+    — the same doc_id exchange serves both windows, which ELIMINATES
+    the phrases⋈occurrences shuffle join the previous plan paid (and
+    its third scan of the explode chain: ~25% wall-clock at sf0.1,
+    and one fewer full shuffle of the token stream at any scale).
+    Word stats aggregate the windowed rows directly; the phrase string
+    is assembled in the SAME (doc_id, grp) aggregate that sums the
+    word scores; TakeOrdered caps — no global sort, no raw-row global
     window."""
     docs = table(spark, sf_dir, "documents")
     tk = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = Window.partitionBy("doc_id", "grp")
     nonstop = (
         tk.filter(~F.col("tok").isin(*STOPWORDS))
         .withColumn("grp", F.col("pos") - F.row_number().over(wd))
+        .withColumn("plen", F.count(F.lit(1)).over(wrun).cast("long"))
     )
-    phrases = nonstop.groupBy("doc_id", "grp").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
-            ),
-        ).alias("phrase"),
-        F.count(F.lit(1)).cast("long").alias("plen"),
-    )
-    occ = nonstop.select("doc_id", "grp", "tok").join(
-        phrases, ["doc_id", "grp"]
-    )
-    wordstats = occ.groupBy("tok").agg(
-        F.sum("plen").cast("long").alias("deg"),
-        F.count(F.lit(1)).cast("long").alias("freq"),
+    wordstats = nonstop.groupBy("tok").agg(
         F.expr(f"CAST(sum(plen) * {RAKE_SCALE} DIV count(*) AS BIGINT)").alias(
             "wscore"
         ),
     )
     pscore = (
-        occ.join(wordstats.select("tok", "wscore"), "tok")
-        .groupBy("doc_id", "grp", "phrase")
-        .agg(F.sum("wscore").cast("long").alias("score_e3"))
+        nonstop.join(wordstats, "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+            ).alias("phrase"),
+            F.sum("wscore").cast("long").alias("score_e3"),
+        )
     )
     return (
         pscore.groupBy("phrase")
