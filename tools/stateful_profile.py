@@ -72,7 +72,10 @@ def run_one(spark: SparkSession, name: str, stream: DataFrame) -> dict:
         .start()
     )
     time.sleep(RUN_SECONDS)
-    prog = [json.loads(p) for p in q.recentProgress]
+    # recentProgress yields StreamingQueryProgress objects (dict-like
+    # via __getitem__/.get in PySpark 4) — same access style as
+    # tools/stream_bench.py.
+    prog = list(q.recentProgress)
     q.stop()
     batches = [
         p
