@@ -229,7 +229,7 @@ def main() -> None:
         "SPARK_GRAFT_ANCHOR_PATH", "DUCKDB_ANCHOR.json"
     )
     for key, fnames in (
-        ("scaling", ("SCALING_r10.json", "SCALING_r09.json")),
+        ("scaling", ("SCALING_r11.json", "SCALING_r10.json", "SCALING_r09.json")),
         ("registry_cost", ("REGISTRY_COST.json",)),
         ("duckdb_anchor", (anchor_file,)),
     ):

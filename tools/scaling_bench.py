@@ -99,6 +99,15 @@ FAMILIES = [
     # canonical-occurrence selection, coverage explode (duplicated
     # occurrences only), and full token-stream reassembly per doc.
     "dedup_exact_substring_strip",
+    # round-11: the two replanned queries (PERF_PROBE_r11.json) get
+    # measured decades. rake: the cipher replicas keep token/phrase
+    # structure intact per replica and disjoint across replicas — a
+    # fair explode+window+join scaling shape. skew: event_id%3
+    # residues survive the ID_OFFSET stride (divisible by 3), so the
+    # hot key keeps its 2/3 share at every factor and the pinned salt
+    # exchange is measured under constant skew intensity.
+    "text_rake_keywords",
+    "skew_join_salted",
     # round-6: DSIR importance weights — explode-to-bucket counts with a
     # fixed 256-row model relation; data-derived hashed features, so the
     # Caesar-rotated replicas exercise it fairly (unlike fixed-literal
