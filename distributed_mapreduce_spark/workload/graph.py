@@ -532,11 +532,18 @@ SSSP_HOPS = 4
 
 
 def _sssp_oracle(hops: int) -> str:
+    # Every d{k} is MATERIALIZED: each round references d{k-1} TWICE
+    # (carry + relax), and without the hint DuckDB inlines the CTE into
+    # both references — the evaluation tree doubles per level (2^hops
+    # re-evaluations of the whole prefix), which is what blew an ~80 GB
+    # spill and filled the disk at the sf4 differential (round 11).
+    # Materialization makes each round evaluate once; adj likewise
+    # (referenced once per round).
     ctes = [
         f"e AS ({_EDGES_SQL})",
         """, ew AS (
           SELECT src, dst, CAST(1 + (src + dst) % 5 AS BIGINT) AS w FROM e
-        ), adj AS (
+        ), adj AS MATERIALIZED (
           SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew
         ), d0 AS (
           SELECT (SELECT min(src) FROM adj) AS node, CAST(0 AS BIGINT) AS dist
@@ -544,7 +551,7 @@ def _sssp_oracle(hops: int) -> str:
     ]
     for k in range(1, hops + 1):
         ctes.append(
-            f""", d{k} AS (
+            f""", d{k} AS MATERIALIZED (
               SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
                 SELECT node, dist FROM d{k - 1}
                 UNION ALL

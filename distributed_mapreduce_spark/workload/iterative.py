@@ -284,19 +284,27 @@ def _hits_oracle(rounds: int) -> str:
         )"""
         % HITS_M0
     ]
+    # a{k}raw / h{k}raw are each referenced TWICE (the scalar max and
+    # the FROM) and every half-round chains on the previous one —
+    # without MATERIALIZED DuckDB inlines each reference, doubling the
+    # evaluation tree per half-round (2^(2*rounds) re-evaluations of
+    # the prefix): that is what OOM'd the 24 GB oracle envelope at the
+    # round-11 sf4 differential. Materialization evaluates each
+    # half-round once; a{k}/h{k} are normalized projections kept
+    # MATERIALIZED too since each also has two consumers.
     for k in range(1, rounds + 1):
         ctes.append(
-            f""", a{k}raw AS (
+            f""", a{k}raw AS MATERIALIZED (
               SELECT e.p, CAST(sum(h.h) AS BIGINT) AS a
               FROM edges e JOIN h{k - 1} h ON e.s = h.s GROUP BY e.p
-            ), a{k} AS (
+            ), a{k} AS MATERIALIZED (
               SELECT p, CAST(a * {HITS_M0} // (SELECT max(a) FROM a{k}raw)
                         AS BIGINT) AS a
               FROM a{k}raw
-            ), h{k}raw AS (
+            ), h{k}raw AS MATERIALIZED (
               SELECT e.s, CAST(sum(a.a) AS BIGINT) AS h
               FROM edges e JOIN a{k} a ON e.p = a.p GROUP BY e.s
-            ), h{k} AS (
+            ), h{k} AS MATERIALIZED (
               SELECT s, CAST(h * {HITS_M0} // (SELECT max(h) FROM h{k}raw)
                         AS BIGINT) AS h
               FROM h{k}raw

@@ -104,7 +104,12 @@ def _run_inner(sf_dir, only, spark, print):  # noqa: A002
     # (~100 GB here), and the round-10 sf1.0 certification was
     # OOM-killed at 120 GB RSS mid-oracle. 24 GB + a disk spill dir
     # keeps the whole differential inside the machine's envelope.
-    con.execute("SET memory_limit='24GB'")
+    # SPARK_GRAFT_ORACLE_MEM overrides for deep-scale reruns (the sf4
+    # differential's closure/iteration oracles need more than the
+    # default envelope; the engine side is unaffected either way).
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '24GB')}'"
+    )
     con.execute("SET temp_directory='/tmp/duckdb_cert_spill'")
     for t in TABLES:
         con.execute(
