@@ -127,6 +127,16 @@ def _run_inner(sf_dir, only, spark, print):  # noqa: A002
     skip = {
         s for s in os.environ.get("SPARK_GRAFT_CERT_SKIP", "").split(",") if s
     }
+    # Queries routed through the collect-free distributed-checksum
+    # differential (tools/checksum_check.py): outputs too large to
+    # collect at deep scale (round 11: multimodal_phash_pairs emits
+    # 206 M rows at sf4 — engine fine, collect impossible). A PASS here
+    # is count+checksum equality computed inside each engine.
+    checksum_only = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_CERT_CHECKSUM", "").split(",")
+        if s
+    }
     skipped: list[str] = []
     for name, fn in QUERIES.items():
         if only and name not in only:
@@ -134,6 +144,28 @@ def _run_inner(sf_dir, only, spark, print):  # noqa: A002
         if name in skip:
             skipped.append(name)
             print(f"SKIP {name} (via SPARK_GRAFT_CERT_SKIP at {sf_dir})")
+            continue
+        if name in checksum_only:
+            import checksum_check as cc
+
+            try:
+                t0 = time.perf_counter()
+                sn, ss = cc.spark_checksum(fn(spark, sf_dir))
+                spark_secs[name] = round(time.perf_counter() - t0, 3)
+                families[name] = getattr(fn, "__module__", "?").rsplit(".", 1)[-1]
+                dn, ds = cc.duckdb_checksum(con, ORACLES[name])
+            except Exception as e:
+                failures.append(name)
+                print(f"FAIL {name}: checksum-mode error: {e}")
+                continue
+            if (sn, ss) != (dn, ds):
+                failures.append(name)
+                print(
+                    f"FAIL {name}: checksum mismatch spark=({sn},{ss}) "
+                    f"duckdb=({dn},{ds})"
+                )
+            else:
+                print(f"PASS {name} ({sn} rows, checksum mode)")
             continue
         families[name] = getattr(fn, "__module__", "?").rsplit(".", 1)[-1]
         try:
