@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: per workload family (agg, join, window, text, dedup, ANN, events).
 #: Rows whose builder EXECUTES the query (streaming drains): the bench
 #: timer starts before the builder for these (see the timing-boundary
-#: comment in the trial loop). None are currently in HEADLINE.
+#: comment in the trial loop). None are currently in HEADLINE. Note:
+#: since round 12 `stream_events_tumbling`'s builder also runs an
+#: in-session batch-twin differential (self-diagnosis, VERDICT r11 #1)
+#: costing ~0.2 s at sf0.1 — included here so any future timing of this
+#: row is read as stream + differential, not stream alone.
 MATERIALIZING = {"stream_events_tumbling"}
 
 HEADLINE = [
