@@ -20,6 +20,42 @@ sys.path.insert(0, "/root/repo")
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+#: The deep-scale (sf4, factor-40 data) differential set — committed as
+#: code so "the scale-sensitive selection" is reproducible from the repo
+#: (VERDICT r11 #5), runnable via `--sf4-set`. Selection criteria, in
+#: order: (1) every iterative/convergence query (graph family, PageRank,
+#: CC/dedup clustering, k-means — where the r10 silent-non-convergence
+#: class lives); (2) every query whose shuffle width or cap is
+#: input-scaled (LSH bands, edit-distance pairs, substring dedup,
+#: phash pairs); (3) the sketch family (CMS/HLL/KMV — error bounds
+#: tighten with scale, so drift is visible); (4) one representative per
+#: remaining family with non-trivial sf4 cost (events/journey,
+#: retrieval, quality, multimodal, skew). Certified in
+#: CORRECTNESS_SF4_r11*.log (31 + 20 queries, zero engine failures);
+#: `multimodal_phash_pairs` additionally checksum-certified at 206 M
+#: output rows via tools/checksum_check.py.
+SF4_SET = frozenset(
+    """
+    ann_ivf_trained auc_rank_audit bm25_top_docs cdc_time_travel
+    cms_heavy_hitters corpus_domain_cap dedup_clusters
+    dedup_clusters_pointer_jump dedup_edit_distance_pairs dedup_exact
+    dedup_exact_substring_runs dedup_exact_substring_strip
+    dsir_importance_weights embedding_dedup_clusters events_funnel
+    events_markov_stationary events_sessionize flagship_pct
+    graph_greedy_matching graph_hits_rounds graph_kcore_peel
+    graph_ktruss_peel graph_label_propagation graph_mis_luby
+    graph_ppr_seed graph_sssp_bounded graph_temporal_reachability
+    graph_triangle_counts hll_merge_audit kmv_distinct_by_source
+    ks_statistic_returnflag maplejuice_flagship multimodal_decode_errors
+    multimodal_phash_pairs pagerank_converge partition_consistent_ring
+    quality_gates_cohen_kappa retention_cohorts retrieval_hard_negatives
+    retrieval_phrase_match retrieval_rrf_fusion semdedup_keep_verdicts
+    sessionize_gap_sweep sessions_peak_concurrency skew_join_salted
+    text_ngram_novelty text_packing tokenizer_bpe_merges
+    tpch_q18_large_orders vocab_build window_running
+    """.split()
+)
+
 
 def normalize_cell(v):
     if isinstance(v, float):
@@ -255,8 +291,28 @@ def _run_inner(sf_dir, only, spark, print):  # noqa: A002
     return len(failures)
 
 
+def resume_subset(start_after: str) -> set[str]:
+    """The queries to run when resuming after `start_after`: everything
+    STRICTLY AFTER it in registration order (the crashed log's tail —
+    never a hand-picked list). Raises KeyError for unknown names.
+    Factored out of main() so the test suite exercises the SAME
+    derivation the CLI uses (ADVICE r11: the old test re-implemented
+    the slice expression and could not catch a CLI regression)."""
+    from distributed_mapreduce_spark.workload import QUERIES
+
+    names = list(QUERIES)
+    if start_after not in names:
+        raise KeyError(start_after)
+    return set(names[names.index(start_after) + 1 :])
+
+
 def main() -> int:
-    """CLI: check_correctness.py [sf_dir] [query ...] [--start-after NAME]
+    """CLI: check_correctness.py [sf_dir] [query ...]
+                                 [--start-after NAME] [--sf4-set]
+
+    `--sf4-set` runs exactly the committed deep-scale selection
+    (SF4_SET above) — use with an sf4 directory built by
+    tools/gen_sf.py.
 
     `--start-after NAME` resumes a crashed certification at the query
     AFTER `NAME` in registration order (VERDICT r10 #3: resumes must be
@@ -269,18 +325,24 @@ def main() -> int:
         i = args.index("--start-after")
         start_after = args[i + 1]
         del args[i : i + 2]
+    use_sf4_set = "--sf4-set" in args
+    if use_sf4_set:
+        args.remove("--sf4-set")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if use_sf4_set:
+        only |= SF4_SET
+        print(f"--sf4-set: {len(SF4_SET)} deep-scale queries (see SF4_SET)")
     if start_after is not None:
         from distributed_mapreduce_spark.workload import QUERIES
 
-        names = list(QUERIES)
-        if start_after not in names:
+        try:
+            only = resume_subset(start_after)
+        except KeyError:
             print(f"--start-after {start_after!r}: not a registered query")
             return 1
-        only = set(names[names.index(start_after) + 1 :])
         print(
-            f"resuming after {start_after!r}: {len(only)} of {len(names)} "
+            f"resuming after {start_after!r}: {len(only)} of {len(QUERIES)} "
             f"queries (registration order)"
         )
     return 1 if run(sf_dir, only) else 0

@@ -49,7 +49,11 @@ def spark_checksum(df) -> tuple[int, int]:
 
 
 def duckdb_checksum(con, sql: str) -> tuple[int, int]:
-    res = con.execute(sql)
+    # Column names via LIMIT 0 (ADVICE r11): executing the bare oracle
+    # just for `description` ran the full query a second time — at the
+    # deep-scale outputs this tool exists for (~206 M rows at sf4) that
+    # doubled DuckDB wall-clock and spill.
+    res = con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
     cols = sorted(d[0] for d in res.description)
     canon = " || '|' || ".join(
         f"coalesce(CAST(\"{c}\" AS VARCHAR), chr(0))" for c in cols

@@ -25,17 +25,26 @@ sys.path.insert(0, "/root/repo")
 
 
 def chained_unmaterialized(sql: str) -> list[tuple[str, int]]:
-    """(cte_name, reference_count) for numeric-suffixed CTE levels with
-    a successor level, not MATERIALIZED, referenced >= 2 times."""
-    defs: dict[tuple[str, int], bool] = {}
-    for m in re.finditer(r"(\w+?)(\d+)\s+AS\s+(MATERIALIZED\s+)?\(", sql, re.I):
-        defs[(m.group(1), int(m.group(2)))] = bool(m.group(3))
+    """(cte_name, reference_count) for round-numbered CTE levels with a
+    successor level, not MATERIALIZED, referenced >= 2 times.
+
+    The round number may sit ANYWHERE in the name (ADVICE r11: the
+    original trailing-digit pattern missed `a1raw`/`h1raw` — the exact
+    HITS shape that motivated this tool); the chain is detected on the
+    (prefix, k+1, suffix) triple, so `d1`→`d2` and `a1raw`→`a2raw`
+    both count as levels."""
+    defs: dict[tuple[str, int, str], bool] = {}
+    for m in re.finditer(
+        r"\b(\w*?)(\d+)(\w*)\s+AS\s+(MATERIALIZED\s+)?\(", sql, re.I
+    ):
+        defs[(m.group(1), int(m.group(2)), m.group(3))] = bool(m.group(4))
     out = []
-    for (base, k), mat in defs.items():
-        if (base, k + 1) in defs and not mat:
-            refs = len(re.findall(rf"\b{base}{k}\b", sql)) - 1
+    for (base, k, tail), mat in defs.items():
+        if (base, k + 1, tail) in defs and not mat:
+            name = f"{base}{k}{tail}"
+            refs = len(re.findall(rf"\b{re.escape(name)}\b", sql)) - 1
             if refs >= 2:
-                out.append((f"{base}{k}", refs))
+                out.append((name, refs))
     return out
 
 

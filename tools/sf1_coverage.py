@@ -10,27 +10,55 @@ Usage: python tools/sf1_coverage.py [repo_dir]
 from __future__ import annotations
 
 import glob
+import os
 import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 
+def _log_order_key(path: str) -> tuple[int, str]:
+    """Chronological sort key: round number first (plain lexicographic
+    glob order puts r9 AFTER r10/r11), then filename for same-round
+    parts. ADVICE r11: ordering matters because a LATER verdict must
+    supersede an earlier one per query. Keyed on the BASENAME only —
+    a `_r<digits>` substring in the containing directory must not
+    shadow the log's own round number."""
+    base = os.path.basename(path)
+    m = re.search(r"_r(\d+)", base)
+    return (int(m.group(1)) if m else -1, base)
+
+
 def coverage(repo_dir: str = "/root/repo") -> tuple[set[str], set[str], set[str]]:
     """Returns (passed, skipped, uncovered) query-name sets across all
-    committed sf1.0 logs vs the live registry."""
+    committed sf1.0 logs vs the live registry.
+
+    Logs are processed in round order and a later row supersedes an
+    earlier one per query (ADVICE r11): a FAIL in a newer log REVOKES
+    an older PASS (the query's implementation or oracle changed and
+    no longer certifies), and a newer PASS clears an older FAIL.
+    Revoked queries count as uncovered."""
     from distributed_mapreduce_spark.workload import QUERIES
 
     passed: set[str] = set()
     skipped: set[str] = set()
-    for log in sorted(glob.glob(f"{repo_dir}/CORRECTNESS_SF1_*.log")):
+    failed: set[str] = set()
+    for log in sorted(glob.glob(f"{repo_dir}/CORRECTNESS_SF1_*.log"), key=_log_order_key):
         text = open(log, errors="replace").read()
         # Anchored to line start: "SPARK_GRAFT_CERT_SKIP at ..." inside
         # a skip message would otherwise match as a query named "at".
-        passed.update(re.findall(r"^PASS ([a-z0-9_]+)", text, re.M))
-        skipped.update(re.findall(r"^SKIP ([a-z0-9_]+)", text, re.M))
-    # a later PASS supersedes an earlier SKIP
+        for verdict, name in re.findall(r"^(PASS|SKIP|FAIL) ([a-z0-9_]+)", text, re.M):
+            if verdict == "PASS":
+                passed.add(name)
+                failed.discard(name)
+            elif verdict == "SKIP":
+                skipped.add(name)
+            else:
+                failed.add(name)
+                passed.discard(name)
+    # a PASS supersedes a SKIP; a standing FAIL is not coverage
     skipped -= passed
+    skipped -= failed
     uncovered = set(QUERIES) - passed - skipped
     return passed, skipped, uncovered
 
