@@ -709,6 +709,16 @@ def main() -> int:
         "src": src_dir,
         "factor": FACTOR,
         "trials": TRIALS,
+        # Self-contained provenance semantics (VERDICT r11 #8): future
+        # readers should not need the round-10/11 notes to interpret
+        # the stamps.
+        "provenance_schema": (
+            "v2: measured_in = run that produced the row's x1/x10 "
+            "numbers; carried:true = row merged from a prior artifact "
+            "unchanged; x100_measured_in / x1000_measured_in present "
+            "ONLY when that decade was measured in a different run "
+            "than the row's base (absent = same run as measured_in)"
+        ),
         "queries": results,
     }
     if carried_notes:
