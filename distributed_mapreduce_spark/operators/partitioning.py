@@ -11,9 +11,32 @@ are reproducible and oracle-checkable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+
+def _persist_prefix_input(df: DataFrame) -> DataFrame:
+    """Persist the (narrow) input of a range-shuffle prefix-sum/rank.
+
+    `repartitionByRange` pays a full sampling pass over its child to
+    compute the partition bounds, so without a cache the ENTIRE upstream
+    plan (often a tokenize/explode/aggregate chain much heavier than the
+    narrow rows handed to the prefix sum) executes twice: once for the
+    sample job, once for the shuffle map stage (measured r12:
+    text_packing's tokenize ran 2x, ks_statistic's per-value aggregate
+    3x). Caching the narrow input makes the sample read the cache and
+    costs one pass + a cache of the already-projected rows — the callers
+    all project down to (order cols, value col) before calling, so the
+    cached bytes are a small fraction of their raw input at any scale.
+
+    `SPARK_GRAFT_PREFIXSUM_INPUT_PERSIST=0` restores the uncached
+    behavior (A/B probe switch; default on)."""
+    if os.environ.get("SPARK_GRAFT_PREFIXSUM_INPUT_PERSIST", "1") == "0":
+        return df
+    return df.persist()
 
 
 def partition_hash(df: DataFrame, key_col: str, num_partitions: int) -> DataFrame:
@@ -117,10 +140,17 @@ def row_range_shard_scalable(
     """
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, *[F.col(c) for c in order_cols]).sortWithinPartitions(
+    src = _persist_prefix_input(df)
+    ranged = src.repartitionByRange(p, *[F.col(c) for c in order_cols]).sortWithinPartitions(
         *order_cols
     )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # Persist before the two-branch fan-out, like global_rank/global_cumsum:
+    # the numbered rows and the per-partition counts MUST observe one
+    # materialized partitioning. Without this the branches rely on exchange
+    # reuse; r12 measured that reuse NOT firing once the input is cached —
+    # each branch sampled its own range bounds and the shard offsets came
+    # out wrong (caught by the sf0.01 differential on partition_rows_scalable).
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
 
     out_schema = StructType(
         with_pid.schema.fields + [StructField("_lrn", LongType(), False)]
@@ -216,7 +246,8 @@ def global_cumsum(
     """
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, *order_exprs).sortWithinPartitions(*order_exprs)
+    src = _persist_prefix_input(df)
+    ranged = src.repartitionByRange(p, *order_exprs).sortWithinPartitions(*order_exprs)
     # Persist BEFORE fanning out: both consumers below (the local-cumsum
     # mapInPandas and the per-partition sums) must observe the SAME
     # physical partitioning; without a persist that relies on Spark
@@ -266,7 +297,8 @@ def global_rank(
     """
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, *order_exprs).sortWithinPartitions(*order_exprs)
+    src = _persist_prefix_input(df)
+    ranged = src.repartitionByRange(p, *order_exprs).sortWithinPartitions(*order_exprs)
     # Persist before the two-branch fan-out (same rationale as
     # global_cumsum): rank offsets are only correct if the numbered rows
     # and the per-partition counts see one materialized partitioning.

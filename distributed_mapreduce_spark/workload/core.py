@@ -794,10 +794,17 @@ def q_partition_rendezvous_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_moved_in", F.lit(0)).cast("long").alias("n_moved_in"),
         )
     )
-    # n_total from the <=RV_NODES-row aggregate — a third scan of the
-    # keys relation just to count rows would be pure waste
-    tot = per_full.agg(F.sum("n_full").cast("long").alias("n_total"))
-    return per.crossJoin(F.broadcast(tot)).select(
+    # n_total as a window sum over the RV_NODES-row spine instead of a
+    # separate `per_full.agg(sum)` branch: referencing `per_full` twice
+    # re-executed the ENTIRE weight/argmax chain over orders a third
+    # time (the full-ring and reduced-ring aggregates are the two
+    # deliberate scans; the total must not add another). Every key's
+    # idx_full is a spine node and absent nodes contribute COALESCE(0),
+    # so the window total equals the old aggregate. The window is
+    # global but over exactly RV_NODES aggregate-bounded rows.
+    return per.withColumn(
+        "n_total", F.sum("n_full").over(Window.partitionBy())
+    ).select(
         "node",
         "n_full",
         "n_reduced",
@@ -954,22 +961,35 @@ def q_partition_consistent_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = assign.groupBy("variant", "node").agg(
         F.count(F.lit(1)).cast("long").alias("n_keys")
     )
-    tot = per.groupBy("variant").agg(
-        F.sum("n_keys").cast("long").alias("n_total")
-    )
     spine = spark.createDataFrame(
         [(nm, k) for nm, _ in RING_VARIANTS for k in range(RING_NODES)],
         "variant string, node long",
     )
+    # n_total as a per-variant window sum over the spine-joined rows
+    # instead of a second aggregate branch off `per`: every key lands on
+    # a spine node (points encode node < RING_NODES) and absent nodes
+    # contribute COALESCE(0), so the window total equals the old
+    # `per.groupBy(variant).sum` — but the plan references `per` once.
+    # The two-branch form re-executed the ENTIRE assign chain (orders
+    # scan + variant cross-join + bucket join + successor HOF + 2-level
+    # aggregate) per branch — r12's before-plan shows the subtree twice.
+    # The window is partitioned (variant) over 2*RING_NODES rows.
     return (
         spine.join(F.broadcast(per), ["variant", "node"], "left")
-        .join(F.broadcast(tot), "variant")
         .select(
             "variant",
             "node",
             F.coalesce("n_keys", F.lit(0)).cast("long").alias("n_keys"),
+        )
+        .withColumn(
+            "n_total", F.sum("n_keys").over(Window.partitionBy("variant"))
+        )
+        .select(
+            "variant",
+            "node",
+            "n_keys",
             F.expr(
-                f"CAST(CAST(coalesce(n_keys, 0) AS DECIMAL(38,0))"
+                f"CAST(CAST(n_keys AS DECIMAL(38,0))"
                 f" * {RING_NODES} * 1000000 DIV n_total AS BIGINT)"
             ).alias("load_ppm"),
         )

@@ -510,6 +510,8 @@ def _rare_index_pairs(
     them widens the one existing shuffle by four longs instead."""
     from pyspark.sql import Window
 
+    import os
+
     inv = sh_df.select("doc_id", F.size("bh").alias("sz"),
                        F.explode("bh").alias("gram"))
     df_w = Window.partitionBy("gram")
@@ -519,6 +521,17 @@ def _rare_index_pairs(
         .filter(F.col("df") <= max_df)
         .withColumn("capped", F.col("sz") - F.count(F.lit(1)).over(doc_w))
     )
+    # Persist the capped index: the self-join below references it twice
+    # (plus the memoized sizing aggregate once per dataset), and without
+    # a cache boundary EACH reference re-runs the explode and both
+    # window sorts off the shingle cache (r12 before-plan: the
+    # Generate→Window(gram)→Window(doc) chain appears once per join
+    # side). Same checkpoint rationale as `shingle_table`; the cached
+    # rows are the df-capped inverted index, strictly smaller than the
+    # raw one. `SPARK_GRAFT_RARE_PERSIST=0` restores the uncached shape
+    # (A/B probe switch).
+    if os.environ.get("SPARK_GRAFT_RARE_PERSIST", "1") != "0":
+        rare = rare.persist()
     l = rare.alias("l")
     r = rare.alias("r")
     joined = l.join(

@@ -845,16 +845,25 @@ def q_sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
+    # One explode, not a two-branch union: a UNION of two projections of
+    # `iv` plans the ENTIRE sessionize chain (scan -> per-user windows ->
+    # interval aggregate) once per branch — the r12 before-plan shows the
+    # scan+Window+HashAggregate subtree twice. Exploding each interval
+    # into its two endpoint rows computes the chain once (guide §2.4:
+    # share, don't recompute).
     pts = iv.select(
-        F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_id"
-    ).unionAll(
-        iv.select(
-            F.timestamp_micros(F.unix_micros(F.col("e")) + 1).alias("ts"),
-            F.lit(-1).alias("delta"),
-            "user_id",
-            "session_id",
-        )
-    )
+        "user_id",
+        "session_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.timestamp_micros(F.unix_micros(F.col("e")) + 1).alias("ts"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("pt"),
+    ).select(F.col("pt.ts").alias("ts"), F.col("pt.delta").alias("delta"), "user_id", "session_id")
     run = global_cumsum(
         pts,
         [F.col("ts"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")],
