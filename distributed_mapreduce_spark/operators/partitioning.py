@@ -39,6 +39,41 @@ def _persist_prefix_input(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
+def _local_row_number(with_pid: DataFrame, out_col: str) -> DataFrame:
+    """1-based row number within each physical partition, attached as a
+    pure JVM projection: `monotonically_increasing_id()` encodes
+    (partition_id << 33) | row_index_in_partition, so the local index is
+    `mid & (2^33 - 1)` — no Arrow transpose, no Python worker, where the
+    previous `mapInPandas` numbering shipped EVERY column of every row
+    through the Python boundary both ways (guide §4: the numbering needs
+    zero columns, yet paid for all of them). Row order is the cached
+    `sortWithinPartitions` order — projections preserve it, and a lost
+    cache partition recomputes through the deterministic range shuffle,
+    the same retry contract the Arrow pass relied on.
+
+    `SPARK_GRAFT_JVM_LOCAL_RN=0` restores the mapInPandas numbering
+    (A/B probe switch; default on)."""
+    if os.environ.get("SPARK_GRAFT_JVM_LOCAL_RN", "1") == "0":
+        out_schema = StructType(
+            with_pid.schema.fields + [StructField(out_col, LongType(), False)]
+        )
+
+        def attach_local_rn(batches):
+            seen = 0
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[out_col] = range(seen + 1, seen + 1 + len(pdf))
+                seen += len(pdf)
+                yield pdf
+
+        return with_pid.mapInPandas(attach_local_rn, schema=out_schema)
+    return with_pid.withColumn(
+        out_col,
+        (F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) + 1)
+        .cast("long"),
+    )
+
+
 def partition_hash(df: DataFrame, key_col: str, num_partitions: int) -> DataFrame:
     """Physically hash-partition by key (HashPartitioner semantics).
 
@@ -152,19 +187,7 @@ def row_range_shard_scalable(
     # out wrong (caught by the sf0.01 differential on partition_rows_scalable).
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
 
-    out_schema = StructType(
-        with_pid.schema.fields + [StructField("_lrn", LongType(), False)]
-    )
-
-    def attach_local_rn(batches):
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_lrn"] = range(seen + 1, seen + 1 + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    numbered = with_pid.mapInPandas(attach_local_rn, schema=out_schema)
+    numbered = _local_row_number(with_pid, "_lrn")
 
     counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     offsets = _partition_offsets(counts, "_cnt")
@@ -304,19 +327,7 @@ def global_rank(
     # and the per-partition counts see one materialized partitioning.
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
 
-    out_schema = StructType(
-        with_pid.schema.fields + [StructField("_lrn", LongType(), False)]
-    )
-
-    def attach_local_rn(batches):
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_lrn"] = range(seen + 1, seen + 1 + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    numbered = with_pid.mapInPandas(attach_local_rn, schema=out_schema)
+    numbered = _local_row_number(with_pid, "_lrn")
     counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     offsets = _partition_offsets(counts, "_cnt")
     joined = numbered.join(F.broadcast(offsets), "_pid")

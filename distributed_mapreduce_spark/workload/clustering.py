@@ -1307,9 +1307,13 @@ def q_embedding_pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("i")
             .agg(F.sum(F.col("c") * F.col("wj")).cast("long").alias("raw"))
         )
-        mx = r.agg(F.max(F.abs(F.col("raw"))).alias("mab"))
+        # max|raw| as a window over the PCA_DIM-row aggregate instead of
+        # a crossJoin branch: referencing `r` twice re-ran the cmat join
+        # + aggregate per reference inside every round's checkpoint.
         w_new = (
-            r.crossJoin(F.broadcast(mx))
+            r.withColumn(
+                "mab", F.max(F.abs(F.col("raw"))).over(Window.partitionBy())
+            )
             .selectExpr(
                 "i",
                 f"(CASE WHEN raw >= 0 THEN 1 ELSE -1 END)"
@@ -1329,14 +1333,20 @@ def q_embedding_pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("wcw")
             )
         )
-        den = w_new.agg(F.sum(F.col("w") * F.col("w")).cast("long").alias("ww"))
-        delta = (
+        # den + delta fused into ONE aggregate over the joined 64-row
+        # vectors (they were two separate jobs + two crossJoin branches
+        # per round — 12 avoidable tiny stages across the 6 rounds).
+        den_delta = (
             w_new.join(w.withColumnRenamed("w", "pw"), "i")
-            .agg(F.sum(F.abs(F.col("w") - F.col("pw"))).cast("long").alias("l1_delta"))
+            .agg(
+                F.sum(F.col("w") * F.col("w")).cast("long").alias("ww"),
+                F.sum(F.abs(F.col("w") - F.col("pw")))
+                .cast("long")
+                .alias("l1_delta"),
+            )
         )
         readouts.append(
-            num.crossJoin(den)
-            .crossJoin(delta)
+            num.crossJoin(den_delta)
             .selectExpr(
                 f"CAST({k} AS BIGINT) AS iter",
                 "CAST((CASE WHEN wcw >= 0 THEN 1 ELSE -1 END)"

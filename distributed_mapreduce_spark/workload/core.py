@@ -341,10 +341,21 @@ def q_approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row per aggregate — measured 2.1x slower than three pruned scans
     # here). The per-column form also drops the exact-distinct shuffle
     # entirely once the certification column is removed for production.
+    #
+    # Dedup FIRST, sketch after: mixing countDistinct with
+    # approx_count_distinct in one Aggregate made Catalyst rewrite it as
+    # a group-by-the-key aggregate whose partial HLL buffer (410 longs)
+    # rode the shuffle ONCE PER DISTINCT KEY (r12 before-plan: Exchange
+    # input [411 cols] hashpartitioned by o_custkey — ~3 KB per key).
+    # Aggregating the deduped keys instead shuffles just the key and
+    # builds one HLL buffer per partition; HLL is insert-idempotent, so
+    # the sketch over the distinct set is bit-identical to the sketch
+    # over the raw column.
     def one(col: str) -> DataFrame:
-        exact = F.countDistinct(F.col(col))
+        d = orders.select(col).distinct()
+        exact = F.count(F.col(col))
         approx = F.approx_count_distinct(col, rsd=0.02)
-        return orders.agg(
+        return d.agg(
             F.lit(col).alias("col_name"),
             exact.alias("exact_cnt"),
             (F.abs(approx - exact) * 100 <= exact * 5).alias("within_5pct"),

@@ -855,14 +855,32 @@ def q_dedup_exact_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("doc_id", "pos", _hash_u32(F.col("gram"), "es_").alias("gh"))
     )
+    # Canonical occurrence via two HASH aggregates instead of
+    # min(struct(doc_id, pos)): a struct min cannot live in an UnsafeRow
+    # aggregation buffer, so Catalyst planned a SortAggregate — two full
+    # sorts (partial+final) of the corpus-wide gram relation (r12
+    # before-plan nodes 21-25). The lexicographic pair minimum
+    # decomposes exactly: min doc_id per hash, then that doc's min pos
+    # (min_by over the per-(gh, doc) partials, unique doc_id per group
+    # so no tie). Both levels are fixed-width longs — partial-agg,
+    # hash-agg, no sort.
+    per_doc = g.groupBy("gh", "doc_id").agg(
+        F.min("pos").alias("mp"), F.count(F.lit(1)).alias("c")
+    )
     idx = (
-        g.groupBy("gh")
+        per_doc.groupBy("gh")
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(F.struct("doc_id", "pos")).alias("canon"),
+            F.sum("c").alias("cnt"),
+            F.min("doc_id").alias("cd"),
+            F.min_by("mp", "doc_id").alias("cp"),
         )
         .filter(F.col("cnt") > 1)
-        .select("gh", "canon")
+        .select(
+            "gh",
+            F.struct(
+                F.col("cd").alias("doc_id"), F.col("cp").alias("pos")
+            ).alias("canon"),
+        )
     )
     occ = g.join(idx, "gh").select(
         "doc_id",

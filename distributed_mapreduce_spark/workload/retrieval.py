@@ -138,9 +138,25 @@ def _bm25_relations(
         F.sum("dl").cast("long").alias("total_len"),
     )
     # Query-term filter BELOW the explode: only matching tokens fan out.
+    # `dl` rides the tf rows (same tokenize pass computes it), so the
+    # scorer needs NO doc-grain dl join and no extra corpus pass — the
+    # r12 before-plan paid four tokenize passes per scored action (tf,
+    # idf-via-tf, the dl join, tot-via-dl); this shape pays two for the
+    # idf build + scorer (three with `tot`). `SPARK_GRAFT_BM25_TF_PERSIST=1`
+    # additionally caches tf so each reference reads the term-filtered
+    # rows instead of re-tokenizing — measured a LOSS at sf0.1 (paired
+    # A/B: hard_negatives 1.19->1.42 s, prf 1.21->1.36) because the
+    # cache write breaks the fused tokenize->explode->join->partial-agg
+    # codegen pipeline and the corpus pass is cheap at this size; it is
+    # the right trade only when a corpus pass dominates the cache write
+    # (huge corpora), so it defaults OFF and stays available as the
+    # production knob.
+    import os
+
     tf = (
         tokd.select(
             "doc_id",
+            F.size("toks").cast("long").alias("dl"),
             F.explode(
                 F.array_intersect(
                     "toks", F.array(*[F.lit(t) for t in terms])
@@ -154,8 +170,11 @@ def _bm25_relations(
             F.size(F.filter("toks", lambda x: x == F.col("term")))
             .cast("long")
             .alias("tf"),
+            "dl",
         )
     )
+    if os.environ.get("SPARK_GRAFT_BM25_TF_PERSIST", "0") == "1":
+        tf = tf.persist()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = df.crossJoin(F.broadcast(tot)).select(
         "term",
@@ -181,10 +200,11 @@ def _bm25_scored(
     (PRF expansion terms use {PRF_GDIV}; original terms stay at 1)."""
     r = _bm25_relations(spark, sf_dir, queries, divisors)
     return (
+        # `dl` comes inline on the tf rows (one tokenize pass) — no
+        # doc-grain dl join; see _bm25_relations.
         r["tf"]
         .join(F.broadcast(r["idf"]), "term")
         .join(F.broadcast(r["q"]), "term")
-        .join(r["dl"], "doc_id")
         .crossJoin(F.broadcast(r["tot"]))
         .select(
             "query_id",
@@ -1099,7 +1119,6 @@ def q_ltr_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     features only against the ≤queries·{LTR_TOP_K} two-stage top-k
     survivors, never the full scored relation."""
     r = _bm25_relations(spark, sf_dir, BM25_QUERIES)
-    dl = r["dl"]
     feats = (
         r["tf"]
         .join(F.broadcast(r["q"]), "term")
@@ -1109,6 +1128,10 @@ def q_ltr_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_match_terms"),
             F.sum("tf").cast("long").alias("tf_sum"),
             F.max("idf_e6").cast("long").alias("idf_max_e6"),
+            # dl is constant per doc and rides the tf rows — exporting
+            # it from the same aggregate drops the old doc-grain dl join
+            # (one more full tokenize pass the r12 before-plan paid).
+            F.min("dl").cast("long").alias("dl"),
         )
     )
     scored = _bm25_scored(spark, sf_dir, BM25_QUERIES)
@@ -1121,7 +1144,6 @@ def q_ltr_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         top.join(feats, ["query_id", "doc_id"])
-        .join(dl, "doc_id")
         .select(
             "query_id",
             "doc_id",
