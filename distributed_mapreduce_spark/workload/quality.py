@@ -876,6 +876,18 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("grp", F.col("pos") - F.row_number().over(wd))
         .withColumn("plen", F.count(F.lit(1)).over(wrun).cast("long"))
     )
+    # Persist the windowed run table: `wordstats` and the pscore join
+    # both read it, and without the cache each reference re-runs the
+    # explode + BOTH window sorts (the r12 before-plan shows the
+    # Generate→Window→Window chain once per branch). Cache rows are the
+    # nonstop token stream — the same class as the rare-gram index
+    # cache, where recomputing window sorts measured strictly worse
+    # than the cache write. `SPARK_GRAFT_RAKE_PERSIST=0` restores the
+    # uncached shape.
+    import os
+
+    if os.environ.get("SPARK_GRAFT_RAKE_PERSIST", "1") != "0":
+        nonstop = nonstop.persist()
     wordstats = nonstop.groupBy("tok").agg(
         F.expr(f"CAST(sum(plen) * {RAKE_SCALE} DIV count(*) AS BIGINT)").alias(
             "wscore"

@@ -177,21 +177,27 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     qty = F.col("l_quantity").cast(_DEC)
+    # The HAVING aggregate IS the output measure: each result group is
+    # one order (o_orderkey is a group key), so total_qty equals the
+    # per-order sum the qualifying filter already computed. Carrying
+    # `sq` through the join replaces the r12 before-plan's second
+    # lineitem scan + sort-merge join + |lineitems|-row re-aggregate
+    # with a row-per-order inner join; DECIMAL sums are exact, so the
+    # value is bit-identical.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(qty).alias("sq"))
         .filter(F.col("sq") > Q18_MIN_QTY)
-        .select("l_orderkey")
     )
     return (
-        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "semi")
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        # merge hint: same fact-broadcast guard as tpch_q5 — the 2-col
-        # pruned lineitem scan under-estimates below the broadcast
-        # threshold at bench SF.
-        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("c_name", "o_orderkey", "o_orderdate")
-        .agg(F.sum(qty).cast("decimal(30,2)").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("sq").cast("decimal(30,2)").alias("total_qty"),
+        )
     )
 
 

@@ -1337,6 +1337,13 @@ def q_similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lam, dam = MMR_LAM_NUM, MMR_LAM_DEN - MMR_LAM_NUM
     score_col = f"mmr_w{MMR_LAM_DEN}_u"
+    # Each greedy round is localCheckpoint'd (1 row): `out` is referenced
+    # TWICE per round (anti-join + selected-set join), so the unrolled
+    # plan doubled per round — ~2^MMR_K copies of the early rounds to
+    # plan and execute (measured 4.6-8.7 s per run at sf0.01, almost all
+    # Catalyst planning + duplicated tiny jobs). Checkpointing cuts the
+    # lineage to one 1-row RDD per round — the same pattern as the
+    # PageRank/Markov fixed-point builders.
     sel = (
         pool.orderBy(F.col("rel_u").desc(), F.col("doc_id"))
         .limit(1)
@@ -1346,6 +1353,7 @@ def q_similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(lam) * F.col("rel_u")).cast("long").alias(score_col),
             F.lit(1).alias("sel_rank"),
         )
+        .localCheckpoint()
     )
     out = sel
     for i in range(2, MMR_K + 1):
@@ -1370,6 +1378,7 @@ def q_similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col(score_col).desc(), F.col("doc_id"))
             .limit(1)
             .select("doc_id", "rel_u", score_col, F.lit(i).alias("sel_rank"))
+            .localCheckpoint()
         )
         out = out.unionAll(nxt)
     return out

@@ -752,21 +752,40 @@ def q_interval_prorate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.datediff("d1", "d0"), F.lit(0)) + 1
         ).cast("long").alias("days"),
     )
-    slices = iv.select(
+    # Explode per MONTH, not per day: the day fan-out averages ~60 rows
+    # per line (bounded by the fulfillment lead) where the month
+    # fan-out is <=5 — the per-month slice sum is closed-form because
+    # the interval's day indexes [s, e] inside one month are contiguous:
+    # n*q base cents plus one remainder cent for each index below
+    # r = cents % days (count = |[s,e] ∩ [0,r-1]|). Integer-exact, so
+    # conservation and the oracle hash are unchanged; the Generate
+    # output shrinks ~12-20x.
+    last = F.date_add(F.col("d0"), (F.col("days") - 1).cast("int"))
+    months = iv.select(
         "d0",
         "cents",
         "days",
-        F.explode(F.sequence(F.lit(0), (F.col("days") - 1).cast("int"))).alias("i"),
-    ).select(
-        F.to_date(
-            F.date_trunc("month", F.date_add(F.col("d0"), F.col("i")))
+        last.alias("dend"),
+        F.explode(
+            F.sequence(
+                F.to_date(F.date_trunc("month", F.col("d0"))),
+                F.to_date(F.date_trunc("month", last)),
+                F.expr("INTERVAL 1 MONTH"),
+            )
         ).alias("month"),
-        (
-            F.expr("cents DIV days")
-            + F.when(F.col("i") < F.expr("cents % days"), 1).otherwise(0)
-        ).alias("day_cents"),
+    )
+    s = F.datediff(F.greatest(F.col("month"), F.col("d0")), F.col("d0"))
+    e = F.datediff(F.least(F.last_day(F.col("month")), F.col("dend")), F.col("d0"))
+    n = (e - s + 1).cast("long")
+    q = F.expr("cents DIV days")
+    r = F.expr("cents % days")
+    extra = F.greatest(F.lit(0).cast("long"), (F.least(e.cast("long"), r - 1) - s + 1))
+    slices = months.select(
+        "month",
+        n.alias("n_slices"),
+        (n * q + extra).cast("long").alias("month_cents"),
     )
     return slices.groupBy("month").agg(
-        F.count(F.lit(1)).cast("long").alias("n_day_slices"),
-        F.sum("day_cents").cast("long").alias("prorated_cents"),
+        F.sum("n_slices").cast("long").alias("n_day_slices"),
+        F.sum("month_cents").cast("long").alias("prorated_cents"),
     )
