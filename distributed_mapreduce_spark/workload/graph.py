@@ -1395,8 +1395,14 @@ def q_graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_edges",
         )
     )
-    tot = terms.agg(F.sum("t").alias("t_all"))
-    return terms.crossJoin(F.broadcast(tot)).select(
+    # Global Σt as a window sum over the ≤|communities|-row terms
+    # relation instead of a second aggregate branch: referencing `terms`
+    # twice re-executed the whole two-sided label join over the edge
+    # list + both aggregates (the r12 plan audit flagged this query's
+    # 5245-line physical plan — the terms subtree printed twice).
+    from pyspark.sql import Window as _W
+
+    return terms.withColumn("t_all", F.sum("t").over(_W.partitionBy())).select(
         "community",
         "n_nodes",
         "intra_edges",
