@@ -1395,14 +1395,17 @@ def q_graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_edges",
         )
     )
-    # Global Σt as a window sum over the ≤|communities|-row terms
-    # relation instead of a second aggregate branch: referencing `terms`
-    # twice re-executed the whole two-sided label join over the edge
-    # list + both aggregates (the r12 plan audit flagged this query's
-    # 5245-line physical plan — the terms subtree printed twice).
-    from pyspark.sql import Window as _W
-
-    return terms.withColumn("t_all", F.sum("t").over(_W.partitionBy())).select(
+    # Persist `terms` so the global Σt aggregate and the final readout
+    # share ONE execution: referencing it twice re-executed the whole
+    # two-sided label join over the edge list + both community
+    # aggregates (the r12 plan audit flagged this query's 5245-line
+    # physical plan — the terms subtree printed twice). A window-sum
+    # rewrite was tried first and REJECTED: |communities| scales with
+    # the graph, so an unpartitioned window here is exactly the
+    # single-task class the plan audit guards against (it flagged it).
+    terms = terms.persist()
+    tot = terms.agg(F.sum("t").alias("t_all"))
+    return terms.crossJoin(F.broadcast(tot)).select(
         "community",
         "n_nodes",
         "intra_edges",
