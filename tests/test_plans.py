@@ -258,9 +258,16 @@ def test_tpch_q5_all_dims_broadcast(spark, sf_dir):
     assert any("r_name" in f for f in pushed_filters(df))
 
 
-def test_tpch_q18_uses_semi_join_and_partial_agg(spark, sf_dir):
-    plan = explain_str(QUERIES["tpch_q18_large_orders"](spark, sf_dir))
-    assert "LeftSemi" in plan
+def test_tpch_q18_single_lineitem_pass(spark, sf_dir):
+    # r12: the HAVING aggregate already computes the per-order quantity
+    # sum the output needs, so the qualifying filter is an INNER join
+    # that carries `sq` — ONE lineitem scan, no second-pass sort-merge
+    # join, no |lineitems|-row re-aggregate (the pre-r12 shape was a
+    # LeftSemi + re-join + re-aggregate: two lineitem scans).
+    df = QUERIES["tpch_q18_large_orders"](spark, sf_dir)
+    plan = explain_str(df)
+    assert sum(1 for cols in read_schema_columns(df) if "l_quantity" in cols) == 1
+    assert "SortMergeJoin" not in plan
     # The HAVING aggregate is partial (map-side combine) before its
     # exchange: HashAggregate appears with a partial_sum / merge pair.
     assert "partial_sum" in plan or "HashAggregate" in plan
