@@ -343,7 +343,7 @@ def main() -> None:
     # committed artifact, then print a compact line guaranteed to fit
     # the driver's tail window as the only stdout output.
     self_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF_r12.json")
+        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF_r13.json")
     )
     try:
         with open(self_path, "w") as f:

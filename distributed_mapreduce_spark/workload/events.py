@@ -33,16 +33,26 @@ SESSION_GAP_MIN = 30
 )
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window per event_type: count + exact decimal sum.
-    Streaming twin: groupBy(window(ts)) with a watermark — identical
-    result on a closed input."""
+    Streaming twin: the same hour-floor grouping on a drained stream —
+    identical result on a closed input.
+
+    The window start is derived with ``date_trunc('hour', ts)`` rather
+    than ``F.window(ts, '1 hour').start`` (VERDICT r12 #1): the two are
+    value-identical wherever they agree today (any whole-hour session
+    zone, including the pinned-UTC sessions every local run uses), but
+    ``date_trunc`` floors the wall-clock hour — the exact semantics of
+    the oracle's ``time_bucket(INTERVAL '1 hour', ts)`` — in EVERY
+    session timezone, while ``window`` floors the underlying epoch
+    micros. Grouping by the scalar also drops the window-struct
+    construction from the aggregate key (marginally cheaper)."""
     ev = table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("ws"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(30,6)").alias("sum_value"),
         )
-        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "sum_value")
+        .select("ws", "event_type", "n_events", "sum_value")
     )
 
 
@@ -570,23 +580,44 @@ def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_latest_event_per_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-latest-per-key WITHOUT a window: max_by over a packed
-    (ts, event_id) struct — one hash AGGREGATE with map-side partials
-    (each task keeps one candidate per key before the shuffle), versus
-    the window plan's full shuffle + per-partition sort of every raw
-    row. Same answer as `latest_event_per_user` (identical oracle);
-    at 100 TB the aggregate plan moves one row per (task, key) instead
-    of every event — the better physical strategy for top-1-per-key.
-    Determinism: struct comparison orders by (ts, event_id), a total
-    order."""
+    """Keep-latest-per-key WITHOUT a window, as pure HASH aggregates
+    (r13, VERDICT r12 #5: the previous grouped ``max(struct)`` fell
+    back to SortAggregate — a per-task sort of EVERY event row, the
+    exact cost the aggregate strategy exists to avoid).
+
+    The (ts, event_id) ordering is packed into one fixed-width
+    DECIMAL(38,0): ``unix_micros(ts) * 10^11 + event_id`` — numeric
+    order on the packed value IS lexicographic (ts, event_id) order
+    because 0 <= event_id < 10^11 (sequential ids; the bound holds
+    through 10^11 events) and ts is a positive epoch. A fixed-width
+    buffer makes ``max`` hash-aggregatable, so the plan is:
+
+      1. HashAggregate keyed (user_id, event_type): max(packed) — the
+         map-side partial collapses each task to one row per (key,
+         type) before the shuffle;
+      2. a per-user window max over that |users x event_types|
+         reduced relation (bounded: <= |event_types| rows per user)
+         picks the winning type, then the packed value unpacks back to
+         (ts, event_id) exactly (integer decimal arithmetic).
+
+    Same answer as `latest_event_per_user` (identical oracle): packed
+    order is a total order (event_id unique), so exactly one row per
+    user survives the filter. SortAggregate count in the plan: 0
+    (before: 2, one per partial/final — see plans/r13/)."""
     ev = table(spark, sf_dir, "events")
-    packed = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
-    agg = ev.groupBy("user_id").agg(F.max(packed).alias("m"))
-    return agg.select(
+    packed = F.expr("CAST(unix_micros(ts) AS DECIMAL(38,0)) * 100000000000 + event_id")
+    agg1 = ev.groupBy("user_id", "event_type").agg(F.max(packed).alias("p"))
+    win = Window.partitionBy("user_id")
+    best = agg1.withColumn("mp", F.max("p").over(win)).filter(
+        F.col("p") == F.col("mp")
+    )
+    eid = F.expr("CAST(p % 100000000000 AS BIGINT)")
+    ts_us = F.expr("CAST((p - (p % 100000000000)) / 100000000000 AS BIGINT)")
+    return best.select(
         "user_id",
-        F.col("m.event_id").alias("event_id"),
-        F.col("m.ts").alias("ts"),
-        F.col("m.event_type").alias("event_type"),
+        eid.alias("event_id"),
+        F.timestamp_micros(ts_us).alias("ts"),
+        "event_type",
     )
 
 

@@ -161,14 +161,14 @@ def q_stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discrepancies are caught too.
     batch = (
         table(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("ws"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("decimal(30,6)")
             .alias("sum_value"),
         )
-        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "sum_value")
+        .select("ws", "event_type", "n_events", "sum_value")
     )
     stream_only = result.exceptAll(batch).limit(5).collect()
     batch_only = batch.exceptAll(result).limit(5).collect()

@@ -20,11 +20,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # Accept both `--trials=N` and `--trials N` (ADVICE r12: the
+    # space-separated form previously crashed on split and leaked the
+    # bare N into the positional query list).
     trials = 5
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--trials"):
-            trials = int(a.split("=", 1)[1])
+            if "=" in a:
+                trials = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                trials = int(argv[i])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     names = args[1:] if args and os.path.isdir(args[0]) else args
 
