@@ -336,6 +336,34 @@ def main() -> None:
                     n for n, v in per_q.items() if v["ratio"] > 2.0
                 ),
             }
+    # Anchor hygiene (VERDICT r12 #3/#8): the r12 same-day anchor
+    # refresh converted driver-box drift into an apparent Spark
+    # improvement because the committed denominator changed mid-series.
+    # The ratio is therefore ALSO computed against the PINNED r11-era
+    # anchor (DUCKDB_ANCHOR_r11.json, extracted verbatim from the r11
+    # tree and never refreshed) so both series are reproducible from
+    # committed artifacts alone; DUCKDB_ANCHOR.json is not refreshed
+    # this round.
+    pinned = os.path.join(here, "DUCKDB_ANCHOR_r11.json")
+    if os.path.exists(pinned):
+        try:
+            with open(pinned) as f:
+                old_anchor = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            old_anchor = None
+        if old_anchor and old_anchor.get("sf_dir", "").rstrip("/") == sf_dir.rstrip("/"):
+            tot_s = round(
+                sum(s for n, s in times.items() if old_anchor["queries"].get(n)), 3
+            )
+            tot_d = round(
+                sum(d for n, d in old_anchor["queries"].items() if n in times), 3
+            )
+            out["vs_duckdb_r11_anchor"] = {
+                "n_compared": sum(1 for n in times if old_anchor["queries"].get(n)),
+                "total_spark_sec": tot_s,
+                "total_duckdb_sec": tot_d,
+                "aggregate_ratio": round(tot_s / tot_d, 3) if tot_d else None,
+            }
     # The driver's BENCH_r{N}.json keeps only a 2000-char tail of stdout
     # and parses a JSON line out of it: rounds 1-3 (line <= ~1 kB) have
     # `parsed` populated, rounds 4-8 (per-query table pushed the line
@@ -383,6 +411,9 @@ def compact_line(out: dict, self_name: str, budget: int = 1800) -> dict:
     ):
         if k in vs:
             compact[f"vs_duckdb_{k}"] = vs[k]
+    old = out.get("vs_duckdb_r11_anchor") or {}
+    if old.get("aggregate_ratio") is not None:
+        compact["vs_duckdb_r11_anchor_ratio"] = old["aggregate_ratio"]
     by_cost = sorted(out["queries"].items(), key=lambda kv: -kv[1])
     for name, sec in by_cost:
         compact["queries"][name] = sec

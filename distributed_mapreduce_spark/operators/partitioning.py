@@ -51,6 +51,13 @@ def _local_row_number(with_pid: DataFrame, out_col: str) -> DataFrame:
     cache partition recomputes through the deterministic range shuffle,
     the same retry contract the Arrow pass relied on.
 
+    Bound (ADVICE r12): `monotonically_increasing_id` allots 33 bits to
+    the per-partition counter, so a SINGLE physical partition holding
+    more than 2^33 (~8.6e9) rows would silently wrap the local index.
+    Callers size partitions via `num_partitions`/defaultParallelism;
+    keeping partitions under ~10^9 rows (they must, to sort in memory
+    at all) keeps 2^33 unreachable by orders of magnitude.
+
     `SPARK_GRAFT_JVM_LOCAL_RN=0` restores the mapInPandas numbering
     (A/B probe switch; default on)."""
     if os.environ.get("SPARK_GRAFT_JVM_LOCAL_RN", "1") == "0":

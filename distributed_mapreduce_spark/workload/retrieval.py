@@ -110,6 +110,33 @@ def _two_stage_topk(
     )
 
 
+def _bm25_persist_corpus(docs: DataFrame) -> bool:
+    """Adaptive persist decision for the BM25 doc-grain relation.
+
+    Explicit ``SPARK_GRAFT_BM25_TF_PERSIST=0/1`` forces the branch;
+    otherwise persist iff the corpus parquet bytes (driver-side file
+    metadata — no job) exceed ``SPARK_GRAFT_BM25_TF_PERSIST_BYTES``
+    (default 256 MiB). Rationale in `_bm25_relations`."""
+    import os
+
+    forced = os.environ.get("SPARK_GRAFT_BM25_TF_PERSIST")
+    if forced is not None and forced != "":
+        return forced == "1"
+    threshold = int(
+        os.environ.get("SPARK_GRAFT_BM25_TF_PERSIST_BYTES", str(256 << 20))
+    )
+    total = 0
+    for uri in docs.inputFiles():
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return False  # non-local source: stay conservative
+        if total >= threshold:
+            return True
+    return total >= threshold
+
+
 def _bm25_relations(
     spark: SparkSession,
     sf_dir: str,
@@ -132,39 +159,72 @@ def _bm25_relations(
         "query_id INT, term STRING, gdiv INT",
     )
     tokd = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    dl = tokd.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    tot = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_len"),
-    )
-    # Query-term filter BELOW the explode: only matching tokens fan out.
-    # `dl` rides the tf rows (same tokenize pass computes it), so the
-    # scorer needs NO doc-grain dl join and no extra corpus pass — the
-    # r12 before-plan paid four tokenize passes per scored action (tf,
-    # idf-via-tf, the dl join, tot-via-dl); this shape pays two for the
-    # idf build + scorer (three with `tot`). `SPARK_GRAFT_BM25_TF_PERSIST=1`
-    # additionally caches tf so each reference reads the term-filtered
-    # rows instead of re-tokenizing — measured a LOSS at sf0.1 (paired
-    # A/B: hard_negatives 1.19->1.42 s, prf 1.21->1.36) because the
-    # cache write breaks the fused tokenize->explode->join->partial-agg
-    # codegen pipeline and the corpus pass is cheap at this size; it is
-    # the right trade only when a corpus pass dominates the cache write
-    # (huge corpora), so it defaults OFF and stays available as the
-    # production knob.
-    import os
-
-    tf = (
-        tokd.select(
+    # Adaptive corpus persist (r13, VERDICT r12 #7). ABOVE the byte
+    # threshold, ONE doc-grain relation carries everything downstream
+    # needs from the corpus — dl plus the per-matched-term counts,
+    # computed BEFORE the explode — and every other relation (dl, tot,
+    # tf, df/idf) derives from it, so persisting that one narrow
+    # relation (rows = n_docs, bytes ∝ matches, ~1e-3 of the corpus)
+    # collapses the whole BM25 family to a SINGLE tokenize pass.
+    # BELOW the threshold nothing is cached and the r12 fused
+    # explode-then-count shape stands (see the else-branch comment for
+    # the paired measurement that keeps it).
+    #
+    # Why adaptive: the r12 constant-off switch was measured a LOSS at
+    # sf0.1 (paired A/B: hard_negatives 1.19->1.42 s, prf 1.21->1.36 —
+    # the cache write breaks the fused tokenize->explode->join->
+    # partial-agg codegen pipeline and a 0.6 MB corpus pass is cheaper
+    # than any cache), but at scale the repeated tokenize passes (3
+    # per scored action, 4 for ltr) dominate the tiny cache write.
+    # Decision: persist when the documents parquet exceeds
+    # SPARK_GRAFT_BM25_TF_PERSIST_BYTES (default 256 MiB). Explicit
+    # SPARK_GRAFT_BM25_TF_PERSIST=0/1 still forces either branch.
+    if _bm25_persist_corpus(docs):
+        docterms = tokd.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.transform(
+                F.array_intersect("toks", F.array(*[F.lit(t) for t in terms])),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter("toks", lambda x: x == t))
+                    .cast("long")
+                    .alias("tf"),
+                ),
+            ).alias("mtf"),
+        ).persist()
+        dl = docterms.select("doc_id", "dl")
+        tot = docterms.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_len"),
+        )
+        tf = docterms.select(
+            "doc_id", "dl", F.explode("mtf").alias("m")
+        ).select(
+            "doc_id", F.col("m.term").alias("term"), F.col("m.tf").alias("tf"), "dl"
+        )
+    else:
+        # Below threshold the r12 fused shape stands: explode the
+        # matched terms with `toks` riding along and count per exploded
+        # row — measured FASTER than materializing the (term, tf)
+        # struct array per doc (paired worktree A/B on
+        # retrieval_prf_expansion at sf0.1: 1.28/1.34 s fused vs
+        # 1.52/1.72 s struct-array mins). The struct-array shape only
+        # pays for itself when the single cached tokenize pass replaces
+        # repeated corpus scans — i.e. exactly the persist branch.
+        dl = tokd.select("doc_id", F.size("toks").cast("long").alias("dl"))
+        tot = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_len"),
+        )
+        tf = tokd.select(
             "doc_id",
             F.size("toks").cast("long").alias("dl"),
             F.explode(
-                F.array_intersect(
-                    "toks", F.array(*[F.lit(t) for t in terms])
-                )
+                F.array_intersect("toks", F.array(*[F.lit(t) for t in terms]))
             ).alias("term"),
             F.col("toks"),
-        )
-        .select(
+        ).select(
             "doc_id",
             "term",
             F.size(F.filter("toks", lambda x: x == F.col("term")))
@@ -172,9 +232,6 @@ def _bm25_relations(
             .alias("tf"),
             "dl",
         )
-    )
-    if os.environ.get("SPARK_GRAFT_BM25_TF_PERSIST", "0") == "1":
-        tf = tf.persist()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = df.crossJoin(F.broadcast(tot)).select(
         "term",

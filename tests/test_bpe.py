@@ -5,6 +5,8 @@ well-formed."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -36,6 +38,7 @@ _SYM = st.sampled_from(["a", "b", "c", "ab", "ba", "aa"])
 
 
 @settings(max_examples=25, deadline=None)
+@pytest.mark.deepaudit  # ~13 s hypothesis sweep; the merges query itself is oracle-graded
 @given(
     syms=st.lists(_SYM, min_size=0, max_size=8),
     pair=st.tuples(_SYM, _SYM),

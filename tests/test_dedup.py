@@ -143,6 +143,7 @@ def test_prefix_filter_superset_of_capped_index(spark, sf_dir):
     assert len(pf) > 0
 
 
+@pytest.mark.deepaudit  # ~19 s synthetic chain; operator-internal convergence property
 def test_pointer_jump_cc_converges_logarithmically_on_chain(spark):
     """A 41-node path is the adversarial shape: plain min-label needs
     ~40 rounds to drag label 0 to the far end; pointer jumping halves

@@ -131,9 +131,13 @@ def test_sink_merged_csv_single_file_roundtrip(spark, tmp_path):
     assert any(d.startswith("detection=") for d in os.listdir(pq))
 
 
+@pytest.mark.deepaudit
 def test_cli_put_store_select_roundtrip(tmp_path):
     """End-user CLI smoke: put a CSV, list it, run a SELECT — in a
-    subprocess, exactly as a user would (fresh JVM, no test session)."""
+    subprocess, exactly as a user would (fresh JVM, no test session).
+    deepaudit tier: three fresh-JVM subprocesses cost ~45 s; the
+    in-session CLI roundtrip (test_cli_e2e) and the fresh-subprocess
+    driver-contract test (test_workload) keep default coverage."""
     import csv
     import subprocess
     import sys

@@ -6,6 +6,8 @@ interpolation boundary behavior."""
 
 from __future__ import annotations
 
+import pytest
+
 import decimal
 from collections import Counter, defaultdict
 
@@ -517,6 +519,7 @@ def test_temporal_reachability_matches_bruteforce(spark, sf_dir):
     assert all(a == -1 or a > 0 for a in got.values())
 
 
+@pytest.mark.deepaudit  # ~11 s full-corpus roundtrip; encode/decode queries are oracle-graded
 def test_tokenizer_roundtrip_is_lossless(spark, sf_dir):
     from distributed_mapreduce_spark.workload.bpe import (
         q_tokenizer_roundtrip_audit,
@@ -594,3 +597,43 @@ def test_int8_quant_audit_error_bound(spark, sf_dir):
         assert r["min_u"] <= r["max_u"]
         bound = span // 255 + (1 if span % 255 else 0) + 1
         assert 0 <= r["mean_abs_err_u"] <= r["max_err_u"] <= bound
+
+
+def test_bm25_adaptive_persist_branches_agree(spark, sf_dir, monkeypatch):
+    """r13 (VERDICT r12 #7): the adaptive corpus-persist decision must
+    (a) pick the no-persist branch below the byte threshold and the
+    persist branch above it, and (b) produce IDENTICAL rows either way
+    — the persist is a plan property, never a result property."""
+    from distributed_mapreduce_spark.plans import explain_str
+    from distributed_mapreduce_spark.workload.registry import table as _table
+    from distributed_mapreduce_spark.workload.retrieval import (
+        _bm25_persist_corpus,
+        q_bm25_top_docs,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    monkeypatch.delenv("SPARK_GRAFT_BM25_TF_PERSIST", raising=False)
+    # sf0.001 documents are a few kB — far below the 256 MiB default
+    assert _bm25_persist_corpus(docs) is False
+    monkeypatch.setenv("SPARK_GRAFT_BM25_TF_PERSIST_BYTES", "1")
+    assert _bm25_persist_corpus(docs) is True
+    # explicit force beats the threshold in both directions
+    monkeypatch.setenv("SPARK_GRAFT_BM25_TF_PERSIST", "0")
+    assert _bm25_persist_corpus(docs) is False
+    monkeypatch.setenv("SPARK_GRAFT_BM25_TF_PERSIST", "1")
+    assert _bm25_persist_corpus(docs) is True
+
+    monkeypatch.delenv("SPARK_GRAFT_BM25_TF_PERSIST", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BM25_TF_PERSIST_BYTES", raising=False)
+    plain = q_bm25_top_docs(spark, sf_dir)
+    assert "InMemoryTableScan" not in explain_str(plain)
+    base = sorted(map(tuple, plain.collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_BM25_TF_PERSIST", "1")
+    try:
+        cached_df = q_bm25_top_docs(spark, sf_dir)
+        assert "InMemoryTableScan" in explain_str(cached_df)
+        cached = sorted(map(tuple, cached_df.collect()))
+    finally:
+        spark.catalog.clearCache()
+    assert base == cached

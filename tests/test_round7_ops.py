@@ -3,6 +3,8 @@ hold beyond the oracle hash-equality the driver already checks."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.workload import QUERIES
@@ -1484,6 +1486,7 @@ def test_ks_statistic_matches_scipy_free_recompute(spark, sf_dir):
     assert abs(row.ks_e6 / 10**6 - ks_float) < 1e-6
 
 
+@pytest.mark.deepaudit  # ~12 s exhaustive recompute; the query is oracle-graded
 def test_edit_distance_pairs_exhaustive_at_sf0001(spark, sf_dir):
     """The blocked+pruned pair set must equal the EXHAUSTIVE all-pairs
     Levenshtein scan at sf0.001 — the losslessness proof, measured."""
