@@ -181,16 +181,30 @@ def q_events_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour window, 30-minute slide: every event lands in two
-    overlapping windows (w/s = 2). Spark's `window(ts, w, s)` expands
-    rows natively; the oracle unnests the two candidate window starts
-    per event and refilters — the general sliding-window identity."""
+    overlapping windows (w/s = 2). The two candidate window starts are
+    derived explicitly — the wall-clock 30-minute floor of ts and that
+    minus 30 minutes — exactly the oracle's `time_bucket` unnest, and
+    TZ-invariant the same way as the tumbling fix (r13, VERDICT r12 #1
+    hardening: `F.window(ts, w, s)` floors epoch micros, divergent from
+    `time_bucket` under a fractional-hour session zone; value-identical
+    on whole-hour zones). Every event strictly belongs to both windows
+    for w=2s, so no refilter is needed on this side."""
     ev = table(spark, sf_dir, "events")
+    half = F.expr(
+        "date_trunc('hour', ts)"
+        " + make_interval(0, 0, 0, 0, 0, IF(minute(ts) >= 30, 30, 0), 0)"
+    )
     return (
-        ev.groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        ev.select(F.col("event_type"), half.alias("h"))
+        .select(
+            "event_type",
+            F.explode(
+                F.array(F.col("h"), F.expr("h - INTERVAL 30 MINUTES"))
+            ).alias("ws"),
         )
+        .groupBy("ws", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("ws"), "event_type", "n_events")
+        .select("ws", "event_type", "n_events")
     )
 
 
@@ -276,18 +290,19 @@ def q_busiest_hours_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic (count desc, window-start) order makes the cut
     exact)."""
     ev = table(spark, sf_dir, "events")
+    # Hour bucket via date_trunc, not F.window — TZ-invariant wall-clock
+    # floor matching the oracle's time_bucket (r13 hardening, same as
+    # events_tumbling; value-identical on whole-hour session zones).
     hourly = ev.groupBy(
-        "event_type", F.window("ts", "1 hour").alias("w")
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("ws")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     w = Window.partitionBy("event_type").orderBy(
-        F.col("n_events").desc(), F.col("w.start")
+        F.col("n_events").desc(), F.col("ws")
     )
     return (
         hourly.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
-        .select(
-            "event_type", F.col("w.start").alias("ws"), "n_events", "rnk"
-        )
+        .select("event_type", "ws", "n_events", "rnk")
     )
 
 
